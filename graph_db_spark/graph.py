@@ -1,0 +1,570 @@
+"""Core graph engine: immutable snapshot tables + the 9-op transaction DSL.
+
+Reference parity (this is a re-expression, not a port):
+
+- The reference's mutable pointer graph ``Refs``
+  (/root/reference/library/GraphDB/Graph.hs:27-34) becomes three immutable
+  DataFrames: ``vertices(id, kind, <payload cols>)``, ``edges(src, dst)``,
+  ``edge_index(src, idx_tag, idx_key, dst)``.
+- The 9 ``ActionF`` constructors (library/GraphDB/Action.hs:11-21; public
+  wrappers library/GraphDB.hs:301-356) become:
+    new_node / get_value / set_value / get_root / get_targets /
+    add_target / remove_target / remove / get_stats
+  staged as typed WAL events and applied **set-oriented in one pass** at
+  commit — the Spark-native equivalent of the reference's sequential
+  interpreter (library/GraphDB/Persistent.hs:126-171). Net-effect semantics
+  (last event per (src,dst) pair / per node wins, set-semantics idempotent
+  edge insert per Graph.hs:57-61) are equivalent to sequential application
+  and shuffle only once per commit regardless of batch size.
+- ``set_value`` re-indexing against every source (Graph.hs:46-55) becomes a
+  delete+re-emit merge on ``edge_index`` for affected (src, dst) pairs.
+- ``remove`` only unlinks the node from its sources (Graph.hs:126-127);
+  the vertex row may persist as unreachable garbage — matching the
+  reference, where garbage merely stops being counted (Graph.hs:82-118).
+- ``get_stats`` (Graph.hs:82-118) = iterative BFS frontier joins (Pregel
+  pattern) + three counts over the reachable subgraph.
+
+Scale notes (100 TB design):
+- Every mutation batch is O(1) shuffles: one per-pair aggregation + one
+  re-emission join, regardless of how many events the batch holds.
+- ``edge_index`` reads are plain filters/joins → Catalyst pushdown, AQE
+  broadcast for small frontiers.
+- BFS truncates lineage with ``localCheckpoint`` each iteration; frontiers
+  are de-duplicated and anti-joined against the visited set so each vertex
+  is expanded once (the reference's visited-set queue, Graph.hs:87-117).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from graph_db_spark.model import ROOT_ID, GraphSchema
+
+# WAL event schema — FIXTURES.md §2, derived from the reference's log-entry
+# union (library/GraphDB/Persistent/Log.hs:20-28) with stable node ids
+# replacing positional refs (SURVEY §2.10).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("tx_id", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("node_id", T.LongType(), True),
+        T.StructField("src", T.LongType(), True),
+        T.StructField("dst", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),  # JSON payload
+    ]
+)
+
+OP_NEW_NODE = "NewNode"
+OP_SET_VALUE = "SetValue"
+OP_ADD_TARGET = "AddTarget"
+OP_REMOVE_TARGET = "RemoveTarget"
+OP_REMOVE = "Remove"
+
+EDGE_INDEX_COLS = ["src", "idx_tag", "idx_key", "dst"]
+
+
+def default_payload_fields() -> list[T.StructField]:
+    """Default payload columns: covers the reference's observed payload types
+    (Text names, Int uids — SURVEY §1.2)."""
+    return [
+        T.StructField("name", T.StringType(), True),
+        T.StructField("uid", T.LongType(), True),
+    ]
+
+
+def vertices_schema(payload_fields: list[T.StructField] | None = None) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+        ]
+        + (payload_fields if payload_fields is not None else default_payload_fields())
+    )
+
+
+def edges_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("src", T.LongType(), False),
+            T.StructField("dst", T.LongType(), False),
+        ]
+    )
+
+
+def edge_index_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("src", T.LongType(), False),
+            T.StructField("idx_tag", T.StringType(), False),
+            T.StructField("idx_key", T.StringType(), True),
+            T.StructField("dst", T.LongType(), False),
+        ]
+    )
+
+
+def emit_edge_index(
+    edges: DataFrame, vertices: DataFrame, schema: GraphSchema
+) -> DataFrame:
+    """Evaluate write-time index emission for *edges* → ``edge_index`` rows.
+
+    The Spark analogue of the generated dispatch
+    ``indexes :: Value -> Value -> [Index]`` (Graph.hs:25; clause codegen at
+    library/GraphDB/Macros/Templates.hs:77-88): join each edge with its src
+    and dst vertex payloads, then per edge-kind apply that kind's
+    ``IndexSpec`` expressions (built-in Spark exprs → whole-stage codegen;
+    exploding specs produce one row per array element).
+    """
+    payload_cols = [c for c in vertices.columns if c not in ("id", "kind")]
+    dst_v = vertices.select(
+        F.col("id").alias("__dst_id"),
+        F.col("kind").alias("__dst_kind"),
+        *[F.col(c) for c in payload_cols],
+    )
+    src_v = vertices.select(
+        F.col("id").alias("__src_id"),
+        F.col("kind").alias("__src_kind"),
+        *[F.col(c).alias(f"src_{c}") for c in payload_cols],
+    )
+    joined = (
+        edges.join(src_v, edges.src == src_v.__src_id)
+        .join(dst_v, edges.dst == dst_v.__dst_id)
+        .drop("__src_id", "__dst_id")
+    )
+    parts = []
+    for ek in schema.edge_kinds:
+        base = joined.filter(
+            (F.col("__src_kind") == ek.src_kind) & (F.col("__dst_kind") == ek.dst_kind)
+        )
+        for spec in ek.indexes:
+            if spec.key_expr is None:
+                key = F.lit(None).cast("string")
+                parts.append(
+                    base.select(
+                        "src", F.lit(spec.tag).alias("idx_tag"), key.alias("idx_key"), "dst"
+                    )
+                )
+            elif spec.explode:
+                parts.append(
+                    base.select(
+                        "src",
+                        F.lit(spec.tag).alias("idx_tag"),
+                        F.explode(F.expr(spec.key_expr).cast("array<string>")).alias("idx_key"),
+                        "dst",
+                    )
+                )
+            else:
+                parts.append(
+                    base.select(
+                        "src",
+                        F.lit(spec.tag).alias("idx_tag"),
+                        F.expr(spec.key_expr).cast("string").alias("idx_key"),
+                        "dst",
+                    )
+                )
+    if not parts:
+        return edges.sparkSession.createDataFrame([], edge_index_schema())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # Set semantics: one multimap entry per (src, index, dst) — Graph.hs:57-61.
+    return out.dropDuplicates(EDGE_INDEX_COLS)
+
+
+@dataclass
+class GraphStats:
+    """Result of get_stats (GraphDB.hs:355-356): counts over the subgraph
+    reachable from root — (nodes, distinct edges, index entries)."""
+
+    nodes: int
+    edges: int
+    index_entries: int
+
+    def as_tuple(self) -> tuple[int, int, int]:
+        return (self.nodes, self.edges, self.index_entries)
+
+
+class GraphSnapshot:
+    """An immutable point-in-time state of the graph (the readers' view —
+    the fair-RWLock read side of Nonpersistent.hs:51-56 is free here because
+    snapshots never mutate)."""
+
+    def __init__(
+        self,
+        vertices: DataFrame,
+        edges: DataFrame,
+        edge_index: DataFrame,
+        schema: GraphSchema,
+    ):
+        self.vertices = vertices
+        self.edges = edges
+        self.edge_index = edge_index
+        self.schema = schema
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def empty(
+        spark: SparkSession,
+        schema: GraphSchema,
+        payload_fields: list[T.StructField] | None = None,
+        root_payload: dict | None = None,
+    ) -> "GraphSnapshot":
+        vschema = vertices_schema(payload_fields)
+        root_row = {"id": ROOT_ID, "kind": "Root", **(root_payload or {})}
+        vertices = spark.createDataFrame([root_row], vschema)
+        return GraphSnapshot(
+            vertices,
+            spark.createDataFrame([], edges_schema()),
+            spark.createDataFrame([], edge_index_schema()),
+            schema,
+        )
+
+    @staticmethod
+    def from_tables(
+        vertices: DataFrame, edges: DataFrame, schema: GraphSchema
+    ) -> "GraphSnapshot":
+        """Bulk load: caller supplies vertices (deterministic ids) + edges;
+        the index layer is emitted in one pass (the write-time analogue of
+        the reference's per-insert emission, amortized)."""
+        edges = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        return GraphSnapshot(vertices, edges, emit_edge_index(edges, vertices, schema), schema)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.vertices.sparkSession
+
+    def payload_schema(self) -> T.StructType:
+        return T.StructType([f for f in self.vertices.schema.fields if f.name not in ("id", "kind")])
+
+    # -- reads (the ReadOrWrite surface) -----------------------------------
+
+    def get_root(self) -> int:
+        """GraphDB.hs:318-319 — the distinguished entry point."""
+        return ROOT_ID
+
+    def get_value(self, node_id: int) -> dict | None:
+        """GraphDB.hs:306-309 — point lookup of a node payload."""
+        rows = self.vertices.filter(F.col("id") == node_id).limit(1).collect()
+        return rows[0].asDict() if rows else None
+
+    def get_values(self, ids: DataFrame) -> DataFrame:
+        """Set-oriented get_value: final projection after traversal joins
+        (the ``mapM getValue`` tail of APITests/Catalogue.hs:84-86)."""
+        return ids.join(self.vertices, "id")
+
+    def get_targets(
+        self, frontier, idx_tag: str, idx_key=None
+    ) -> DataFrame:
+        """The sole forward-navigation/filter primitive (GraphDB.hs:322-327,
+        Graph.hs:129-133): targets of *frontier* under one index.
+
+        *frontier* is an int node id or a DataFrame with an ``id`` column.
+        Returns a DataFrame ``id`` of distinct target ids.
+        """
+        ei = self.edge_index.filter(F.col("idx_tag") == idx_tag)
+        if idx_key is not None:
+            ei = ei.filter(F.col("idx_key") == str(idx_key))
+        if isinstance(frontier, int):
+            # Point lookup: plain filter — Catalyst pushes tag/key/src down.
+            return ei.filter(F.col("src") == frontier).select(F.col("dst").alias("id")).distinct()
+        # Set-oriented: equi-join; small frontiers broadcast under AQE.
+        return (
+            ei.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+
+    def get_sources(self, frontier) -> DataFrame:
+        """Reverse traversal (traverseSources, Graph.hs:79-80,135-139): the
+        reference keeps a reverse-adjacency set; for us the edges table
+        joined on ``dst`` serves both directions."""
+        if isinstance(frontier, int):
+            return self.edges.filter(F.col("dst") == frontier).select(F.col("src").alias("id")).distinct()
+        return (
+            self.edges.join(frontier.select(F.col("id").alias("dst")), "dst")
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+
+    def get_all_targets(self, frontier) -> DataFrame:
+        """traverseTargets (Graph.hs:72-77): distinct targets across all
+        indexes — the edges table already holds exactly that set."""
+        if isinstance(frontier, int):
+            return self.edges.filter(F.col("src") == frontier).select(F.col("dst").alias("id")).distinct()
+        return (
+            self.edges.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+
+    # -- whole-graph analytics ---------------------------------------------
+
+    def reachable(self, root_id: int = ROOT_ID, max_iters: int = 1000) -> DataFrame:
+        """BFS from root via iterative frontier joins — the Pregel-style
+        re-expression of the reference's queue+visited-set walk
+        (Graph.hs:82-118). Driver loop (Catalyst has no recursion); lineage
+        truncated per iteration with localCheckpoint."""
+        spark = self.spark
+        edges = self.edges.select("src", "dst")
+        visited = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(eager=True)
+        frontier = visited
+        for _ in range(max_iters):
+            nxt = (
+                edges.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+
+    def get_stats(self) -> GraphStats:
+        """GraphDB.hs:355-356 / Graph.hs:82-118: (reachable nodes, distinct
+        edges from reachable nodes, index entries from reachable nodes)."""
+        reach = self.reachable()
+        n_nodes = reach.count()
+        reach_src = reach.withColumnRenamed("id", "src")
+        n_edges = self.edges.join(reach_src, "src", "left_semi").count()
+        n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
+        return GraphStats(n_nodes, n_edges, n_idx)
+
+    # -- mutation (set-oriented, one pass per commit) ----------------------
+
+    def apply_events(self, events: DataFrame) -> "GraphSnapshot":
+        """Apply a WAL event batch in one set-oriented pass.
+
+        Net-effect semantics, equivalent to the reference's sequential
+        interpretation of the same log (Persistent.hs:126-171):
+
+        * vertices — the latest NewNode/SetValue per node wins;
+        * edges    — per (src, dst): alive iff the latest of
+                     {AddTarget(seq), RemoveTarget(seq), Remove(dst→seq),
+                      pre-existing edge (seq = -1)} is an add
+                     (idempotent set insert per Graph.hs:57-61; Remove
+                     unlinks from all sources per Graph.hs:126-127);
+        * edge_index — delete rows for every touched pair and every pair
+                     whose dst was re-valued, then re-emit from the final
+                     state (set_value re-indexing, Graph.hs:46-55).
+        """
+        spark = self.spark
+        payload = self.payload_schema()
+        ev = events.cache()
+
+        # ---- vertices: last NewNode/SetValue per node wins
+        vev = ev.filter(F.col("op").isin(OP_NEW_NODE, OP_SET_VALUE))
+        from pyspark.sql import Window as W
+
+        latest = (
+            vev.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("node_id").orderBy(F.col("seq").desc())),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("node_id").alias("id"),
+                F.col("kind"),
+                F.from_json("value", payload).alias("v"),
+            )
+            .select("id", "kind", *[F.col(f"v.{f.name}").alias(f.name) for f in payload.fields])
+        )
+        new_vertices = (
+            self.vertices.join(latest.select("id"), "id", "left_anti").unionByName(latest)
+        )
+
+        # ---- edges: per-pair net effect
+        adds = ev.filter(F.col("op") == OP_ADD_TARGET).select("src", "dst", "seq")
+        pre = self.edges.select("src", "dst", F.lit(-1).cast("long").alias("seq"))
+        all_adds = adds.unionByName(pre).groupBy("src", "dst").agg(F.max("seq").alias("add_seq"))
+        rems = (
+            ev.filter(F.col("op") == OP_REMOVE_TARGET)
+            .groupBy("src", "dst")
+            .agg(F.max("seq").alias("rem_seq"))
+        )
+        node_rems = (
+            ev.filter(F.col("op") == OP_REMOVE)
+            .groupBy(F.col("node_id").alias("dst"))
+            .agg(F.max("seq").alias("node_rem_seq"))
+        )
+        resolved = (
+            all_adds.join(rems, ["src", "dst"], "left")
+            .join(node_rems, "dst", "left")
+            .withColumn(
+                "alive",
+                (F.col("add_seq") > F.coalesce(F.col("rem_seq"), F.lit(-2)))
+                & (F.col("add_seq") > F.coalesce(F.col("node_rem_seq"), F.lit(-2))),
+            )
+        )
+        new_edges = resolved.filter("alive").select("src", "dst")
+
+        # ---- edge_index: delete touched, re-emit from final state
+        edge_ev_pairs = (
+            ev.filter(F.col("op").isin(OP_ADD_TARGET, OP_REMOVE_TARGET))
+            .select("src", "dst")
+            .distinct()
+        )
+        removed_nodes = ev.filter(F.col("op") == OP_REMOVE).select(
+            F.col("node_id").alias("dst")
+        ).distinct()
+        revalued = latest.select(F.col("id").alias("dst")).distinct()
+        touched_pairs = (
+            edge_ev_pairs.unionByName(
+                self.edges.join(removed_nodes, "dst", "left_semi").select("src", "dst")
+            )
+            .unionByName(
+                self.edges.join(revalued, "dst", "left_semi").select("src", "dst")
+            )
+            .distinct()
+        )
+        kept_index = self.edge_index.join(touched_pairs, ["src", "dst"], "left_anti")
+        reemit_pairs = new_edges.join(touched_pairs, ["src", "dst"], "left_semi")
+        new_index = kept_index.unionByName(
+            emit_edge_index(reemit_pairs, new_vertices, self.schema)
+        )
+
+        return GraphSnapshot(new_vertices, new_edges, new_index, self.schema)
+
+    def materialize(self) -> "GraphSnapshot":
+        """Truncate lineage after a commit (the cheap local analogue of
+        writing the snapshot tables; storage.checkpoint persists for real)."""
+        return GraphSnapshot(
+            self.vertices.localCheckpoint(eager=True),
+            self.edges.localCheckpoint(eager=True),
+            self.edge_index.localCheckpoint(eager=True),
+            self.schema,
+        )
+
+
+class WriteTx:
+    """A staged write transaction — the ``Write`` monad of GraphDB.hs:239-261.
+
+    Ops stage WAL events driver-side; ``GraphSession.write`` applies them in
+    one set-oriented pass at commit. Reads *inside* the tx observe staged
+    mutations (the reference's in-place semantics) by applying the staged
+    prefix to the base snapshot on demand.
+    """
+
+    def __init__(self, session: "GraphSession"):
+        self._s = session
+        self.events: list[dict] = []
+        self._dirty_view: GraphSnapshot | None = None
+
+    # -- the 9 ops ---------------------------------------------------------
+
+    def get_root(self) -> int:
+        return ROOT_ID
+
+    def new_node(self, kind: str, **payload) -> int:
+        """GraphDB.hs:301-302 — allocate a detached node. Ids come from the
+        session's deterministic allocator (stable across replay — SURVEY
+        §2.10's positional-ref simplification)."""
+        node_id = self._s._next_id
+        self._s._next_id += 1
+        self._stage(OP_NEW_NODE, node_id=node_id, kind=kind, value=json.dumps(payload))
+        return node_id
+
+    def get_value(self, node_id: int) -> dict | None:
+        return self._view().get_value(node_id)
+
+    def set_value(self, node_id: int, kind: str, **payload) -> None:
+        """GraphDB.hs:313-314 — replace payload; re-indexes vs every source
+        at commit (Graph.hs:46-55)."""
+        self._stage(OP_SET_VALUE, node_id=node_id, kind=kind, value=json.dumps(payload))
+
+    def get_targets(self, frontier, idx_tag: str, idx_key=None) -> DataFrame:
+        return self._view().get_targets(frontier, idx_tag, idx_key)
+
+    def add_target(self, src: int, dst: int) -> None:
+        """GraphDB.hs:335-336 — link src→dst; index emission at commit;
+        idempotent (Graph.hs:57-61)."""
+        self._stage(OP_ADD_TARGET, src=src, dst=dst)
+
+    def remove_target(self, src: int, dst: int) -> None:
+        self._stage(OP_REMOVE_TARGET, src=src, dst=dst)
+
+    def remove(self, node_id: int) -> None:
+        """GraphDB.hs:348-349 — unlink from all sources (Graph.hs:126-127)."""
+        self._stage(OP_REMOVE, node_id=node_id)
+
+    def get_stats(self) -> GraphStats:
+        return self._view().get_stats()
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _stage(self, op: str, node_id=None, src=None, dst=None, kind=None, value=None):
+        self._s._next_seq += 1
+        self.events.append(
+            {
+                "seq": self._s._next_seq,
+                "tx_id": self._s._next_tx,
+                "op": op,
+                "node_id": node_id,
+                "src": src,
+                "dst": dst,
+                "kind": kind,
+                "value": value,
+            }
+        )
+        self._dirty_view = None
+
+    def events_df(self) -> DataFrame:
+        return self._s.spark.createDataFrame(self.events, EVENT_SCHEMA)
+
+    def _view(self) -> GraphSnapshot:
+        if not self.events:
+            return self._s.snapshot
+        if self._dirty_view is None:
+            self._dirty_view = self._s.snapshot.apply_events(self.events_df())
+        return self._dirty_view
+
+
+class GraphSession:
+    """A live database session over snapshot state — the analogue of the
+    reference's nonpersistent session (library/GraphDB.hs:118-131).
+
+    Readers always see the committed snapshot (immutable — read concurrency
+    is free); writers commit through ``write`` which is effectively the
+    exclusive side of the reference's fair RWLock (Nonpersistent.hs:51-56):
+    single-threaded driver commits.
+    """
+
+    def __init__(self, snapshot: GraphSnapshot, next_id: int | None = None,
+                 next_seq: int = 0, next_tx: int = 0, storage=None):
+        self.snapshot = snapshot
+        if next_id is None:
+            row = snapshot.vertices.agg(F.max("id").alias("m")).collect()[0]
+            next_id = (row["m"] or 0) + 1
+        self._next_id = next_id
+        self._next_seq = next_seq
+        self._next_tx = next_tx
+        self.storage = storage  # optional EventLogStorage (persistence layer)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.snapshot.spark
+
+    def read(self, fn):
+        """GraphDB.hs:278-283 — run a read program against the snapshot."""
+        return fn(self.snapshot)
+
+    def write(self, fn, materialize: bool = True):
+        """GraphDB.hs:285-289 — run a write program, commit its staged
+        events (one set-oriented apply + optional WAL append)."""
+        tx = WriteTx(self)
+        result = fn(tx)
+        self._next_tx += 1
+        if tx.events:
+            ev_df = tx.events_df()
+            new_snap = self.snapshot.apply_events(ev_df)
+            self.snapshot = new_snap.materialize() if materialize else new_snap
+            if self.storage is not None:
+                self.storage.persist_events(ev_df)
+        return result
