@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale text corpora.
+
+Design for 100 TB:
+- Exact dedup is a single hash-groupBy (map-side partial agg; one shuffle
+  on the hash of the dedup key, never on the raw text).
+- MinHash+LSH shuffles only (doc_id, token) pairs and fixed-width
+  signatures; candidate generation is an equi-join on band keys (hash
+  partitioned, AQE-skew-safe) — never an all-pairs comparison. Verification
+  joins token sets only for candidate pairs.
+- Hashes are md5-based (JVM built-in, portable to the DuckDB oracle):
+  minhash_i(doc) = MIN over tokens of md5(i || '|' || token). The md5 hex
+  string's lexicographic order is a uniform "permutation", so the min is a
+  valid MinHash; any engine with md5 reproduces it bit-for-bit.
+
+No reference analogue (the reference is an OLTP graph store); these are the
+north-star LLM-pipeline operators from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+WHITESPACE = r"\s+"
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs, whitespace-tokenized."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), WHITESPACE)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct (id, token) pairs where token = word k-shingle (k
+    consecutive words joined by one space) — the standard near-dup unit:
+    unigram sets are too coarse (any two docs over a shared vocabulary look
+    similar); shingles capture word order."""
+    toks = F.filter(F.split(F.col(text_col), WHITESPACE), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("token"))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest id per exact key — one hash-aggregate.
+
+    At scale, group on md5(key) instead of wide text columns so the shuffle
+    carries 32 bytes per row, not the document body.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.concat_ws("\x00", *[F.col(c) for c in key_cols])).alias("__k"),
+    )
+    return keyed.groupBy("__k").agg(F.min("id").alias("id")).select("id")
+
+
+def minhash_signatures(
+    tok: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: one groupBy with n_hashes MIN aggregates
+    (all map-side combinable — a single shuffle of partial minima)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("token")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join per band → candidate (a, b) pairs.
+
+    rows_per_band = n_hashes // bands. The per-band equi-join hashes on the
+    band key; at 100 TB this is the scale path (candidates ≪ all pairs).
+    """
+    rows = n_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
+        parts.append(
+            sigs.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select("band", "bkey", F.col("id").alias("a"))
+    right = banded.select("band", "bkey", F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, tok: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over token sets, computed only for candidate pairs.
+    Returns (a, b, jaccard) for pairs ≥ threshold."""
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = tok.select(F.col("id").alias("a"), "token")
+    tb = tok.select(F.col("id").alias("b"), "token")
+    inter = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("inter") >= threshold * (F.col("sza") + F.col("szb") - F.col("inter")))
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline over word k-shingles.
+    Returns (a, b, jaccard)."""
+    tok = shingles(df, id_col, text_col, shingle) if shingle > 1 else tokens(df, id_col, text_col)
+    sigs = minhash_signatures(tok, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    return jaccard_verify(cands, tok, threshold)
+
+
+def simhash_bits(tok: DataFrame, n_bits: int = 32) -> DataFrame:
+    """Portable SimHash: bit j of a token's hash = parity of hex char j of
+    md5(token). Per-doc bit j = majority vote over tokens. Returns
+    (id, b0..b{n-1}) plus packed ``simhash`` string.
+
+    One groupBy with n_bits SUM aggregates (map-side combinable).
+    """
+    hexed = tok.withColumn("h", F.md5(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring(F.col("h"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    agg = hexed.groupBy("id").agg(*votes)
+    bits = [F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_bits)]
+    return agg.select("id", F.concat(*bits).alias("simhash"))

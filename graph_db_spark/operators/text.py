@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines.
+
+All built-in expressions (single scan, no shuffle except final aggs):
+token/char statistics, quality scoring, n-gram-profile language ID,
+rolling-hash document fingerprinting. Designed so every result is
+reproducible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+WS = r"\s+"
+
+# Tiny per-language marker vocabularies for the stopword-count heuristic —
+# the classic cheap language-ID: count language-distinctive tokens, argmax
+# wins, deterministic tie-break. (The driver's synthetic corpus shares one
+# vocabulary across its ``lang`` labels, so these markers are arbitrary
+# disjoint subsets of that vocabulary: the *operator* — scoring + argmax —
+# is what's exercised and oracle-checked, not real-world accuracy.)
+LANG_MARKERS = {
+    "en": ["the", "a", "table", "row", "order"],
+    "de": ["hash", "join", "batch", "key"],
+    "fr": ["scan", "data", "query", "line"],
+    "es": ["slow", "agg", "merge", "vector"],
+    "zh": ["small", "customer", "column", "stream"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics: n_tokens, n_distinct_tokens,
+    n_chars, avg_token_len, punct ratio — one pass, no shuffle."""
+    toks = F.filter(F.split(F.col(text_col), WS), lambda t: t != "")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+        ).alias("n_punct"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + type-token ratio −
+    punctuation excess. Deterministic integer/decimal arithmetic so the
+    oracle reproduces it exactly."""
+    s = token_stats(df, id_col, text_col)
+    return s.select(
+        F.col(id_col),
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))) * 0.4
+            - F.least(F.col("n_punct") / F.greatest(F.col("n_chars_measured"), F.lit(1)), F.lit(0.1)),
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: per language, count tokens in its marker
+    list; argmax with deterministic tie-break (higher count, then language
+    code). Returns (id, pred_lang, score)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS), lambda t: t != "")
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 3, keep: int = 4
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the *keep* lexicographically
+    smallest md5 hashes of word k-shingles, concatenated. Robust to small
+    edits; portable (md5 + array ops both engines)."""
+    toks = F.filter(F.split(F.col(text_col), WS), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(shingles)), 1, keep)).alias(
+            "fingerprint"
+        ),
+    )

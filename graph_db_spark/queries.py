@@ -1,0 +1,803 @@
+"""Query registry: every SURVEY §2 operator as a (Spark builder, oracle SQL)
+pair for the driver's DuckDB correctness gate.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+- every computed column is aliased identically in Spark and SQL;
+- float aggregation goes through DECIMAL (exact, order-independent) and is
+  cast to DOUBLE at the end; divisions are rounded;
+- top-k is always deterministic (row_number with unique tie-break);
+- md5 is the portable hash for dedup/minhash/fingerprints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from graph_db_spark.catalogue import OFFSETS, tpch_graph
+from graph_db_spark.model import ROOT_ID
+from graph_db_spark.operators import dedup as D, similarity as S, text as TX
+
+REGISTRY: dict[str, "Q"] = {}
+
+
+@dataclass(frozen=True)
+class Q:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale=4):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.4-§2.9 breadth on the driver's tables)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter → grouped agg (map-side partial agg, one
+    shuffle on the two group keys). Decimal sums → exact, order-free."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    WITH r AS (
+      SELECT l.l_orderkey, o.o_orderdate,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    SELECT l_orderkey, o_orderdate, revenue
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rn FROM r)
+    WHERE rn <= 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """3-table join + agg + deterministic top-k. The join shuffles on the
+    keys; the final top-10 is a single-partition window over the (small)
+    aggregated set — at scale replace with orderBy().limit() which Spark
+    executes as a distributed TakeOrdered."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    r = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        r.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "o_orderdate", "revenue")
+    )
+
+
+@q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5: 6-table join. nation/region are broadcast (tiny dims);
+    the fact-side joins shuffle on their keys; AQE reorders/broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "filter_pushdown_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def filter_pushdown_scan(spark, sf_dir):
+    """Projection + predicate — both reach the parquet scan (PushedFilters
+    in .explain); reads 5 of 11 columns."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@q(
+    "join_semi_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 200000)
+    """,
+)
+def join_semi_exists(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@q(
+    "join_anti_not_exists",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_not_exists(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "join_outer_order_counts",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_outer_order_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@q(
+    "agg_distinct_segments",
+    """
+    SELECT n.n_name, count(*) AS n_customers,
+           count(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_distinct_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@q(
+    "agg_rollup_geo",
+    """
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_geo(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@q(
+    "window_topk_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_cust(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q(
+    "window_running_user_value",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq_in_user
+    FROM events
+    """,
+)
+def window_running_user_value(spark, sf_dir):
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value", 6)).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_value"),
+        F.row_number().over(w).alias("seq_in_user"),
+    )
+
+
+@q(
+    "sort_limit_top_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def sort_limit_top_lineitems(spark, sf_dir):
+    """orderBy().limit() → Spark's distributed TakeOrderedAndProject (no
+    full sort materialization)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@q(
+    "setop_customer_cohorts",
+    """
+    SELECT c AS c_custkey, 'both' AS cohort FROM (
+      SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                                     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    UNION ALL
+    SELECT c AS c_custkey, 'building_only' AS cohort FROM (
+      SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                                     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def setop_customer_cohorts(spark, sf_dir):
+    """intersect / except / union — SURVEY §2.8."""
+    bld = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey"))
+    )
+    active = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = bld.intersect(active).withColumn("cohort", F.lit("both"))
+    only = bld.exceptAll(active.distinct()).distinct().withColumn("cohort", F.lit("building_only"))
+    return both.unionByName(only)
+
+
+@q(
+    "scalar_functions_showcase",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 12) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('#', p_brand, p_type) AS brand_type,
+           abs(p_size - 25) AS size_dev,
+           round(p_retailprice * 1.1, 2) AS bumped,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           reverse(p_type) AS type_rev,
+           greatest(p_size, 25) AS size_hi
+    FROM part
+    """,
+)
+def scalar_functions_showcase(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse("p_type").alias("type_rev"),
+        F.greatest("p_size", F.lit(25)).alias("size_hi"),
+    )
+
+
+@q(
+    "tumbling_hour_events",
+    """
+    SELECT CAST(floor(date_part('epoch', date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hour_events(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg — the streaming twin lives in graph_db_spark.streaming)."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    return e.groupBy(
+        (F.expr("ts_ns DIV 3600000000000") * 3600).alias("hour_epoch"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "sessionize_events_gaps",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(floor(date_part('epoch', max(ts))) - floor(date_part('epoch', min(ts))) AS BIGINT) AS dur_seconds
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events_gaps(spark, sf_dir):
+    """Sessionization via gaps-and-islands (lag + cumulative sum) — the
+    batch expression of session windows; 30-minute inactivity gap. Gap
+    arithmetic runs on exact nanosecond longs (matches the oracle's
+    ns-precision INTERVAL comparison)."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    x = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") > F.lag("ts_ns").over(w) + F.lit(1_800_000_000_000)),
+            1,
+        ).otherwise(0),
+    )
+    s = x.withColumn("session_id", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.expr("max(ts_ns) DIV 1000000000") - F.expr("min(ts_ns) DIV 1000000000")).alias(
+            "dur_seconds"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph queries (the reference's traversal surface on the TPC-H-derived graph)
+# ---------------------------------------------------------------------------
+
+_REGION = OFFSETS["Region"]
+_NATION = OFFSETS["Nation"]
+_CUSTOMER = OFFSETS["Customer"]
+_SUPPLIER = OFFSETS["Supplier"]
+_ORDER = OFFSETS["Order"]
+_PART = OFFSETS["Part"]
+
+
+@q(
+    "graph_1hop_region_lookup",
+    f"""
+    SELECT CAST({_REGION} + r_regionkey AS BIGINT) AS id, 'Region' AS kind,
+           r_name AS name, CAST(r_regionkey AS BIGINT) AS uid
+    FROM region WHERE r_name = 'EUROPE'
+    """,
+)
+def graph_1hop_region_lookup(spark, sf_dir):
+    """getTargets by exact-name index — the reference's sole navigation
+    primitive (Graph.hs:129-133) as an edge_index filter."""
+    g = tpch_graph(spark, sf_dir)
+    return g.get_values(g.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE"))
+
+
+@q(
+    "graph_2hop_nations_of_europe",
+    f"""
+    SELECT CAST({_NATION} + n_nationkey AS BIGINT) AS id, n_name AS name
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def graph_2hop_nations_of_europe(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    nations = g.get_targets(
+        g.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE"), "Region_Nation"
+    )
+    return g.get_values(nations).select("id", "name")
+
+
+@q(
+    "graph_3hop_customers_in_region",
+    f"""
+    SELECT CAST({_CUSTOMER} + c_custkey AS BIGINT) AS id, c_name AS name
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def graph_3hop_customers_in_region(spark, sf_dir):
+    """The flagship: the reference's 3-hop lookupArtistsBySongGenreName
+    (Benchmarks/GraphDB.hs:94-102; its own SQL twin Postgres.hs:78-87) —
+    chained equi-joins over edge_index with the natural join flattening."""
+    g = tpch_graph(spark, sf_dir)
+    custs = g.get_targets(
+        g.get_targets(
+            g.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE"), "Region_Nation"
+        ),
+        "Nation_Customer",
+    )
+    return g.get_values(custs).select("id", "name")
+
+
+@q(
+    "graph_5hop_parts_for_region",
+    f"""
+    SELECT DISTINCT CAST({_PART} + p_partkey AS BIGINT) AS id, p_name AS name
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+    """,
+)
+def graph_5hop_parts_for_region(spark, sf_dir):
+    """Deep traversal root→region→nation→customer→order→part: five chained
+    frontier joins; frontiers stay (id)-only until the final projection."""
+    g = tpch_graph(spark, sf_dir)
+    f = g.get_targets(ROOT_ID, "Catalogue_Region_Name", "ASIA")
+    for tag in ("Region_Nation", "Nation_Customer", "Customer_Order", "Order_Part"):
+        f = g.get_targets(f, tag)
+    return g.get_values(f).select("id", "name")
+
+
+@q(
+    "graph_search_term_parts",
+    f"""
+    SELECT DISTINCT CAST({_PART} + p_partkey AS BIGINT) AS id, p_name AS name
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE list_contains(string_split(p_name, ' '), 'red')
+    """,
+)
+def graph_search_term_parts(spark, sf_dir):
+    """Tokenized search-term index lookup (Demo.hs:19-28): write-time
+    explode(split(name,' ')) made a read-time equality filter."""
+    g = tpch_graph(spark, sf_dir)
+    hits = (
+        g.edge_index.filter(
+            (F.col("idx_tag") == "Order_Part_SearchTerm") & (F.col("idx_key") == "red")
+        )
+        .select(F.col("dst").alias("id"))
+        .distinct()
+    )
+    return g.get_values(hits).select("id", "name")
+
+
+@q(
+    "graph_reverse_sources_of_part",
+    f"""
+    SELECT DISTINCT CAST({_ORDER} + l_orderkey AS BIGINT) AS id
+    FROM lineitem WHERE l_partkey = 42
+    """,
+)
+def graph_reverse_sources_of_part(spark, sf_dir):
+    """Reverse traversal (traverseSources, Graph.hs:79-80): orders that
+    contain part 42 — the edges table joined on dst."""
+    g = tpch_graph(spark, sf_dir)
+    return g.get_sources(_PART + 42)
+
+
+@q(
+    "graph_stats_reachability",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ptok AS (
+      SELECT p_partkey, count(DISTINCT t) AS nt
+      FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS t FROM part)
+      GROUP BY p_partkey
+    ),
+    base AS (
+      SELECT (SELECT count(*) FROM region)   AS nr,
+             (SELECT count(*) FROM nation)   AS nn,
+             (SELECT count(*) FROM customer) AS nc,
+             (SELECT count(*) FROM supplier) AS ns,
+             (SELECT count(*) FROM orders)   AS no,
+             (SELECT count(DISTINCT l_partkey) FROM lineitem) AS np,
+             (SELECT count(*) FROM op)       AS nop,
+             (SELECT CAST(sum(2 + nt) AS BIGINT) FROM op JOIN ptok ON p_partkey = l_partkey) AS op_idx
+    )
+    SELECT CAST(1 + nr + nn + nc + ns + no + np AS BIGINT) AS nodes,
+           CAST(nr + nn + nc + ns + no + nop AS BIGINT) AS edges,
+           CAST(3*nr + 2*nn + 2*nc + 2*ns + 2*no + op_idx AS BIGINT) AS index_entries
+    FROM base
+    """,
+)
+def graph_stats_reachability(spark, sf_dir):
+    """get_stats (Graph.hs:82-118): genuine iterative BFS in Spark; the
+    oracle derives the same three counts arithmetically (the derived graph
+    is a layered DAG where only lineitem-referenced parts are reachable)."""
+    g = tpch_graph(spark, sf_dir)
+    st = g.get_stats()
+    return spark.createDataFrame(
+        [(st.nodes, st.edges, st.index_entries)],
+        "nodes LONG, edges LONG, index_entries LONG",
+    )
+
+
+@q(
+    "graph_mutation_net_effect",
+    f"""
+    SELECT CAST(0 AS BIGINT) AS src, 'Catalogue_Region_Name' AS idx_tag,
+           CASE WHEN r_regionkey = 0 THEN 'EMEA' ELSE r_name END AS idx_key,
+           CAST({_REGION} + r_regionkey AS BIGINT) AS dst
+    FROM region
+    UNION ALL
+    SELECT CAST({_REGION} + n_regionkey AS BIGINT), 'Region_Nation',
+           CAST(NULL AS VARCHAR), CAST({_NATION} + n_nationkey AS BIGINT)
+    FROM nation WHERE n_nationkey NOT IN (0, 1)
+    """,
+)
+def graph_mutation_net_effect(spark, sf_dir):
+    """The mutation surface end-to-end: set_value re-indexing (rename a
+    region), remove (unlink a nation from all sources), remove_target
+    (unlink one specific nation), add_target with no matching edge-kind
+    (edge exists, no index rows) — then read back edge_index."""
+    from graph_db_spark.graph import GraphSession
+
+    g = tpch_graph(spark, sf_dir)
+    session = GraphSession(g, next_id=10_000_000_000_000)
+    region_of_n1 = _REGION + int(
+        g.vertices.sparkSession.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") == 1)
+        .select("n_regionkey")
+        .collect()[0][0]
+    )
+
+    def prog(tx):
+        tx.set_value(_REGION + 0, "Region", name="EMEA", uid=0)
+        tx.remove(_NATION + 0)
+        tx.remove_target(region_of_n1, _NATION + 1)
+        tx.add_target(ROOT_ID, _NATION + 7)  # no Root→Nation kind → no index rows
+
+    session.write(prog, materialize=False)
+    return session.snapshot.edge_index.filter(
+        F.col("idx_tag").isin("Catalogue_Region_Name", "Region_Nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (north-star: dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_documents",
+    "SELECT CAST(min(doc_id) AS BIGINT) AS id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d, ["text"], "doc_id")
+
+
+@q(
+    "dedup_minhash_lsh",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(greatest(len(tk)-3, 0)+1)]
+             )) AS token
+      FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || token)) AS h0, min(md5('1|' || token)) AS h1,
+             min(md5('2|' || token)) AS h2, min(md5('3|' || token)) AS h3,
+             min(md5('4|' || token)) AS h4, min(md5('5|' || token)) AS h5,
+             min(md5('6|' || token)) AS h6, min(md5('7|' || token)) AS h7
+      FROM tok GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c JOIN tok ta ON ta.id = c.a JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b, round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+    WHERE i.inter >= 0.7 * (sa.sz + sb.sz - i.inter)
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3)
+
+
+@q(
+    "text_stats_documents",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct
+    FROM t
+    """,
+)
+def text_stats_documents(spark, sf_dir):
+    return TX.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    qn AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 5),
+    scored AS (
+      SELECT qn.vec_id AS qid, n.vec_id AS nid,
+             round(list_dot_product(n.v, qn.v) / (n.nrm * qn.nrm), 6) AS cos
+      FROM n CROSS JOIN qn WHERE n.vec_id <> qn.vec_id
+    )
+    SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -42,6 +42,24 @@ def get_spark(
     return spark
 
 
+def load_events(spark: SparkSession, sf_dir: str):
+    """Load the events table, whose parquet ``ts`` is TIMESTAMP(NANOS) —
+    unreadable by Spark's vectorized reader as a timestamp. We read nanos
+    as LONG (exact) and expose both:
+      - ``ts_ns``  LONG       — exact nanosecond epoch, used for ordering,
+                                gap arithmetic, and second/hour bucketing
+                                (bit-for-bit reproducible in the oracle);
+      - ``ts``     TIMESTAMP  — microsecond-truncated, for display/windows.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Load the driver's parquet tables from *sf_dir* as a dict of DataFrames."""
     names = names or [

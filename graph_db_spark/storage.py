@@ -1,0 +1,214 @@
+"""Persistence layer: event-log (WAL) + checkpoint + recovery.
+
+Reference parity (library/GraphDB/Storage.hs, library/GraphDB/Persistent.hs):
+
+- ``persist_events``  ↔ ``persistEvent`` (Storage.hs:154-159): append a
+  committed event batch to the current log generation as parquet.
+- ``checkpoint``      ↔ ``checkpoint`` (Storage.hs:171-207): write the
+  snapshot tables under a new version directory, start a new log
+  generation, archive superseded files.
+- ``load``            ↔ ``load``/``replayEventsPastIndex``
+  (Storage.hs:104-148): newest readable checkpoint + ordered replay of
+  every later event batch.
+- ``acquire``/``release`` ↔ the ``.lock`` file discipline
+  (Storage.hs:209-245): single-writer (a Spark driver) per store.
+
+Layout (versioned snapshot dirs replace the reference's numbered binary
+files, Storage/Rules.hs:7-25):
+
+    store/
+      .lock
+      checkpoints/<N>/vertices|edges|edge_index/   (parquet)
+      log/gen=<N>/batch-<seq0>.parquet             (events past ckpt N)
+      archive/...                                  (superseded, GC'd)
+
+The WAL is replayed set-oriented (GraphSnapshot.apply_events) — one pass
+per batch — and the log directory doubles as a Structured Streaming source
+(graph_db_spark.streaming) because it is plain append-only parquet with a
+total order (seq).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_db_spark.graph import EVENT_SCHEMA, GraphSession, GraphSnapshot
+from graph_db_spark.model import GraphSchema
+
+
+class StorageLockedError(RuntimeError):
+    pass
+
+
+class EventLogStorage:
+    """Directory-backed WAL + checkpoint store (single writer)."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: GraphSchema):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        os.makedirs(path, exist_ok=True)
+        os.makedirs(self._ckpt_root, exist_ok=True)
+        os.makedirs(self._log_root, exist_ok=True)
+
+    # -- layout ------------------------------------------------------------
+
+    @property
+    def _ckpt_root(self) -> str:
+        return os.path.join(self.path, "checkpoints")
+
+    @property
+    def _log_root(self) -> str:
+        return os.path.join(self.path, "log")
+
+    @property
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, ".lock")
+
+    def _ckpt_versions(self) -> list[int]:
+        return sorted(
+            int(d) for d in os.listdir(self._ckpt_root) if d.isdigit()
+        )
+
+    def _log_dir(self, gen: int) -> str:
+        return os.path.join(self._log_root, f"gen={gen}")
+
+    # -- locking (Storage.hs:209-245) --------------------------------------
+
+    def acquire(self) -> None:
+        """Exclusive writer lock via O_CREAT|O_EXCL — the reference's
+        ``.lock`` file (driver-level: Spark executors never write here)."""
+        try:
+            fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            raise StorageLockedError(f"store at {self.path} is locked")
+
+    def release(self) -> None:
+        if os.path.exists(self._lock_path):
+            os.remove(self._lock_path)
+
+    # -- WAL sink (Storage.hs:154-159) -------------------------------------
+
+    def persist_events(self, events: DataFrame) -> None:
+        gen = max(self._ckpt_versions(), default=0)
+        first_seq = events.agg(F.min("seq")).collect()[0][0]
+        out = os.path.join(self._log_dir(gen), f"batch-{first_seq:012d}.parquet")
+        events.coalesce(1).write.mode("errorifexists").parquet(out)
+
+    # -- checkpoint (Storage.hs:171-207) -----------------------------------
+
+    def checkpoint(self, session: GraphSession) -> int:
+        """Write the current snapshot as a new version; subsequent event
+        batches land in the new generation. Old checkpoints/logs move to
+        archive (the reference's archiveDir, Storage.hs:43-48)."""
+        version = max(self._ckpt_versions(), default=0) + 1
+        base = os.path.join(self._ckpt_root, str(version))
+        snap = session.snapshot
+        snap.vertices.write.mode("errorifexists").parquet(os.path.join(base, "vertices"))
+        snap.edges.write.mode("errorifexists").parquet(os.path.join(base, "edges"))
+        snap.edge_index.write.mode("errorifexists").parquet(os.path.join(base, "edge_index"))
+        with open(os.path.join(base, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "next_id": session._next_id,
+                    "next_seq": session._next_seq,
+                    "next_tx": session._next_tx,
+                },
+                f,
+            )
+        os.makedirs(self._log_dir(version), exist_ok=True)
+        self._archive_before(version)
+        return version
+
+    def _archive_before(self, version: int) -> None:
+        arch = os.path.join(self.path, "archive")
+        os.makedirs(arch, exist_ok=True)
+        for v in self._ckpt_versions():
+            if v < version:
+                src = os.path.join(self._ckpt_root, str(v))
+                shutil.move(src, os.path.join(arch, f"checkpoint-{v}"))
+        for d in os.listdir(self._log_root):
+            gen = int(d.split("=")[1])
+            if gen < version - 1:
+                shutil.move(
+                    os.path.join(self._log_root, d), os.path.join(arch, f"log-{gen}")
+                )
+
+    def clean_up(self) -> None:
+        """Delete the archive (Storage.hs cleanUp semantics)."""
+        arch = os.path.join(self.path, "archive")
+        if os.path.exists(arch):
+            shutil.rmtree(arch)
+
+    # -- recovery (Storage.hs:104-148) -------------------------------------
+
+    def _read_ckpt(self, version: int) -> tuple[GraphSnapshot, dict]:
+        base = os.path.join(self._ckpt_root, str(version))
+        snap = GraphSnapshot(
+            self.spark.read.parquet(os.path.join(base, "vertices")),
+            self.spark.read.parquet(os.path.join(base, "edges")),
+            self.spark.read.parquet(os.path.join(base, "edge_index")),
+            self.schema,
+        )
+        with open(os.path.join(base, "meta.json")) as f:
+            meta = json.load(f)
+        return snap, meta
+
+    def _log_batches(self, gen: int) -> list[str]:
+        d = self._log_dir(gen)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, b) for b in os.listdir(d) if b.startswith("batch-")
+        )
+
+    def load(self, empty_factory) -> GraphSession:
+        """Latest checkpoint + ordered replay of newer event batches.
+
+        ``empty_factory(spark, schema) -> GraphSnapshot`` seeds the v0 state
+        when no checkpoint exists (the reference's ``initGraph``,
+        GraphDB.hs:128-131).
+        """
+        versions = self._ckpt_versions()
+        if versions:
+            snap, meta = self._read_ckpt(versions[-1])
+            gen = versions[-1]
+            next_id, next_seq, next_tx = meta["next_id"], meta["next_seq"], meta["next_tx"]
+        else:
+            snap = empty_factory(self.spark, self.schema)
+            gen = 0
+            next_id, next_seq, next_tx = None, 0, 0
+
+        batches = self._log_batches(gen)
+        if batches:
+            # Replay all batches in one ordered set-oriented pass: the WAL is
+            # a total order by seq, and apply_events resolves net effects by
+            # seq — so a single apply of the concatenated suffix is exactly
+            # sequential replay (Persistent/Log.hs:38-52 semantics).
+            events = self.spark.read.schema(EVENT_SCHEMA).parquet(*batches)
+            snap = snap.apply_events(events).materialize()
+            tail = events.agg(
+                F.max("seq").alias("s"),
+                F.max("tx_id").alias("t"),
+                F.max("node_id").alias("n"),
+            ).collect()[0]
+            next_seq = max(next_seq, (tail["s"] or 0))
+            next_tx = max(next_tx, (tail["t"] or -1) + 1)
+            if next_id is not None:
+                next_id = max(next_id, (tail["n"] or 0) + 1)
+
+        session = GraphSession(
+            snap, next_id=next_id, next_seq=next_seq, next_tx=next_tx, storage=self
+        )
+        return session
+
+    def acquire_and_load(self, empty_factory) -> GraphSession:
+        self.acquire()
+        return self.load(empty_factory)

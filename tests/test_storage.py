@@ -1,0 +1,149 @@
+"""Storage/persistence tests mirroring the reference's StorageTests and the
+restart-equivalence property (executables/InternalTests/StorageTests.hs,
+executables/APITests.hs:52-68)."""
+
+import os
+import random
+
+import pytest
+
+from graph_db_spark.catalogue import catalogue_schema
+from graph_db_spark.graph import GraphSession, GraphSnapshot
+from graph_db_spark.model import ROOT_ID
+from graph_db_spark.storage import EventLogStorage, StorageLockedError
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventLogStorage(spark, str(tmp_path / "store"), catalogue_schema())
+
+
+def _fresh(spark, schema):
+    return GraphSnapshot.empty(spark, schema)
+
+
+def test_loads_empty(store):
+    s = store.load(_fresh)
+    assert s.read(lambda g: g.get_stats()).as_tuple() == (1, 0, 0)
+
+
+def test_replay_across_runs(store, spark):
+    """StorageTests.hs test_loads/test_loadsAfterMultipleRuns: state
+    rebuilt from WAL alone (no checkpoint)."""
+    s1 = store.load(_fresh)
+
+    def prog(tx):
+        a = tx.new_node("Artist", name="A B", uid=1)
+        tx.add_target(ROOT_ID, a)
+        return a
+
+    a = s1.write(prog)
+    s1.write(lambda tx: tx.set_value(a, "Artist", name="C D", uid=1))
+
+    s2 = store.load(_fresh)  # second run: replay
+    assert s2.read(lambda g: g.get_stats()).as_tuple() == s1.read(
+        lambda g: g.get_stats()
+    ).as_tuple()
+    hits = s2.read(lambda g: g.get_targets(ROOT_ID, "Catalogue_Artist_SearchTerm", "C"))
+    assert hits.count() == 1
+    # id allocator resumes past replayed ids
+    b = s2.write(lambda tx: tx.new_node("Artist", name="E", uid=2))
+    assert b > a
+
+
+def test_checkpoint_and_replay_suffix(store, spark):
+    """StorageTests.hs test_checkpoint*: checkpoint-at-k + replay-suffix
+    equals full fold."""
+    s1 = store.load(_fresh)
+    ids = []
+    for i in range(3):
+        ids.append(
+            s1.write(
+                lambda tx, i=i: (
+                    lambda a: (tx.add_target(ROOT_ID, a), a)[1]
+                )(tx.new_node("Artist", name=f"N{i}", uid=i))
+            )
+        )
+    store.checkpoint(s1)
+    s1.write(lambda tx: tx.remove(ids[0]))
+    s1.write(
+        lambda tx: (
+            lambda g: (tx.add_target(ROOT_ID, g),)
+        )(tx.new_node("Genre", name="G", uid=9))
+    )
+
+    s2 = store.load(_fresh)
+    assert s2.read(lambda g: g.get_stats()).as_tuple() == s1.read(
+        lambda g: g.get_stats()
+    ).as_tuple()
+    # checkpoint again: state-only load (no suffix)
+    store.checkpoint(s2)
+    s3 = store.load(_fresh)
+    assert s3.read(lambda g: g.get_stats()).as_tuple() == s1.read(
+        lambda g: g.get_stats()
+    ).as_tuple()
+
+
+def test_lock(store, spark, tmp_path):
+    store.acquire()
+    other = EventLogStorage(spark, str(tmp_path / "store"), catalogue_schema())
+    with pytest.raises(StorageLockedError):
+        other.acquire()
+    store.release()
+    other.acquire()
+    other.release()
+
+
+def test_archive_gc(store, spark):
+    s = store.load(_fresh)
+    s.write(lambda tx: tx.new_node("Artist", name="X", uid=1))
+    store.checkpoint(s)
+    s.write(lambda tx: tx.new_node("Artist", name="Y", uid=2))
+    store.checkpoint(s)
+    arch = os.path.join(store.path, "archive")
+    assert os.path.isdir(arch) and len(os.listdir(arch)) >= 1
+    store.clean_up()
+    assert not os.path.exists(arch)
+
+
+def test_restart_equivalence_random_updates(store, spark):
+    """prop_shutdownDBRestoresToTheSameState (APITests.hs:52-68): a random
+    weighted update sequence, then restart (checkpoint at a random prefix),
+    then stats equality. Reduced iteration count — each write is a real
+    Spark commit."""
+    rng = random.Random(42)
+    s1 = store.load(_fresh)
+    artists: list[int] = []
+
+    def insert(tx):
+        a = tx.new_node("Artist", name=f"A{rng.randint(0, 99)} B{rng.randint(0, 9)}", uid=rng.randint(0, 10**6))
+        tx.add_target(ROOT_ID, a)
+        return a
+
+    ops = []
+    for _ in range(8):
+        r = rng.random()
+        if r < 0.6 or not artists:
+            ops.append("insert")
+        elif r < 0.8:
+            ops.append("remove")
+        else:
+            ops.append("rename")
+
+    ckpt_at = rng.randint(0, len(ops) - 1)
+    for i, op in enumerate(ops):
+        if op == "insert":
+            artists.append(s1.write(insert))
+        elif op == "remove":
+            victim = artists.pop(rng.randrange(len(artists)))
+            s1.write(lambda tx, v=victim: tx.remove(v))
+        else:
+            target = artists[rng.randrange(len(artists))]
+            s1.write(lambda tx, t=target: tx.set_value(t, "Artist", name=f"R{rng.randint(0,99)}", uid=0))
+        if i == ckpt_at:
+            store.checkpoint(s1)
+
+    s2 = store.load(_fresh)
+    assert s2.read(lambda g: g.get_stats()).as_tuple() == s1.read(
+        lambda g: g.get_stats()
+    ).as_tuple()

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
+row-count, schema (column names), and order-insensitive values.
+
+Usage: python tools/check_oracle.py [--sf DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df):
+    """Sort columns by name, canonicalize values, sort rows."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "\x00NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return f"{v:.6f}"
+            return f"{v:.6f}"
+        return str(v)
+
+    rows = sorted(tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return cols, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from graph_db_spark.queries import REGISTRY
+    from graph_db_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle", cpus=args.cpus, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    names = args.names or list(REGISTRY)
+    failures = []
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.build(spark, args.sf).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if spec.oracle is None:
+            print(f"OK?   {name}: rows={len(sdf)} (no oracle — rows-only check) [{t_spark:.1f}s]")
+            continue
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sr = normalize(sdf)
+        oc, orows = normalize(odf)
+        if sc != oc:
+            print(f"FAIL  {name}: columns {sc} vs {oc}")
+            failures.append(name)
+        elif len(sr) != len(orows):
+            print(f"FAIL  {name}: rows {len(sr)} vs {len(orows)}")
+            failures.append(name)
+        elif sr != orows:
+            diff = [i for i, (a, b) in enumerate(zip(sr, orows)) if a != b][:3]
+            print(f"FAIL  {name}: values differ; first diffs at sorted idx {diff}")
+            for i in diff[:2]:
+                print(f"      spark: {sr[i]}")
+                print(f"      duck : {orows[i]}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: rows={len(sr)} [{t_spark:.1f}s]")
+    print()
+    if failures:
+        print(f"{len(failures)}/{len(names)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"all {len(names)} queries match")
+
+
+if __name__ == "__main__":
+    main()
