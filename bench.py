@@ -1,0 +1,111 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver collect). The graph build (index emission — the reference's
+write-time indexing cost) is measured once as its own entry; traversals
+then run against the cached snapshot, mirroring the reference's
+read-after-load usage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_db_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="graph_db_spark_bench", cpus=cpus)
+
+    from graph_db_spark.catalogue import tpch_graph
+    from graph_db_spark.model import ROOT_ID
+    from graph_db_spark.queries import REGISTRY
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    # -- graph build: bulk load + index emission (write-time cost) ---------
+    t0 = time.time()
+    g = tpch_graph(spark, sf_dir)
+    g.edge_index.cache()
+    g.vertices.cache()
+    n_idx = g.edge_index.count()
+    g.vertices.count()
+    times["graph_build_index"] = round(time.time() - t0, 3)
+
+    # -- graph traversals on the built graph -------------------------------
+    def three_hop():
+        f = g.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
+        for tag in ("Region_Nation", "Nation_Customer"):
+            f = g.get_targets(f, tag)
+        force(g.get_values(f).select("id", "name"))
+
+    def five_hop():
+        f = g.get_targets(ROOT_ID, "Catalogue_Region_Name", "ASIA")
+        for tag in ("Region_Nation", "Nation_Customer", "Customer_Order", "Order_Part"):
+            f = g.get_targets(f, tag)
+        force(g.get_values(f).select("id", "name"))
+
+    timed("graph_3hop", three_hop)
+    timed("graph_5hop", five_hop)
+    timed("graph_stats_bfs", lambda: g.get_stats())
+
+    # -- relational + LLM headline queries ---------------------------------
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "window_topk_orders_per_cust",
+        "window_running_user_value",
+        "sessionize_events_gaps",
+        "agg_rollup_geo",
+        "setop_customer_cohorts",
+        "dedup_exact_documents",
+        "dedup_minhash_lsh",
+        "text_stats_documents",
+        "ann_cosine_topk",
+    ]
+    for name in headline:
+        timed(name, lambda n=name: force(REGISTRY[n].build(spark, sf_dir)))
+
+    g.edge_index.unpersist()
+    g.vertices.unpersist()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "graph_db_spark_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_index_entries": n_idx,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
