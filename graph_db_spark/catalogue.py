@@ -191,4 +191,4 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
         .unionByName(e(orders, OFFSETS["Customer"], "o_custkey", OFFSETS["Order"], "o_orderkey"))
         .unionByName(e(lineitem, OFFSETS["Order"], "l_orderkey", OFFSETS["Part"], "l_partkey"))
     )
-    return GraphSnapshot.from_tables(vertices, edges, tpch_graph_schema())
+    return GraphSnapshot.from_tables(vertices, edges, tpch_graph_schema(), broadcast_vertices=True)

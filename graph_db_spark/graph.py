@@ -108,7 +108,10 @@ def edge_index_schema() -> T.StructType:
 
 
 def emit_edge_index(
-    edges: DataFrame, vertices: DataFrame, schema: GraphSchema
+    edges: DataFrame,
+    vertices: DataFrame,
+    schema: GraphSchema,
+    broadcast_vertices: bool = False,
 ) -> DataFrame:
     """Evaluate write-time index emission for *edges* → ``edge_index`` rows.
 
@@ -119,60 +122,91 @@ def emit_edge_index(
     ``IndexSpec`` expressions (built-in Spark exprs → whole-stage codegen;
     exploding specs produce one row per array element).
     """
+    if not schema.edge_kinds:
+        return edges.sparkSession.createDataFrame([], edge_index_schema())
     payload_cols = [c for c in vertices.columns if c not in ("id", "kind")]
+    # Prune the src side to (id, kind) unless some emission expression
+    # actually reads src payload — halves the width of the src-side join.
+    needs_src_payload = any(
+        spec.key_expr and "src_" in spec.key_expr
+        for ek in schema.edge_kinds
+        for spec in ek.indexes
+    )
     dst_v = vertices.select(
         F.col("id").alias("__dst_id"),
         F.col("kind").alias("__dst_kind"),
         *[F.col(c) for c in payload_cols],
     )
-    src_v = vertices.select(
-        F.col("id").alias("__src_id"),
-        F.col("kind").alias("__src_kind"),
-        *[F.col(c).alias(f"src_{c}") for c in payload_cols],
-    )
+    src_cols = [F.col("id").alias("__src_id"), F.col("kind").alias("__src_kind")]
+    if needs_src_payload:
+        src_cols += [F.col(c).alias(f"src_{c}") for c in payload_cols]
+    src_v = vertices.select(*src_cols)
+    if broadcast_vertices:
+        # Vertices are dimension-sized relative to edges (every kind here is
+        # bounded); at true 100 TB both joins instead co-partition on id —
+        # callers flip this off and pre-bucket vertices/edges by id.
+        src_v, dst_v = F.broadcast(src_v), F.broadcast(dst_v)
     joined = (
         edges.join(src_v, edges.src == src_v.__src_id)
         .join(dst_v, edges.dst == dst_v.__dst_id)
         .drop("__src_id", "__dst_id")
     )
-    parts = []
+    # One pass: per edge-kind a CASE branch builds the full ARRAY<STRUCT
+    # (tag, key)> of emitted indexes (markers, keyed, exploding specs
+    # concatenated), then a single explode — instead of re-executing the
+    # join once per IndexSpec and unioning 15 branches.
+    elem_t = "array<struct<t:string,k:string>>"
+    branch_exprs = []
     for ek in schema.edge_kinds:
-        base = joined.filter(
-            (F.col("__src_kind") == ek.src_kind) & (F.col("__dst_kind") == ek.dst_kind)
-        )
+        arrs = []
         for spec in ek.indexes:
             if spec.key_expr is None:
-                key = F.lit(None).cast("string")
-                parts.append(
-                    base.select(
-                        "src", F.lit(spec.tag).alias("idx_tag"), key.alias("idx_key"), "dst"
+                arrs.append(
+                    F.array(
+                        F.struct(
+                            F.lit(spec.tag).alias("t"), F.lit(None).cast("string").alias("k")
+                        )
                     )
                 )
             elif spec.explode:
-                parts.append(
-                    base.select(
-                        "src",
-                        F.lit(spec.tag).alias("idx_tag"),
-                        F.explode(F.expr(spec.key_expr).cast("array<string>")).alias("idx_key"),
-                        "dst",
+                # NB: the lambda must take exactly one parameter — F.transform
+                # treats a second parameter as the element index.
+                def _tagger(tag):
+                    return lambda x: F.struct(F.lit(tag).alias("t"), x.alias("k"))
+
+                arrs.append(
+                    F.transform(
+                        F.expr(spec.key_expr).cast("array<string>"), _tagger(spec.tag)
                     )
                 )
             else:
-                parts.append(
-                    base.select(
-                        "src",
-                        F.lit(spec.tag).alias("idx_tag"),
-                        F.expr(spec.key_expr).cast("string").alias("idx_key"),
-                        "dst",
+                arrs.append(
+                    F.array(
+                        F.struct(
+                            F.lit(spec.tag).alias("t"),
+                            F.expr(spec.key_expr).cast("string").alias("k"),
+                        )
                     )
                 )
-    if not parts:
-        return edges.sparkSession.createDataFrame([], edge_index_schema())
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    # Set semantics: one multimap entry per (src, index, dst) — Graph.hs:57-61.
-    return out.dropDuplicates(EDGE_INDEX_COLS)
+        arr = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+        # Per-edge set semantics (Graph.hs:57-61) without a global shuffle:
+        # callers guarantee `edges` is distinct on (src, dst), so the only
+        # possible duplicates are within one edge's own emission (e.g. a
+        # repeated token from an exploding spec) — array_distinct handles
+        # those locally, replacing a full dropDuplicates over the output.
+        arr = F.array_distinct(arr)
+        cond = (F.col("__src_kind") == ek.src_kind) & (F.col("__dst_kind") == ek.dst_kind)
+        branch_exprs.append((cond, arr))
+    emitted = F.when(*branch_exprs[0])
+    for cond, arr in branch_exprs[1:]:
+        emitted = emitted.when(cond, arr)
+    emitted = emitted.otherwise(F.lit(None).cast(elem_t))  # no edge kind → no rows
+    return joined.select("src", "dst", F.explode(emitted).alias("__ik")).select(
+        "src",
+        F.col("__ik.t").alias("idx_tag"),
+        F.col("__ik.k").alias("idx_key"),
+        "dst",
+    )
 
 
 @dataclass
@@ -226,13 +260,22 @@ class GraphSnapshot:
 
     @staticmethod
     def from_tables(
-        vertices: DataFrame, edges: DataFrame, schema: GraphSchema
+        vertices: DataFrame,
+        edges: DataFrame,
+        schema: GraphSchema,
+        broadcast_vertices: bool = False,
     ) -> "GraphSnapshot":
         """Bulk load: caller supplies vertices (deterministic ids) + edges;
         the index layer is emitted in one pass (the write-time analogue of
-        the reference's per-insert emission, amortized)."""
+        the reference's per-insert emission, amortized). Set
+        ``broadcast_vertices`` when the vertex table is dimension-sized."""
         edges = edges.select("src", "dst").dropDuplicates(["src", "dst"])
-        return GraphSnapshot(vertices, edges, emit_edge_index(edges, vertices, schema), schema)
+        return GraphSnapshot(
+            vertices,
+            edges,
+            emit_edge_index(edges, vertices, schema, broadcast_vertices),
+            schema,
+        )
 
     @property
     def spark(self) -> SparkSession:
@@ -309,23 +352,33 @@ class GraphSnapshot:
         re-expression of the reference's queue+visited-set walk
         (Graph.hs:82-118). Driver loop (Catalyst has no recursion); lineage
         truncated per iteration with localCheckpoint."""
+        from functools import reduce
+
         spark = self.spark
-        edges = self.edges.select("src", "dst")
-        visited = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(eager=True)
-        frontier = visited
-        for _ in range(max_iters):
-            nxt = (
-                edges.join(frontier.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"))
-                .distinct()
-                .join(visited, "id", "left_anti")
-                .localCheckpoint(eager=True)
+        # Cache the (narrow) edge list for the duration of the loop — it is
+        # joined once per level and must not be recomputed from source.
+        edges = self.edges.select("src", "dst").persist()
+        try:
+            frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
+                eager=True
             )
-            if nxt.isEmpty():
-                break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        return visited
+            frontiers = [frontier]  # each element is already materialized
+            for _ in range(max_iters):
+                visited = reduce(lambda a, b: a.unionByName(b), frontiers)
+                nxt = (
+                    edges.join(frontier.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(visited, "id", "left_anti")
+                    .localCheckpoint(eager=True)  # materialize + cut lineage
+                )
+                if nxt.isEmpty():
+                    break
+                frontiers.append(nxt)
+                frontier = nxt
+            return reduce(lambda a, b: a.unionByName(b), frontiers)
+        finally:
+            edges.unpersist()
 
     def get_stats(self) -> GraphStats:
         """GraphDB.hs:355-356 / Graph.hs:82-118: (reachable nodes, distinct

@@ -1,0 +1,131 @@
+"""Multimodal columns: images/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing — schema, partition-preserving mapInPandas
+operators, Arrow batch shapes — is real and tested; the codec step itself
+is stubbed (image/audio libraries are not in this container) behind
+``DECODERS``: a deterministic fake decoder by default, and a
+NotImplementedError raiser for real codecs, clearly marked.
+
+Design for 100 TB: binary payloads never pass through a shuffle — all
+per-asset ops are mapInPandas (narrow, partition-local); only extracted
+features (small fixed-width vectors/structs) flow into joins/aggregations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, digest string, "
+    "width int, height int, duration_ms long, feature array<float>"
+)
+
+
+def synthetic_assets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Derive a deterministic fake asset table from any (id, text) frame —
+    payload = utf-8 bytes, media_type round-robins by id."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
+    )
+
+
+def _fake_decode(media_type: str, payload: bytes) -> dict:
+    """Deterministic fake codec: dimensions/duration derived from the
+    payload digest — stable across runs and engines."""
+    digest = hashlib.md5(payload or b"").hexdigest()
+    h = int(digest[:8], 16)
+    out = {"digest": digest, "width": None, "height": None, "duration_ms": None}
+    if media_type == "image":
+        out["width"] = 64 + h % 1024
+        out["height"] = 64 + (h >> 10) % 1024
+    else:
+        out["duration_ms"] = 1000 + h % 600_000
+    return out
+
+
+def _real_decode(media_type: str, payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real codecs (PIL/ffmpeg/soundfile) are not available in this "
+        "environment; register one in DECODERS when they are"
+    )
+
+
+DECODERS = {"fake": _fake_decode, "real": _real_decode}
+
+
+def extract_features(assets: DataFrame, decoder: str = "fake", dim: int = 8) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: Arrow-batched, partition-
+    local (no shuffle of binary payloads). The 'feature' is a deterministic
+    digest-derived vector standing in for a model embedding."""
+    decode = DECODERS[decoder]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                d = decode(r.media_type, payload)
+                vec = [
+                    (int(d["digest"][i * 2 : i * 2 + 2], 16) - 127.5) / 127.5
+                    for i in range(dim)
+                ]
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "media_type": r.media_type,
+                        "n_bytes": len(payload),
+                        "digest": d["digest"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "duration_ms": d["duration_ms"],
+                        "feature": vec,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """'Frame sampling' plumbing: one output row per sampled offset of the
+    payload (for video this would be decoded frames; here offsets into the
+    blob). Demonstrates the explode-shaped multimodal op with bounded
+    fan-out."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                n = min(max_frames, max(len(payload) // every_n_bytes, 0) + 1)
+                for i in range(n):
+                    chunk = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        {
+                            "asset_id": r.asset_id,
+                            "frame_no": i,
+                            "frame_digest": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(op, schema="asset_id long, frame_no int, frame_digest string")

@@ -1,0 +1,91 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+As-of join (for each left row, the latest right row at-or-before its
+timestamp, per key) is implemented with the union + last-non-null window
+trick: tag both sides, union on (key, ts), and carry the most recent right
+payload forward. One shuffle on (key), no UDF, scales linearly — the
+alternative (`applyInPandas` + ``pd.merge_asof`` per key) is kept as the
+fallback for semantics the window trick can't express (tolerance,
+nearest-direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``right_ts`` ≤
+    (``<`` if strict) the left row's ``left_ts``, within the same ``key``.
+
+    Union trick: right rows sort before left rows at equal timestamps
+    (side=0 vs 1) unless strict, so `last(..., ignorenulls)` over the
+    ordered window yields exactly the as-of match. Ties inside the right
+    side resolve to the latest (max ts, then max side order)."""
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c) for c in right_cols],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    for c in left.columns:
+        if c not in (key,):
+            rt = rt.withColumn(c, F.lit(None)) if c in rt.columns else rt
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    order = [F.col("__ts"), F.col("__side")] if not strict else [F.col("__ts"), -F.col("__side")]
+    w = (
+        W.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__ts", "__side", *right_cols)
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join without a full cross product: bucketize the
+    point and every bucket the interval overlaps, equi-join on the bucket,
+    then filter the exact containment. Turns O(n·m) into a hash join whose
+    fan-out is interval_width / bucket_width."""
+    lb = left.withColumn("__b", (F.col(left_point) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bucket_width).cast("long"),
+                (F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return lb.join(rb, "__b").filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    ).drop("__b")

@@ -801,3 +801,262 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (Pregel-style iteration) + temporal joins + more LLM ops
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "graph_connected_components",
+    f"""
+    SELECT CAST({_REGION} + r_regionkey AS BIGINT) AS id,
+           CAST({_REGION} + r_regionkey AS BIGINT) AS component FROM region
+    UNION ALL
+    SELECT CAST({_NATION} + n_nationkey AS BIGINT),
+           CAST({_REGION} + n_regionkey AS BIGINT) FROM nation
+    UNION ALL
+    SELECT CAST({_CUSTOMER} + c_custkey AS BIGINT),
+           CAST({_REGION} + n_regionkey AS BIGINT)
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    UNION ALL
+    SELECT CAST({_SUPPLIER} + s_suppkey AS BIGINT),
+           CAST({_REGION} + n_regionkey AS BIGINT)
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components by min-label propagation over the root-less
+    geography subgraph (region/nation/customer/supplier): each region's
+    subtree is one component whose label is the region's id (region ids
+    sort lowest by construction) — giving the oracle a closed form."""
+    from graph_db_spark.pregel import connected_components
+
+    g = tpch_graph(spark, sf_dir)
+    lo, hi = _REGION, _ORDER  # [Region, Nation, Customer, Supplier] id range
+    verts = g.vertices.filter((F.col("id") >= lo) & (F.col("id") < hi)).select("id")
+    edges = g.edges.filter(
+        (F.col("src") >= lo) & (F.col("src") < hi) & (F.col("dst") >= lo) & (F.col("dst") < hi)
+    )
+    return connected_components(verts, edges)
+
+
+@q(
+    "graph_bfs_levels",
+    f"""
+    SELECT CAST(0 AS BIGINT) AS id, 0 AS level
+    UNION ALL SELECT CAST({_REGION} + r_regionkey AS BIGINT), 1 FROM region
+    UNION ALL SELECT CAST({_NATION} + n_nationkey AS BIGINT), 2 FROM nation
+    UNION ALL SELECT CAST({_CUSTOMER} + c_custkey AS BIGINT), 3 FROM customer
+    UNION ALL SELECT CAST({_SUPPLIER} + s_suppkey AS BIGINT), 3 FROM supplier
+    UNION ALL SELECT CAST({_ORDER} + o_orderkey AS BIGINT), 4 FROM orders
+    UNION ALL SELECT DISTINCT CAST({_PART} + l_partkey AS BIGINT), 5 FROM lineitem
+    """,
+)
+def graph_bfs_levels(spark, sf_dir):
+    """Multi-level BFS with hop distances (generalizes getStats' walk);
+    the oracle knows the layered closed form."""
+    from graph_db_spark.pregel import bfs_levels
+
+    g = tpch_graph(spark, sf_dir)
+    sources = spark.createDataFrame([(ROOT_ID,)], "id LONG")
+    return bfs_levels(g.edges, sources)
+
+
+@q(
+    "asof_join_click_error",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'),
+         r AS (SELECT event_id AS match_event_id, user_id, value AS match_value,
+                      epoch_us(ts) AS tus FROM events WHERE event_type = 'error')
+    SELECT l.event_id, l.user_id, r.match_event_id, r.match_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+    """,
+)
+def asof_join_click_error(spark, sf_dir):
+    """As-of join (absent in both the reference and stock Spark): for each
+    click, the latest error at-or-before it per user — union + last-non-
+    null window trick, one shuffle, no UDF. Timestamps compared at μs to
+    match the oracle's precision."""
+    from graph_db_spark.operators.temporal import asof_join
+    from graph_db_spark.session import load_events
+
+    ev = load_events(spark, sf_dir).withColumn("tus", F.expr("ts_ns DIV 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "tus")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("match_event_id"),
+        "user_id",
+        F.col("value").alias("match_value"),
+        "tus",
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        key="user_id",
+        left_ts="tus",
+        right_ts="tus",
+        right_cols=["match_event_id", "match_value"],
+    )
+    return out.select("event_id", "user_id", "match_event_id", "match_value")
+
+
+@q(
+    "pivot_nation_segment",
+    """
+    SELECT n.n_name,
+           count(*) FILTER (c.c_mktsegment = 'AUTOMOBILE') AS automobile,
+           count(*) FILTER (c.c_mktsegment = 'BUILDING')   AS building,
+           count(*) FILTER (c.c_mktsegment = 'FURNITURE')  AS furniture,
+           count(*) FILTER (c.c_mktsegment = 'HOUSEHOLD')  AS household,
+           count(*) FILTER (c.c_mktsegment = 'MACHINERY')  AS machinery
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def pivot_nation_segment(spark, sf_dir):
+    """Pivot: customer counts per nation × market segment (fixed pivot
+    values → no extra discovery pass)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    piv = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .count()
+        .na.fill(0, segs)
+    )
+    for s in segs:
+        piv = piv.withColumnRenamed(s, s.lower())
+    return piv
+
+
+@q(
+    "dedup_simhash",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS id, t AS token
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t FROM documents)
+      WHERE t <> ''
+    ),
+    b AS (
+      SELECT id, j,
+             sum(CASE WHEN ascii(substr(md5(token), j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(range(32)) AS j)
+      GROUP BY id, j
+    )
+    SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM b GROUP BY id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_bits(D.tokens(d, "doc_id", "text"), n_bits=32)
+
+
+@q(
+    "doc_fingerprint",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+               FROM documents),
+    s AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                   [md5(array_to_string(tk[i+1:i+3], ' '))
+                    FOR i IN range(greatest(len(tk) - 3, 0) + 1)])) AS hs
+          FROM t)
+    SELECT doc_id, array_to_string(hs[1:4], '|') AS fingerprint FROM s
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents"), shingle=3, keep=4)
+
+
+@q(
+    "text_langid",
+    r"""
+    WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, lang, v.sc, v.lg
+      FROM t, LATERAL (VALUES
+        (len(list_filter(toks, x -> list_contains(['hash','join','batch','key'], x))), 'de'),
+        (len(list_filter(toks, x -> list_contains(['the','a','table','row','order'], x))), 'en'),
+        (len(list_filter(toks, x -> list_contains(['slow','agg','merge','vector'], x))), 'es'),
+        (len(list_filter(toks, x -> list_contains(['scan','data','query','line'], x))), 'fr'),
+        (len(list_filter(toks, x -> list_contains(['small','customer','column','stream'], x))), 'zh')
+      ) AS v(sc, lg)
+    ),
+    r AS (SELECT doc_id, lang, sc, lg,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lg DESC) AS rn
+          FROM s)
+    SELECT doc_id, lg AS pred_lang, CAST(sc AS BIGINT) AS score, lang
+    FROM r WHERE rn = 1
+    """,
+)
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return TX.lang_id(d).join(d.select("doc_id", "lang"), "doc_id")
+
+
+@q(
+    "text_quality_score",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+          FROM t)
+    SELECT doc_id,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4
+                 - least(n_punct * 1.0 / greatest(n_chars, 1), 0.1), 6) AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@q("ann_lsh_topk")  # no closed-form oracle: recall < 1 by design (rows-only check)
+def ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: hyperplane-LSH bucketed cosine top-k. Correctness
+    baseline is ann_cosine_topk; this one trades recall for a bucket
+    equi-join instead of a cross product."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@q("multimodal_features")  # mapInPandas plumbing; digest math has no clean SQL twin
+def multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature plumbing over synthetic binary assets
+    derived from documents (deterministic fake codec — see
+    operators/multimodal.py)."""
+    from graph_db_spark.operators.multimodal import extract_features, synthetic_assets
+
+    d = _t(spark, sf_dir, "documents")
+    assets = synthetic_assets(d, "doc_id", "text")
+    return extract_features(assets).select(
+        "asset_id", "media_type", "n_bytes", "digest", "width", "height", "duration_ms"
+    )

@@ -34,6 +34,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

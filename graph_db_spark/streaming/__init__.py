@@ -1,0 +1,17 @@
+"""Structured Streaming surface: the mutation feed and event-stream ops.
+
+The reference's persistence pipeline is exactly a changelog stream
+(SURVEY §2.10): WAL entries (Persistent/Log.hs:20-28) buffered through a
+bounded queue (Util/IOQueue.hs:20-48) and applied in order. Here the WAL
+directory is plain append-only parquet, so it doubles as a streaming
+source; ``foreachBatch`` applies each micro-batch with the same
+set-oriented ``apply_events`` used by batch commits.
+"""
+
+from graph_db_spark.streaming.apply import (
+    stream_apply_wal,
+    stream_session_windows,
+    stream_tumbling_counts,
+)
+
+__all__ = ["stream_apply_wal", "stream_tumbling_counts", "stream_session_windows"]

@@ -1,0 +1,108 @@
+"""Streaming operators.
+
+1. ``stream_apply_wal`` — the reference's async persistence loop
+   (Persistent.hs:62-69,108-117: commit → bounded queue → log append →
+   apply) as a Structured Streaming job: readStream over the WAL
+   directory, ``foreachBatch`` applying each micro-batch to the snapshot
+   with the same net-effect semantics as batch commits. Buffering=1
+   (synchronous commit) ↔ ``Trigger.AvailableNow``.
+
+2. ``stream_tumbling_counts`` / ``stream_session_windows`` — watermarked
+   event-time windows over the events stream (no reference analogue;
+   SURVEY §2.10 north-star surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_db_spark.graph import EVENT_SCHEMA, GraphSnapshot
+
+
+class StreamingGraphState:
+    """Mutable holder for the snapshot evolved by the WAL stream."""
+
+    def __init__(self, snapshot: GraphSnapshot):
+        self.snapshot = snapshot
+        self.batches_applied = 0
+
+
+def stream_apply_wal(
+    spark: SparkSession,
+    wal_dir: str,
+    state: StreamingGraphState,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream WAL batches into the snapshot. Returns the StreamingQuery.
+
+    Each micro-batch may contain several commits; events carry a total
+    order (seq), and apply_events resolves net effects by seq, so applying
+    a multi-commit batch in one pass equals sequential replay — the same
+    argument as recovery (storage.load).
+    """
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")  # batches are nested parquet dirs
+        .parquet(wal_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state.snapshot = state.snapshot.apply_events(batch_df).materialize()
+        state.batches_applied += 1
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming read of the driver's events table (ns timestamps read as
+    LONG, converted to μs timestamps for event-time semantics)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(events_dir):
+        # FileStreamSource needs a directory; glob-filter to the one file.
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    raw = reader.parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the streaming
+    twin of the batch ``tumbling_hour_events`` query. Append-mode safe
+    (aggregation keyed on the event-time window + watermark)."""
+    ev = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return ev.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — the built-in
+    ``session_window`` stateful operator (batch twin:
+    sessionize_events_gaps)."""
+    ev = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -1,0 +1,137 @@
+"""Tests for Pregel analytics, temporal joins, multimodal plumbing, and
+streaming operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bfs_levels(spark):
+    from graph_db_spark.pregel import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (9, 10)], "src LONG, dst LONG"
+    )
+    src = spark.createDataFrame([(0,)], "id LONG")
+    got = {r["id"]: r["level"] for r in bfs_levels(edges, src).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}  # 3 via shorter path; 9/10 unreachable
+
+
+def test_connected_components(spark):
+    from graph_db_spark.pregel import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id LONG")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src LONG, dst LONG")
+    got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_asof_join(spark):
+    from graph_db_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7), (3, 1)], "k LONG, t LONG"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 9, "b"), (1, 11, "c"), (2, 7, "d")], "k LONG, t LONG, v STRING"
+    )
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t", right_cols=["v"])
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    # at-or-before semantics; equal timestamps match (side ordering)
+    assert got == {(1, 10): "b", (1, 5): "a", (2, 7): "d", (3, 1): None}
+
+
+def test_range_join(spark):
+    from graph_db_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([(1, 15), (2, 50), (3, 99)], "pid LONG, x LONG")
+    ranges = spark.createDataFrame(
+        [(10, 10, 20), (20, 40, 60), (30, 95, 97)], "rid LONG, lo LONG, hi LONG"
+    )
+    out = range_join(points, ranges, "x", "lo", "hi", bucket_width=16)
+    got = sorted((r["pid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_multimodal_features_and_frames(spark):
+    from graph_db_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synthetic_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 200), (3, "audio blob")], "doc_id LONG, text STRING"
+    )
+    assets = synthetic_assets(docs, "doc_id", "text")
+    feats = extract_features(assets).collect()
+    assert len(feats) == 3
+    by_id = {r["asset_id"]: r for r in feats}
+    # media_type partition: 1→audio, 2→video, 3→image (id % 3 → 1,2,0)
+    assert by_id[3]["width"] is not None and by_id[3]["duration_ms"] is None
+    assert by_id[1]["duration_ms"] is not None and by_id[1]["width"] is None
+    assert by_id[2]["n_bytes"] == 200
+    # determinism
+    feats2 = {r["asset_id"]: r["digest"] for r in extract_features(assets).collect()}
+    assert feats2 == {r["asset_id"]: r["digest"] for r in feats}
+
+    frames = frame_sample(assets, every_n_bytes=64, max_frames=8).collect()
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r["asset_id"], []).append(r["frame_no"])
+    assert len(per_asset[2]) == 4  # 200 bytes / 64 → 3 full + remainder → 4
+    assert len(per_asset[1]) == 1
+
+
+def test_real_decoder_is_stubbed(spark):
+    from graph_db_spark.operators.multimodal import DECODERS
+
+    with pytest.raises(NotImplementedError):
+        DECODERS["real"]("image", b"\x89PNG")
+
+
+def test_stream_tumbling_counts(spark, sf_dir):
+    from graph_db_spark.streaming import stream_tumbling_counts
+
+    agg = stream_tumbling_counts(spark, f"{sf_dir}/events.parquet")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(n_events) AS n FROM tumbling_out").collect()[0]["n"]
+        total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got == total
+    finally:
+        q.stop()
+
+
+def test_stream_apply_wal(spark, tmp_path, sf_dir):
+    """The WAL directory written by batch commits drives a streaming
+    apply to the same final state (Persistent.hs's async loop)."""
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+    from graph_db_spark.model import ROOT_ID
+    from graph_db_spark.storage import EventLogStorage
+    from graph_db_spark.streaming import stream_apply_wal
+    from graph_db_spark.streaming.apply import StreamingGraphState
+
+    store = EventLogStorage(spark, str(tmp_path / "store"), catalogue_schema())
+    s = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+    for i in range(2):
+        s.write(
+            lambda tx, i=i: tx.add_target(
+                ROOT_ID, tx.new_node("Artist", name=f"S{i}", uid=i)
+            )
+        )
+
+    state = StreamingGraphState(GraphSnapshot.empty(spark, catalogue_schema()))
+    q = stream_apply_wal(
+        spark, store._log_dir(0), state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert state.snapshot.get_stats().as_tuple() == s.read(lambda g: g.get_stats()).as_tuple()
+    assert state.batches_applied >= 1
