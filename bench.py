@@ -90,6 +90,47 @@ def main() -> None:
     g.edge_index.unpersist()
     g.vertices.unpersist()
 
+    # -- insert workloads (CompetitionBench / NonpersistentBench shapes:
+    #    1,000 random artist inserts; see BASELINE.md) -----------------------
+    import random
+
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSession, GraphSnapshot
+
+    rng = random.Random(42)
+    alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" * 2 + "abcdefghijklmnopqrstuvwxyz" * 4 + "0123456789"
+
+    def rand_name():
+        return "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 50)))
+
+    def insert_bulk_1000():
+        # The Spark-idiomatic form: one write tx staging 1,000 inserts,
+        # applied in a single set-oriented commit.
+        session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+
+        def prog(tx):
+            for i in range(1000):
+                a = tx.new_node("Artist", name=rand_name(), uid=i)
+                tx.add_target(0, a)
+
+        session.write(prog)
+        session.snapshot.edge_index.count()
+
+    def insert_microtx_20():
+        # The OLTP form: 20 separate commits of 50 inserts each — measures
+        # per-commit overhead (the reference's per-insert tx, batched 50×).
+        session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+        for b in range(20):
+            def prog(tx, b=b):
+                for i in range(50):
+                    a = tx.new_node("Artist", name=rand_name(), uid=b * 50 + i)
+                    tx.add_target(0, a)
+            session.write(prog)
+        session.snapshot.edge_index.count()
+
+    timed("insert_bulk_1000", insert_bulk_1000)
+    timed("insert_microtx_20x50", insert_microtx_20)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

