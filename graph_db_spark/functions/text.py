@@ -1,0 +1,33 @@
+"""Text tokenization primitives shared by dedup / text-analysis operators.
+
+The reference's only tokenizer is ``Text.words`` inside the demo's
+search-term index emission (`executables/Demo.hs:28`); these generalize it.
+All expression-only (no UDF), all reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WHITESPACE = r"\s+"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (``Text.words`` semantics)."""
+    return F.filter(F.split(text, WHITESPACE), lambda t: t != "")
+
+
+def shingle_array(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles (k consecutive tokens joined by one space)
+    — the standard near-dup unit; preserves word order that unigram sets
+    lose."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    t = F.lower(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, F.lit(n))))

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-WHITESPACE = r"\s+"
+from graph_db_spark.functions.text import WHITESPACE, shingle_array, ws_tokens
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -28,9 +28,8 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(F.col(text_col), WHITESPACE)).alias("token"),
+            F.explode(ws_tokens(F.col(text_col))).alias("token"),
         )
-        .filter(F.col("token") != "")
         .distinct()
     )
 
@@ -40,12 +39,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     consecutive words joined by one space) — the standard near-dup unit:
     unigram sets are too coarse (any two docs over a shared vocabulary look
     similar); shingles capture word order."""
-    toks = F.filter(F.split(F.col(text_col), WHITESPACE), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_array(F.col(text_col), k)).alias("token")
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("token"))
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

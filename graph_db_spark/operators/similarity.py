@@ -15,18 +15,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from graph_db_spark.functions.vector import dot as _dot, hyperplane_signature, with_norm
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(vec_col, v).withColumn("__norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+__all__ = [
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "hyperplane_signature",
+    "lsh_cosine_topk",
+    "with_norm",
+]
 
 
 def cosine_topk(
@@ -66,35 +63,6 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cos", "rank")
     )
-
-
-def hyperplane_signature(
-    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Deterministic random-hyperplane LSH signature.
-
-    Plane p's component for dimension d is ±1 from the parity of hex char
-    ((d mod 32)+1) of md5('p|<d>') — fully portable, no RNG. The sign of
-    vec·plane gives bit p. Buckets = the n-bit signature string; cosine-
-    similar vectors collide with high probability.
-    """
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    pairs = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("d", "x"),
-    )
-    bit_aggs = []
-    for p in range(n_planes):
-        sign = F.when(
-            F.ascii(F.substring(F.md5(F.concat(F.lit(f"{p}|"), F.col("d").cast("string"))), 1, 1)) % 2
-            == 1,
-            F.col("x"),
-        ).otherwise(-F.col("x"))
-        bit_aggs.append(
-            F.when(F.sum(sign) > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"b{p}")
-        )
-    sig = pairs.groupBy("id").agg(*bit_aggs)
-    return sig.select("id", F.concat(*[F.col(f"b{p}") for p in range(n_planes)]).alias("bucket"))
 
 
 def lsh_cosine_topk(

@@ -10,6 +10,10 @@ The reference's only whole-graph analytic is the BFS inside getStats
 - ``connected_components``  — iterative min-label propagation over the
                               undirected view (converges in O(diameter)
                               rounds; each round = one join + one agg).
+- ``shortest_paths``        — weighted SSSP by synchronous Bellman-Ford
+                              relaxation (one join + min-agg per round).
+- ``pagerank``              — fixed-iteration power method; each round is
+                              one join + one sum-agg, map-side combinable.
 
 Scale notes: every round truncates lineage with localCheckpoint (else the
 plan grows unboundedly — Catalyst has no recursion); frontiers/labels are
@@ -112,3 +116,103 @@ def connected_components(
             break
     e.unpersist()
     return labels
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iters: int = 50,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths → (id, dist).
+
+    Synchronous Bellman-Ford: each round relaxes every edge out of the
+    current distance frontier in ONE join + min-aggregate (both shuffles
+    hash-partitioned on vertex id; partial mins combine map-side).
+    Terminates when a round improves no distance — ≤ |V|-1 rounds, in
+    practice O(weighted diameter). Lineage is truncated per round with
+    localCheckpoint (Catalyst has no recursion).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w")).persist()
+    dist = (
+        sources.select(F.col("id"), F.lit(0.0).alias("dist"))
+        .groupBy("id")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            relaxed = (
+                e.join(dist.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            new_dist = (
+                dist.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            improved = (
+                new_dist.alias("n")
+                .join(dist.alias("o"), "id", "left")
+                .filter(
+                    F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+                )
+                .limit(1)
+                .count()
+            )
+            dist = new_dist
+            if improved == 0:
+                break
+        return dist
+    finally:
+        e.unpersist()
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (id, rank).
+
+    Simple power method with rank(d) = (1-α) + α·Σ rank(s)/outdeg(s)
+    (per-vertex base form, no dangling-mass redistribution — dangling
+    vertices keep contributing nothing, matching the classic formulation
+    the DuckDB recursive-CTE oracle reproduces). Each round: one
+    broadcast-or-shuffle join of ranks onto edges + one sum-agg keyed on
+    dst (map-side combinable), then a left join back onto the vertex set
+    so rankless vertices hold the base rank. Fixed iteration count keeps
+    replay deterministic.
+    """
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .persist()
+    )
+    v = vertices.select("id").distinct().persist()
+    ranks = v.select("id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iters):
+            contribs = (
+                e.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
+            )
+            ranks = (
+                v.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        e.unpersist()
+        v.unpersist()

@@ -1298,3 +1298,197 @@ def ngram_char_jaccard(spark, sf_dir):
         pairs.filter(F.col("inter") * 1.0 / F.col("uni") >= 0.2)
         .select("a", "b", F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: sliding windows, weighted SSSP + PageRank (Pregel), LSH ANN,
+# BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sliding_window_events",
+    """
+    WITH slotted AS (
+      SELECT CAST(floor(date_part('epoch', ts) / 900) AS BIGINT) AS slot,
+             event_type, value FROM events),
+    expanded AS (
+      SELECT (slot - o.k) * 900 AS win_epoch, event_type, value
+      FROM slotted CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) o)
+    SELECT win_epoch, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY win_epoch, event_type
+    """,
+)
+def sliding_window_events(spark, sf_dir):
+    """Sliding-window agg (1 h window, 15 min slide): each event lands in 4
+    windows. Window assignment is exact ns arithmetic (ts_ns DIV), not the
+    us-truncated timestamp, so boundaries match the oracle bit-for-bit.
+    Same shape as F.window(ts, '1 hour', '15 minutes') — unrolled so the
+    slot math stays on exact longs."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    return (
+        e.withColumn("slot", F.expr("ts_ns DIV 900000000000"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy(
+            ((F.col("slot") - F.col("k")) * 900).alias("win_epoch"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _part_chain_graph(spark, sf_dir, max_key=None):
+    """Deterministic weighted digraph over part keys: i -> i+1 and i -> i+7,
+    weight = (31*src + dst) mod 97 + 1. Gives genuine multi-path shortest-
+    path structure (combinations of +1/+7 hops) that both engines derive
+    from the same table."""
+    nodes = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    if max_key is not None:
+        nodes = nodes.filter(F.col("id") <= max_key)
+    a = nodes.select(F.col("id").alias("src"))
+    b = nodes.select(F.col("id").alias("dst"))
+    edges = a.join(
+        b, (F.col("dst") == F.col("src") + 1) | (F.col("dst") == F.col("src") + 7)
+    ).withColumn(
+        "weight", ((F.col("src") * 31 + F.col("dst")) % 97 + 1).cast("double")
+    )
+    return nodes, edges
+
+
+@q(
+    "graph_sssp_weighted",
+    """
+    WITH RECURSIVE nodes AS (SELECT p_partkey AS id FROM part),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst,
+             CAST((a.id * 31 + b.id) % 97 + 1 AS DOUBLE) AS w
+      FROM nodes a JOIN nodes b ON b.id = a.id + 1 OR b.id = a.id + 7),
+    paths(id, dist, hops) AS (
+      SELECT CAST(1 AS BIGINT), CAST(0 AS DOUBLE), 0
+      UNION ALL
+      SELECT e.dst, p.dist + e.w, p.hops + 1
+      FROM paths p JOIN edges e ON e.src = p.id WHERE p.hops < 6)
+    SELECT id, min(dist) AS dist FROM paths GROUP BY id
+    """,
+)
+def graph_sssp_weighted(spark, sf_dir):
+    """Weighted SSSP by synchronous Bellman-Ford (pregel.shortest_paths),
+    hop-bounded at 6 rounds so it equals the oracle's bounded recursive
+    CTE: after k rounds the frame holds min cost over paths of <= k edges.
+    Weight sums are small-integer doubles -> exact across engines."""
+    from graph_db_spark.pregel import shortest_paths
+
+    nodes, edges = _part_chain_graph(spark, sf_dir)
+    src = nodes.filter(F.col("id") == 1)
+    return shortest_paths(edges, src, max_iters=6)
+
+
+def _pagerank_oracle_sql(n_iters: int = 5, max_key: int = 500) -> str:
+    """Unrolled fixed-iteration PageRank as a non-recursive CTE chain —
+    each iteration is the same join+agg the Spark side runs. In-degree in
+    the chain graph is <= 2, so every float sum has <= 2 addends and is
+    order-independent -> exact double equality across engines."""
+    ctes = [
+        f"nodes AS (SELECT p_partkey AS id FROM part WHERE p_partkey <= {max_key})",
+        "edges AS (SELECT a.id AS src, b.id AS dst FROM nodes a "
+        "JOIN nodes b ON b.id = a.id + 1 OR b.id = a.id + 7)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.id, (1 - 0.85) + 0.85 * coalesce(c.msum, 0) AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS id, sum(p.rank / d.deg) AS msum "
+            f"FROM r{i} p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = e.src "
+            f"GROUP BY e.dst) c ON c.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(rank, 6) AS rank FROM r{n_iters}"
+    )
+
+
+@q("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (pregel.pagerank) on the part chain graph;
+    oracle = the same 5 iterations unrolled as a CTE chain. Base rank uses
+    (1 - 0.85) in both engines so the IEEE value is identical."""
+    from graph_db_spark.pregel import pagerank
+
+    nodes, edges = _part_chain_graph(spark, sf_dir, max_key=500)
+    ranks = pagerank(nodes, edges, n_iters=5, damping=0.85)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _lsh_oracle_sql(n_planes: int = 8, k: int = 5, n_queries: int = 5) -> str:
+    """DuckDB twin of the full LSH ANN pipeline: identical md5-parity
+    hyperplanes, bucket equi-join, exact cosine within buckets, windowed
+    top-k. Signature bits are generated per plane (same strings both
+    engines hash)."""
+    bits = ", ".join(
+        "CASE WHEN sum(CASE WHEN ascii(substring(md5('" + str(p) + "|' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 1 "
+        "THEN x ELSE -x END) > 0 THEN '1' ELSE '0' END AS b" + str(p)
+        for p in range(n_planes)
+    )
+    concat = " || ".join(f"b{p}" for p in range(n_planes))
+    return f"""
+    WITH pairs AS (
+      SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings),
+    sig AS (SELECT id, {bits} FROM pairs GROUP BY id),
+    buckets AS (SELECT id, {concat} AS bucket FROM sig),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (SELECT n.vec_id AS nid, v, nrm, bucket FROM n JOIN buckets ON buckets.id = n.vec_id),
+    q AS (SELECT nid AS qid, v AS qv, nrm AS qnrm, bucket FROM c WHERE nid < {n_queries}),
+    scored AS (
+      SELECT q.qid, c.nid,
+             round(list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm), 6) AS cos
+      FROM c JOIN q USING (bucket) WHERE c.nid <> q.qid)
+    SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@q("ann_lsh_topk", _lsh_oracle_sql())
+def ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: hyperplane-LSH bucketing (operators.similarity.
+    lsh_cosine_topk) so candidate generation is an equi-join on the 8-bit
+    bucket signature instead of a cross product. Oracle reproduces the
+    identical deterministic planes, so even recall mismatches would be
+    caught."""
+    from graph_db_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=8)
+
+
+@q(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_word_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting: split on letter-runs / digit-runs / single
+    punctuation (the pre-tokenization most BPE vocabularies apply) plus a
+    plain word count — one scan, built-in regexp (same RE semantics both
+    engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0)).alias("n_word_tokens"),
+    )

@@ -1,0 +1,96 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's server keeps per-connection transaction state in a command
+loop (`library/GraphDB/Server.hs:17-69`); the Spark-native generalization
+of "per-key mutable state evolved by an event stream" is
+``applyInPandasWithState`` (Arrow-batched, grouped by key, state in the
+state store with watermark-driven timeout). The operator here — a per-user
+running aggregate with inactivity-timeout session flush — is the canonical
+training-pipeline shape: sessionized usage rollups emitted as sessions
+close rather than at query end.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("first_ts_us", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("first_ts_us", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[Any], state: GroupState
+) -> Iterator[Any]:
+    """Accumulate per-user counters; emit one row when the state times out
+    (inactivity gap passed the watermark) — sessions close exactly once."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, s, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[user_id, n, s, first_us, last_us]],
+            columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields],
+        )
+        return
+
+    n, s, first_us, last_us = state.get if state.exists else (0, 0.0, None, None)
+    for pdf in pdfs:
+        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        first_us = min([u for u in [first_us, *ts_us] if u is not None])
+        last_us = max([u for u in [last_us, *ts_us] if u is not None])
+    state.update((n, s, first_us, last_us))
+    # Close the session 30 event-time minutes after the newest event.
+    state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)
+    yield from ()
+
+
+def stateful_user_sessions(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user session rollups via applyInPandasWithState.
+
+    ``events`` must be a *streaming* DataFrame with event-time ``ts``
+    (timestamp), ``user_id``, ``value``. Output rows appear only when a
+    user's inactivity gap crosses the watermark — the custom-stateful
+    analogue of ``session_window`` with full Python control over the state
+    transition (the piece built-in windows can't express, e.g. decaying
+    counters or per-key model state).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

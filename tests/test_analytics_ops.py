@@ -135,3 +135,87 @@ def test_stream_apply_wal(spark, tmp_path, sf_dir):
     q.awaitTermination(120)
     assert state.snapshot.get_stats().as_tuple() == s.read(lambda g: g.get_stats()).as_tuple()
     assert state.batches_applied >= 1
+
+
+def test_shortest_paths_weighted(spark):
+    from graph_db_spark.pregel import shortest_paths
+
+    # Diamond with a cheaper 2-hop path: 0->1->3 (1+1=2) beats 0->3 (5).
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 3, 1.0), (0, 3, 5.0), (3, 4, 2.0), (7, 8, 1.0)],
+        "src LONG, dst LONG, weight DOUBLE",
+    )
+    src = spark.createDataFrame([(0,)], "id LONG")
+    got = {r["id"]: r["dist"] for r in shortest_paths(edges, src).collect()}
+    assert got == {0: 0.0, 1: 1.0, 3: 2.0, 4: 4.0}  # 7/8 unreachable
+
+
+def test_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from graph_db_spark.pregel import pagerank
+
+    edges_py = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2)]
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id LONG")
+    edges = spark.createDataFrame(edges_py, "src LONG, dst LONG")
+    got = {r["id"]: r["rank"] for r in pagerank(verts, edges, n_iters=8).collect()}
+
+    deg = {0: 1, 1: 1, 2: 2, 3: 1}
+    ranks = np.ones(4)
+    for _ in range(8):
+        new = np.full(4, 0.15)
+        for s, d in edges_py:
+            new[d] += 0.85 * ranks[s] / deg[s]
+        ranks = new
+    for i in range(4):
+        assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
+
+
+def test_stateful_user_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionizer: two users, sessions flushed by
+    event-time timeout once the watermark passes (forced by a late marker
+    event far in the future)."""
+    import pandas as pd
+
+    from graph_db_spark.streaming.stateful import stateful_user_sessions
+
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    pd.DataFrame(
+        [
+            (1, base, 10.0),
+            (1, base + pd.Timedelta(minutes=5), 2.5),
+            (2, base + pd.Timedelta(minutes=1), 1.0),
+        ],
+        columns=["user_id", "ts", "value"],
+    ).to_parquet(src_dir / "b0.parquet", **kw)
+    # watermark driver in a second file/micro-batch: far-future event keeps
+    # user 99's session open while pushing the watermark past 1/2's timeouts
+    pd.DataFrame(
+        [(99, base + pd.Timedelta(hours=12), 0.0)], columns=["user_id", "ts", "value"]
+    ).to_parquet(src_dir / "b1.parquet", **kw)
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = stateful_user_sessions(stream, watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got.get(1) == (2, 12.5)
+    assert got.get(2) == (1, 1.0)
+    assert 99 not in got  # still open: nothing past its timeout
