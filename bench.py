@@ -83,7 +83,21 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_stats_documents",
         "ann_cosine_topk",
+        "ann_lsh_topk",
+        "sliding_window_events",
+        "graph_pagerank",
+        "graph_sssp_weighted",
     ]
+    # Warmup (criterion-style, like the reference's harness): run each
+    # headline plan once at sf0.001 — same plan shapes, so whole-stage
+    # codegen compiles against the tiny inputs — and touch the sf tables to
+    # absorb parquet reader/listing init. Timed runs then measure steady
+    # state instead of first-touch JIT.
+    for name in headline:
+        force(REGISTRY[name].build(spark, "/root/testdata/sf0.001"))
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     for name in headline:
         timed(name, lambda n=name: force(REGISTRY[n].build(spark, sf_dir)))
 
