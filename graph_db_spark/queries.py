@@ -1492,3 +1492,21 @@ def token_count_bpe(spark, sf_dir):
         ),
         F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+"), 0)).alias("n_word_tokens"),
     )
+
+
+@q(
+    "sample_hash_documents",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_documents(spark, sf_dir):
+    """Deterministic 1/8 corpus sample: hash-mod on the stable id — the
+    replay-safe alternative to rand() sampling (same rows every run, every
+    engine, any partitioning). The standard train/held-out split device
+    for 100 TB corpora: no shuffle, pure scan-side filter."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "n_chars")

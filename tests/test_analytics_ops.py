@@ -219,3 +219,16 @@ def test_stateful_user_sessions(spark, tmp_path):
     assert got.get(1) == (2, 12.5)
     assert got.get(2) == (1, 1.0)
     assert 99 not in got  # still open: nothing past its timeout
+
+
+def test_approx_aggregates_tolerance(spark, sf_dir):
+    """approx_count_distinct / approx percentile vs exact — not oracle-
+    hashable (sketch internals differ per engine), so bounded-error checked
+    here instead."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.06
+    med_exact = li.approxQuantile("l_quantity", [0.5], 0.0)[0]
+    med_approx = li.approxQuantile("l_quantity", [0.5], 0.01)[0]
+    assert abs(med_approx - med_exact) <= max(1.0, 0.05 * med_exact)

@@ -93,3 +93,53 @@ def test_lakehouse_gated(spark, tmp_path):
 
     with pytest.raises((NotImplementedError, Exception)):
         read_table(spark, str(tmp_path), fmt="delta")
+
+
+def test_salted_join_equivalence(spark):
+    from graph_db_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([1] * 5 + [2])], "k LONG, payload LONG"
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k LONG, v STRING")
+    plain = big.join(small, ["k"]).groupBy("k", "v").count()
+    salted = salted_join(big, small, ["k"], n_salts=4).groupBy("k", "v").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_distinct_exact(spark):
+    from graph_db_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [(g, v % 37) for g in (1, 2) for v in range(500)], "g LONG, v LONG"
+    )
+    got = {r["g"]: r["n_distinct"] for r in salted_count_distinct(df, ["g"], "v").collect()}
+    assert got == {1: 37, 2: 37}
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate the join: neither side shuffles (the plan
+    has no Exchange over the scans) — the 100 TB answer to repeated
+    large-x-large joins on the same key."""
+    from graph_db_spark.sources.connectors import write_table
+
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    o = spark.createDataFrame([(i, f"o{i}") for i in range(1000)], "okey LONG, tag STRING")
+    l = spark.createDataFrame(
+        [(i % 1000, i) for i in range(5000)], "okey LONG, item LONG"
+    )
+    write_table(o, str(tmp_path / "o"), bucket_by=(8, ["okey"]), table_name="bk_orders", mode="overwrite")
+    write_table(l, str(tmp_path / "l"), bucket_by=(8, ["okey"]), table_name="bk_lineitem", mode="overwrite")
+    # Force the shuffle-based strategy (tiny test tables would broadcast,
+    # which sidesteps bucketing): bucketed SMJ must need NO Exchange.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_orders").join(spark.table("bk_lineitem"), "okey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
