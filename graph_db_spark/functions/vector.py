@@ -30,15 +30,20 @@ def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:
 
 
 def hyperplane_signature(
-    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "",
 ) -> DataFrame:
     """Deterministic random-hyperplane LSH signature → (id, bucket).
 
     Plane p's component for dimension d is ±1 from the parity of the first
-    hex char of md5('p|d') — fully portable (any engine with md5 derives
-    the identical planes; no RNG state to ship). The sign of vec·plane
-    gives bit p; the n-bit string is the bucket. Cosine-similar vectors
-    collide with high probability (SimHash/Charikar scheme).
+    hex char of md5('<seed><p>|<d>') — fully portable (any engine with md5
+    derives the identical planes; no RNG state to ship). The sign of
+    vec·plane gives bit p; the n-bit string is the bucket. Cosine-similar
+    vectors collide with high probability (SimHash/Charikar scheme);
+    *seed* derives independent plane sets for multi-table LSH.
 
     Plan shape: one posexplode (narrow) + one groupBy(id) with n_planes
     SUM aggregates — map-side combinable, a single shuffle of partial sums.
@@ -50,7 +55,10 @@ def hyperplane_signature(
     bit_aggs = []
     for p in range(n_planes):
         sign = F.when(
-            F.ascii(F.substring(F.md5(F.concat(F.lit(f"{p}|"), F.col("d").cast("string"))), 1, 1)) % 2
+            F.ascii(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}{p}|"), F.col("d").cast("string"))), 1, 1)
+            )
+            % 2
             == 1,
             F.col("x"),
         ).otherwise(-F.col("x"))

@@ -69,27 +69,47 @@ def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Bucketed ANN: exact cosine only within matching hyperplane buckets.
-    Recall < 1 by construction (graded as the scale path; the brute-force
-    operator is the correctness baseline)."""
-    csig = hyperplane_signature(corpus, n_planes, id_col, vec_col)
-    qsig = hyperplane_signature(queries, n_planes, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")).join(
-        csig.withColumnRenamed("id", "nid"), "nid"
-    )
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")).join(
-        qsig.withColumnRenamed("id", "qid"), "qid"
-    )
-    c = with_norm(c, "vec").withColumnRenamed("__norm", "cnorm")
-    q = with_norm(q, "qvec").withColumnRenamed("__norm", "qnorm")
+    """Bucketed ANN with OR-amplification: *n_tables* independent
+    hyperplane tables of *n_planes* bits each; a corpus vector is a
+    candidate if it shares a bucket with the query in ANY table (the
+    standard multi-table LSH recall lever — single-table bucketing
+    over-partitions the corpus and recall collapses). Exact cosine runs
+    only on the deduped candidate set. Recall < 1 by construction (the
+    brute-force operator is the correctness baseline; bench the
+    recall/cost trade by n_tables).
+    """
+    sig_frames = []
+    for t in range(n_tables):
+        cs = hyperplane_signature(corpus, n_planes, id_col, vec_col, seed=f"t{t}:")
+        qs = hyperplane_signature(queries, n_planes, id_col, vec_col, seed=f"t{t}:")
+        sig_frames.append(
+            cs.withColumnRenamed("id", "nid")
+            .join(qs.withColumnRenamed("id", "qid"), "bucket")
+            .select("nid", "qid")
+        )
+    cands = sig_frames[0]
+    for f in sig_frames[1:]:
+        cands = cands.unionByName(f)
+    cands = cands.filter(F.col("nid") != F.col("qid")).distinct()
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")), "vec"
+    ).withColumnRenamed("__norm", "cnorm")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec"
+    ).withColumnRenamed("__norm", "qnorm")
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("nid") != F.col("qid"))
-        .withColumn("cos", F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6))
+        cands.join(c, "nid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
@@ -116,4 +136,83 @@ def embedding_near_dup_pairs(
         .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its *n_probe* nearest centroid cells by
+    cosine (rounded to 6dp, ties broken by centroid id — deterministic
+    across engines). One broadcast cross join vs the (small) centroid set
+    + a per-vector top-n window. Returns (id, cell, cell_rank)."""
+    v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    c = with_norm(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")), "cvec"
+    ).withColumnRenamed("__norm", "cnorm")
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "ccos", F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("__norm") * F.col("cnorm")), 6)
+    )
+    w = W.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("id", "cell", "cell_rank")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into centroid cells (centroids =
+    the n_centroids lowest-id vectors — deterministic, no k-means RNG;
+    at scale you'd train real centroids offline and broadcast them the same
+    way), assign corpus vectors to their nearest cell, probe each query's
+    n_probe nearest cells, exact cosine only within probed cells.
+
+    Scale shape: the centroid table is tiny and broadcast everywhere; the
+    corpus shuffles once on cell id (its partitioning key on disk in a real
+    deployment, making the probe join partition-pruned); per-query work is
+    |cell| not |corpus|.
+    """
+    centroids = corpus.select(F.col(id_col), F.col(vec_col)).filter(
+        F.col(id_col) < n_centroids
+    )
+    c_assign = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
+        F.col("id").alias("nid"), "cell"
+    )
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
+        F.col("id").alias("qid"), "cell"
+    )
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")), "vec"
+    ).withColumnRenamed("__norm", "cnorm").join(c_assign, "nid")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec"
+    ).withColumnRenamed("__norm", "qnorm").join(F.broadcast(q_assign), "qid")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("vec"), F.col("qvec")) / (F.col("cnorm") * F.col("qnorm")), 6),
+        )
+        .select("qid", "nid", "cos")
+        .dropDuplicates(["qid", "nid"])  # a neighbor seen via 2 probed cells counts once
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cos", "rank")
     )
