@@ -1558,3 +1558,41 @@ def ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=16, n_probe=2)
+
+
+@q(
+    "graph_triangle_count",
+    """
+    WITH nodes AS (SELECT p_partkey AS id FROM part),
+    e AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM nodes a JOIN nodes b
+        ON b.id = a.id + 1 OR b.id = a.id + 7 OR b.id = a.id + 8)
+    SELECT count(*) AS n_triangles FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting: canonical (src<dst) edges, then the
+    classic two-join enumeration e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c). Both joins
+    are equi-joins on vertex ids — hash-partitioned and AQE-planned; at
+    scale the standard degree-ordering optimization (orient edges from
+    low- to high-degree) bounds the intermediate wedge count. Graph: part
+    chain with +1/+7/+8 steps (1+7=8 closes two triangle families per
+    node)."""
+    nodes = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    a = nodes.select(F.col("id").alias("src"))
+    b = nodes.select(F.col("id").alias("dst"))
+    e = a.join(
+        b,
+        (F.col("dst") == F.col("src") + 1)
+        | (F.col("dst") == F.col("src") + 7)
+        | (F.col("dst") == F.col("src") + 8),
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
