@@ -1596,3 +1596,66 @@ def graph_triangle_count(spark, sf_dir):
     wedges = e1.join(e2, "b")
     tris = wedges.join(e3, ["a", "c"])
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@q(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    """JSON path extraction on the events.props payload column (the typed
+    escape hatch for semi-structured event properties) + grouped agg over
+    the extracted value — stays entirely in built-in expressions."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY price_c
+                RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar,
+           CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY price_c
+                RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_similar_c
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          FROM orders)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE-framed window (value-based frame, tie-safe by construction —
+    every peer row sees the identical frame regardless of physical order):
+    per customer, orders within $50k below the current order's price.
+    Prices are exact integer cents so both engines frame identically."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (_dec("o_totalprice", 2) * 100).cast("bigint").alias("price_c"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("price_c")
+        .rangeBetween(-5_000_000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+        F.sum("price_c").over(w).alias("sum_similar_c"),
+    )

@@ -213,6 +213,52 @@ class EventLogStorage:
         self.acquire()
         return self.load(empty_factory)
 
+    # -- time travel (extension; the reference only ever loads the newest
+    #    readable checkpoint, Storage.hs:121-127) ---------------------------
+
+    def versions(self) -> list[int]:
+        """All readable checkpoint versions, live or archived."""
+        live = set(self._ckpt_versions())
+        arch = os.path.join(self.path, "archive")
+        if os.path.isdir(arch):
+            live.update(
+                int(d.split("-")[1])
+                for d in os.listdir(arch)
+                if d.startswith("checkpoint-")
+            )
+        return sorted(live)
+
+    def load_version(self, version: int, replay: bool = True) -> GraphSnapshot:
+        """Read-only snapshot as of checkpoint *version* (+ its
+        generation's WAL suffix when *replay*). Archived versions are
+        readable until ``clean_up()`` — columnar snapshots make time
+        travel a pure read, no restore step."""
+        base = os.path.join(self._ckpt_root, str(version))
+        if not os.path.isdir(base):
+            base = os.path.join(self.path, "archive", f"checkpoint-{version}")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(f"checkpoint version {version} not found")
+        snap = GraphSnapshot(
+            self.spark.read.parquet(os.path.join(base, "vertices")),
+            self.spark.read.parquet(os.path.join(base, "edges")),
+            self.spark.read.parquet(os.path.join(base, "edge_index")),
+            self.schema,
+        )
+        if replay:
+            batches = self._log_batches(version)
+            if not batches:
+                arch_log = os.path.join(self.path, "archive", f"log-{version}")
+                if os.path.isdir(arch_log):
+                    batches = sorted(
+                        os.path.join(arch_log, b)
+                        for b in os.listdir(arch_log)
+                        if b.startswith("batch-")
+                    )
+            if batches:
+                events = self.spark.read.schema(EVENT_SCHEMA).parquet(*batches)
+                snap = snap.apply_events(events).materialize()
+        return snap
+
 
 class GenericEventStore:
     """State-agnostic WAL + checkpoint store — the reference's Storage is

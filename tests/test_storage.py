@@ -189,3 +189,27 @@ def test_generic_counter_store(spark, tmp_path):
     store.persist(ev2)
     s2 = store.load(empty, apply_fn)
     assert s2.collect()[0][0] == 2.0
+
+
+def test_time_travel_versions(store, spark):
+    """Snapshot-as-of-version: v1 state stays readable (from archive) after
+    v2 checkpoints newer writes; replay=True folds in the generation's WAL
+    suffix."""
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+    from graph_db_spark.model import ROOT_ID
+
+    s = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="v1", uid=1)))
+    v1 = store.checkpoint(s)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="post1", uid=2)))
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="post2", uid=3)))
+    v2 = store.checkpoint(s)
+
+    assert store.versions() == [v1, v2]
+    at_v1 = store.load_version(v1, replay=False)
+    assert at_v1.vertices.filter("kind = 'Artist'").count() == 1
+    at_v1_replayed = store.load_version(v1, replay=True)
+    assert at_v1_replayed.vertices.filter("kind = 'Artist'").count() == 3
+    at_v2 = store.load_version(v2, replay=True)
+    assert at_v2.vertices.filter("kind = 'Artist'").count() == 3
