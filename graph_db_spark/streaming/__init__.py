@@ -11,7 +11,15 @@ set-oriented ``apply_events`` used by batch commits.
 from graph_db_spark.streaming.apply import (
     stream_apply_wal,
     stream_session_windows,
+    stream_sliding_counts,
     stream_tumbling_counts,
 )
+from graph_db_spark.streaming.stateful import stateful_user_sessions
 
-__all__ = ["stream_apply_wal", "stream_tumbling_counts", "stream_session_windows"]
+__all__ = [
+    "stream_apply_wal",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stateful_user_sessions",
+]

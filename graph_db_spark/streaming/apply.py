@@ -106,3 +106,19 @@ def stream_session_windows(
     return ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in
+    window/slide overlapping windows) — streaming twin of the batch
+    ``sliding_window_events`` query."""
+    ev = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

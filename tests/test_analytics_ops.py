@@ -252,3 +252,22 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     ivf = {(r.qid, r.nid) for r in ivf_cosine_topk(emb, q, 5).collect()}
     assert len(lsh & exact) / len(exact) >= 0.3
     assert len(ivf & exact) / len(exact) >= 0.6
+
+
+def test_stream_sliding_counts(spark, sf_dir):
+    from graph_db_spark.streaming.apply import stream_sliding_counts
+
+    agg = stream_sliding_counts(spark, f"{sf_dir}/events.parquet")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(n_events) AS n FROM sliding_out").collect()[0]["n"]
+        total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got == 4 * total  # 1h window / 15m slide → every event in 4 windows
+    finally:
+        q.stop()
