@@ -632,6 +632,12 @@ class GraphSession:
     single-threaded driver commits.
     """
 
+    # Materialize (localCheckpoint) the snapshot only every Nth commit:
+    # checkpointing copies the whole snapshot, so per-commit cost is
+    # O(|snapshot|); with lazy union-plans in between, N-1 of every N
+    # commits cost only plan construction, and lineage depth stays <= N.
+    MATERIALIZE_EVERY = 4
+
     def __init__(self, snapshot: GraphSnapshot, next_id: int | None = None,
                  next_seq: int = 0, next_tx: int = 0, storage=None):
         self.snapshot = snapshot
@@ -641,6 +647,7 @@ class GraphSession:
         self._next_id = next_id
         self._next_seq = next_seq
         self._next_tx = next_tx
+        self._lazy_commits = 0
         self.storage = storage  # optional EventLogStorage (persistence layer)
 
     @property
@@ -670,7 +677,12 @@ class GraphSession:
                 if insert_only
                 else self.snapshot.apply_events(ev_df)
             )
-            self.snapshot = new_snap.materialize() if materialize else new_snap
+            self._lazy_commits += 1
+            if materialize and self._lazy_commits >= self.MATERIALIZE_EVERY:
+                self.snapshot = new_snap.materialize()
+                self._lazy_commits = 0
+            else:
+                self.snapshot = new_snap
             if self.storage is not None:
                 self.storage.persist_events(ev_df)
         return result
