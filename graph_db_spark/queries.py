@@ -1659,3 +1659,29 @@ def window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_similar"),
         F.sum("price_c").over(w).alias("sum_similar_c"),
     )
+
+
+@q(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(CAST(p_retailprice AS DECIMAL(18,4)) AS DOUBLE) AS value FROM part
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Wide→long unpivot (melt) — the inverse of pivot_nation_segment;
+    single scan, no shuffle (the plan is a union of two projections over
+    one file scan)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        _dec("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -185,3 +185,26 @@ def test_readd_after_remove(session):
 
     session.write(prog)
     assert session.read(lambda s: s.get_stats()).edges == 1
+
+
+def test_demo_scenario_search_terms(session):
+    """The reference's Demo.hs end-to-end flow (Demo.hs:19-45,73-79):
+    insert artists under the root with tokenized search-term indexes, then
+    look up by a single word and read values back."""
+    from graph_db_spark.model import ROOT_ID
+
+    def prog(tx):
+        for name, uid in [("The Beatles", 1), ("Beatles Revival", 2), ("Pink Floyd", 3)]:
+            a = tx.new_node("Artist", name=name, uid=uid)
+            tx.add_target(ROOT_ID, a)
+
+    session.write(prog)
+    g = session.snapshot
+    hits = g.get_targets(ROOT_ID, "Catalogue_Artist_SearchTerm", "Beatles")
+    names = {r["name"] for r in g.get_values(hits).collect()}
+    assert names == {"The Beatles", "Beatles Revival"}
+    # exact-name and UID indexes resolve the same nodes
+    by_name = g.get_targets(ROOT_ID, "Catalogue_Artist_Name", "Pink Floyd")
+    assert [r["uid"] for r in g.get_values(by_name).collect()] == [3]
+    by_uid = g.get_targets(ROOT_ID, "Catalogue_Artist_UID", "2")
+    assert [r["name"] for r in g.get_values(by_uid).collect()] == ["Beatles Revival"]
