@@ -67,3 +67,52 @@ def hyperplane_signature(
         )
     sig = pairs.groupBy("id").agg(*bit_aggs)
     return sig.select("id", F.concat(*[F.col(f"b{p}") for p in range(n_planes)]).alias("bucket"))
+
+
+def hyperplane_signatures_multi(
+    df: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All *n_tables* LSH table buckets in ONE pass → (id, table, bucket).
+
+    Same per-table signatures as ``hyperplane_signature(seed=f"t{t}:")``,
+    but every table's bits are aggregates of the same groupBy — one
+    posexplode + one shuffle total instead of one per table (the
+    difference between 1 and n_tables scans of a 100 TB corpus).
+    """
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("d", "x"),
+    )
+    bit_aggs = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            sign = F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"t{t}:{p}|"), F.col("d").cast("string"))), 1, 1
+                    )
+                )
+                % 2
+                == 1,
+                F.col("x"),
+            ).otherwise(-F.col("x"))
+            bit_aggs.append(
+                F.when(F.sum(sign) > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"t{t}b{p}")
+            )
+    sig = df.sparkSession.createDataFrame([], "id long") if not bit_aggs else pairs.groupBy("id").agg(*bit_aggs)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.concat(*[F.col(f"t{t}b{p}") for p in range(n_planes)]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return sig.select("id", F.explode(buckets).alias("tb")).select(
+        "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )

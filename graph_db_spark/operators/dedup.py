@@ -78,19 +78,22 @@ def lsh_candidate_pairs(
     band key; at 100 TB this is the scale path (candidates ≪ all pairs).
     """
     rows = n_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)]
-        parts.append(
-            sigs.select(
-                F.col("id"),
+    # All band keys in one projection + explode — a single scan of the
+    # signature frame instead of one union branch per band.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)])
+                ).alias("bkey"),
             )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     left = banded.select("band", "bkey", F.col("id").alias("a"))
     right = banded.select("band", "bkey", F.col("id").alias("b"))
     return (

@@ -83,19 +83,17 @@ def lsh_cosine_topk(
     brute-force operator is the correctness baseline; bench the
     recall/cost trade by n_tables).
     """
-    sig_frames = []
-    for t in range(n_tables):
-        cs = hyperplane_signature(corpus, n_planes, id_col, vec_col, seed=f"t{t}:")
-        qs = hyperplane_signature(queries, n_planes, id_col, vec_col, seed=f"t{t}:")
-        sig_frames.append(
-            cs.withColumnRenamed("id", "nid")
-            .join(qs.withColumnRenamed("id", "qid"), "bucket")
-            .select("nid", "qid")
-        )
-    cands = sig_frames[0]
-    for f in sig_frames[1:]:
-        cands = cands.unionByName(f)
-    cands = cands.filter(F.col("nid") != F.col("qid")).distinct()
+    from graph_db_spark.functions.vector import hyperplane_signatures_multi
+
+    cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col)
+    qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col)
+    cands = (
+        cs.withColumnRenamed("id", "nid")
+        .join(F.broadcast(qs.withColumnRenamed("id", "qid")), ["table", "bucket"])
+        .select("nid", "qid")
+        .filter(F.col("nid") != F.col("qid"))
+        .distinct()
+    )
 
     c = with_norm(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec")), "vec"
