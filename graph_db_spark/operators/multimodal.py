@@ -129,3 +129,40 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(op, schema="asset_id long, frame_no int, frame_digest string")
+
+
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224, decoder: str = "fake"
+) -> DataFrame:
+    """Image resize plumbing (the training-pipeline normalization step):
+    partition-local mapInPandas over image-typed assets, emitting the
+    resized payload + final dims. The fake codec "resizes" by stamping the
+    target dims and re-digesting payload+dims (deterministic, shape-true:
+    binary in → binary out, same Arrow batch contract the real PIL/ffmpeg
+    implementation would use); the real path raises until a codec is
+    registered."""
+    if decoder == "real":
+        _real_decode("image", b"")  # raises NotImplementedError, clearly marked
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "image":
+                    continue
+                payload = bytes(r.payload) if r.payload is not None else b""
+                stamp = f"|resized:{width}x{height}".encode()
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "width": width,
+                        "height": height,
+                        "payload": payload + stamp,
+                        "digest": hashlib.md5(payload + stamp).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        op, schema="asset_id long, width int, height int, payload binary, digest string"
+    )

@@ -271,3 +271,21 @@ def test_stream_sliding_counts(spark, sf_dir):
         assert got == 4 * total  # 1h window / 15m slide → every event in 4 windows
     finally:
         q.stop()
+
+
+def test_resize_images_plumbing(spark):
+    import pytest as _pytest
+
+    from graph_db_spark.operators.multimodal import resize_images, synthetic_assets
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(9)], "doc_id LONG, text STRING"
+    )
+    assets = synthetic_assets(docs, "doc_id", "text")
+    out = resize_images(assets, width=128, height=96).collect()
+    # ids ≡ 0 mod 3 are images (id % 3 = 0 → element 1 = 'image')
+    assert {r["asset_id"] for r in out} == {0, 3, 6}
+    assert all(r["width"] == 128 and r["height"] == 96 for r in out)
+    assert all(r["payload"].endswith(b"|resized:128x96") for r in out)
+    with _pytest.raises(NotImplementedError):
+        resize_images(assets, decoder="real")
