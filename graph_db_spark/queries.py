@@ -1685,3 +1685,48 @@ def unpivot_part_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@q(
+    "funnel_click_purchase",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id,
+           min(p.purchase_id) AS first_purchase_id,
+           count(*) AS n_purchases_1h
+    FROM clicks c JOIN purchases p
+      ON p.user_id = c.user_id
+     AND p.purchase_ts > c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id, c.click_id
+    """,
+)
+def funnel_click_purchase(spark, sf_dir):
+    """Funnel / sequential-pattern analysis: for every click, purchases by
+    the same user within the following hour. The self-join is an equi-join
+    on user_id with a range predicate — at scale the user_id hash join
+    bounds the pair space, and interval arithmetic runs on exact ns longs
+    (same closed/open bounds as the oracle's INTERVAL comparison)."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_ns").alias("click_ns")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts_ns").alias("purchase_ns")
+    )
+    hour_ns = 3_600_000_000_000
+    joined = clicks.join(purch, "user_id").filter(
+        (F.col("purchase_ns") > F.col("click_ns"))
+        & (F.col("purchase_ns") <= F.col("click_ns") + hour_ns)
+    )
+    return joined.groupBy("user_id", "click_id").agg(
+        F.min("purchase_id").alias("first_purchase_id"),
+        F.count(F.lit(1)).alias("n_purchases_1h"),
+    )
