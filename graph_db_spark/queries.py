@@ -1730,3 +1730,72 @@ def funnel_click_purchase(spark, sf_dir):
         F.min("purchase_id").alias("first_purchase_id"),
         F.count(F.lit(1)).alias("n_purchases_1h"),
     )
+
+
+@q(
+    "embedding_dim_stats",
+    """
+    WITH pairs AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings)
+    SELECT CAST(dim AS INT) AS dim,
+           count(*) AS n,
+           round(avg(x), 6) AS mean_x,
+           round(min(x), 6) AS min_x,
+           round(max(x), 6) AS max_x
+    FROM pairs GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus statistics over the embedding column (the
+    normalization-fit step of a training pipeline): posexplode to
+    (dim, x), one grouped agg — dims are few, so the shuffle is tiny
+    regardless of corpus size (map-side partial aggs carry 64 rows per
+    task)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "x")
+    )
+    return pairs.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+
+
+@q(
+    "cohort_hourly_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(floor(date_part('epoch', min(ts)) / 3600) AS BIGINT) AS cohort_hour
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS active_hour
+      FROM events)
+    SELECT f.cohort_hour,
+           CAST(a.active_hour - f.cohort_hour AS BIGINT) AS hours_since,
+           count(DISTINCT a.user_id) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_hour, hours_since
+    """,
+)
+def cohort_hourly_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen hour, counted
+    per hours-since-cohort of later activity — two grouped aggs + one join
+    on user_id (both shuffles on the same key, so AQE coalesces them into
+    co-partitioned stages). Hour bucketing on exact ns longs."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    hours = e.select("user_id", F.expr("ts_ns DIV 3600000000000").alias("h"))
+    first_seen = hours.groupBy("user_id").agg(F.min("h").alias("cohort_hour"))
+    activity = hours.distinct().withColumnRenamed("h", "active_hour")
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_hour", (F.col("active_hour") - F.col("cohort_hour")).alias("hours_since"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
