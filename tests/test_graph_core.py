@@ -208,3 +208,19 @@ def test_demo_scenario_search_terms(session):
     assert [r["uid"] for r in g.get_values(by_name).collect()] == [3]
     by_uid = g.get_targets(ROOT_ID, "Catalogue_Artist_UID", "2")
     assert [r["name"] for r in g.get_values(by_uid).collect()] == ["Beatles Revival"]
+
+
+def test_snapshot_isolation_across_commit(session):
+    """The fair-RWLock analogue (Nonpersistent.hs:51-56): a reader's
+    snapshot reference stays consistent while a writer commits — immutable
+    DataFrames give readers snapshot isolation for free."""
+    from graph_db_spark.model import ROOT_ID
+
+    session.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="before", uid=1)))
+    reader_view = session.snapshot
+    before = reader_view.vertices.filter("kind = 'Artist'").count()
+
+    session.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="after", uid=2)))
+    # old reference unchanged; new snapshot sees the commit
+    assert reader_view.vertices.filter("kind = 'Artist'").count() == before
+    assert session.snapshot.vertices.filter("kind = 'Artist'").count() == before + 1
