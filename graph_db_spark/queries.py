@@ -1799,3 +1799,23 @@ def cohort_hourly_retention(spark, sf_dir):
         .groupBy("cohort_hour", (F.col("active_hour") - F.col("cohort_hour")).alias("hours_since"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@q(
+    "agg_collect_sorted_lists",
+    """
+    SELECT n_regionkey AS regionkey,
+           list(n_name ORDER BY n_name) AS nations,
+           CAST(len(list(n_name)) AS INT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted_lists(spark, sf_dir):
+    """Array aggregation with deterministic ordering: collect_list is
+    order-nondeterministic under parallelism, so the engine-portable form
+    sorts the collected array (DuckDB's list(x ORDER BY x) twin)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.size(F.collect_list("n_name")).alias("n_nations"),
+    )
