@@ -512,8 +512,18 @@ class GraphSnapshot:
         )
         new_vertices = self.vertices.unionByName(new_v)
         new_edges = self.edges.unionByName(new_pairs)
+        # Emission only needs the dst payloads (all minted in this batch)
+        # plus the src vertices (a tiny distinct set — often just the
+        # root): semi-join the base table once instead of joining the full
+        # (and possibly lazily-stacked) vertex union twice.
+        srcs = events.filter(F.col("op") == OP_ADD_TARGET).select(
+            F.col("src").alias("id")
+        ).distinct()
+        emit_vertices = self.vertices.join(F.broadcast(srcs), "id", "left_semi").unionByName(
+            new_v
+        )
         new_index = self.edge_index.unionByName(
-            emit_edge_index(new_pairs, new_vertices, self.schema)
+            emit_edge_index(new_pairs, emit_vertices, self.schema, broadcast_vertices=True)
         )
         return GraphSnapshot(new_vertices, new_edges, new_index, self.schema)
 
