@@ -1819,3 +1819,42 @@ def agg_collect_sorted_lists(spark, sf_dir):
         F.array_sort(F.collect_list("n_name")).alias("nations"),
         F.size(F.collect_list("n_name")).alias("n_nations"),
     )
+
+
+@q(
+    "window_rolling_1h_user",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(date_part('epoch', ts) * 1e6) AS BIGINT) AS ts_us,
+             value
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_1h_user(spark, sf_dir):
+    """Time-based rolling window: per user, events in the trailing hour —
+    RANGE frame over exact microsecond longs (tie-safe: peer rows share
+    frames), decimal-summed values cast to double at the edge."""
+    from pyspark.sql import Window as W
+
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        _dec("value", 6).alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(-3_600_000_000, W.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum("v").over(w).cast("double").alias("sum_last_hour"),
+    )

@@ -289,3 +289,26 @@ def test_resize_images_plumbing(spark):
     assert all(r["payload"].endswith(b"|resized:128x96") for r in out)
     with _pytest.raises(NotImplementedError):
         resize_images(assets, decoder="real")
+
+
+def test_stream_session_windows(spark, sf_dir):
+    from graph_db_spark.streaming import stream_session_windows
+
+    agg = stream_session_windows(spark, f"{sf_dir}/events.parquet", gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions_out").collect()
+        total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert sum(r["n_events"] for r in rows) == total
+        # every session window is at least one gap long in span terms:
+        # end - start >= 30min is NOT required (single-event sessions close
+        # at ts+gap), but end > start always holds
+        assert all(r["w"]["end"] > r["w"]["start"] for r in rows)
+    finally:
+        q.stop()
