@@ -1858,3 +1858,41 @@ def window_rolling_1h_user(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum("v").over(w).cast("double").alias("sum_last_hour"),
     )
+
+
+def _dedup_survivors_oracle() -> str:
+    """Compose the minhash-LSH oracle with a bounded recursive closure:
+    survivor = min doc id reachable in the undirected duplicate-pair graph
+    (hop bound 8 >> observed cluster diameters; a larger real diameter
+    would surface as an oracle mismatch against the exact Spark CC)."""
+    minhash_sql = REGISTRY["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH RECURSIVE dup AS ({minhash_sql}),
+    und AS (SELECT a AS src, b AS dst FROM dup UNION SELECT b, a FROM dup),
+    nodes AS (SELECT DISTINCT src AS id FROM und),
+    reach(id, r, hops) AS (
+      SELECT id, id, 0 FROM nodes
+      UNION
+      SELECT p.id, e.dst, p.hops + 1 FROM reach p JOIN und e ON e.src = p.r WHERE p.hops < 8)
+    SELECT id AS doc_id, min(r) AS survivor FROM reach GROUP BY id
+    """
+
+
+@q("dedup_survivors_minhash", _dedup_survivors_oracle())
+def dedup_survivors_minhash(spark, sf_dir):
+    """Dedup resolution: cluster the MinHash near-dup pairs with
+    connected components (pregel), keep min doc id per cluster as the
+    canonical survivor — the step that turns pairwise similarity into an
+    actionable keep/drop list. Composes two engine operators end-to-end."""
+    from graph_db_spark.operators.dedup import minhash_near_dup_pairs
+    from graph_db_spark.pregel import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select("a", "b")
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("survivor"))
