@@ -1896,3 +1896,58 @@ def dedup_survivors_minhash(spark, sf_dir):
     )
     comp = connected_components(nodes, pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("survivor"))
+
+
+def _training_corpus_oracle() -> str:
+    """Composed pipeline oracle: quality + language-ID + dedup-survivor
+    filters stitched from the individual operators' oracle SQL."""
+    qa = REGISTRY["text_quality_score"].oracle
+    la = REGISTRY["text_langid"].oracle
+    sv = REGISTRY["dedup_survivors_minhash"].oracle
+    return f"""
+    WITH qual AS ({qa}),
+    lang AS ({la}),
+    surv AS (SELECT * FROM ({sv})),
+    kept AS (
+      SELECT d.doc_id, q.quality, l.pred_lang
+      FROM documents d
+      JOIN qual q USING (doc_id)
+      JOIN lang l USING (doc_id)
+      LEFT JOIN surv s USING (doc_id)
+      WHERE q.quality >= 0.5 AND (s.doc_id IS NULL OR s.survivor = d.doc_id))
+    SELECT pred_lang, count(*) AS n_docs,
+           round(avg(quality), 6) AS avg_quality
+    FROM kept GROUP BY pred_lang
+    """
+
+
+@q("pipeline_training_corpus", _training_corpus_oracle())
+def pipeline_training_corpus(spark, sf_dir):
+    """The flagship training-data pipeline, end to end: score quality,
+    identify language, resolve near-duplicate clusters to one survivor,
+    keep quality >= 0.5 survivors, report the language distribution of the
+    resulting corpus. Every stage is an engine operator; the oracle is the
+    same pipeline stitched from each stage's SQL twin. At 100 TB each
+    stage is a scan + one bounded shuffle (doc_id-keyed), and the dedup
+    stage shuffles signatures, never text."""
+    from graph_db_spark.operators.text import lang_id, quality_score
+    from graph_db_spark.queries import dedup_survivors_minhash as _surv
+
+    d = _t(spark, sf_dir, "documents")
+    q_ = quality_score(d)
+    l_ = lang_id(d)
+    surv = _surv(spark, sf_dir)
+    kept = (
+        d.select("doc_id")
+        .join(q_, "doc_id")
+        .join(l_.select("doc_id", "pred_lang"), "doc_id")
+        .join(surv, "doc_id", "left")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("survivor").isNull() | (F.col("survivor") == F.col("doc_id")))
+        )
+    )
+    return kept.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
