@@ -97,6 +97,9 @@ def main() -> None:
         "graph_sssp_weighted",
         "graph_triangle_count",
         "json_extract_events",
+        "funnel_click_purchase",
+        "window_rolling_1h_user",
+        "pipeline_training_corpus",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage
