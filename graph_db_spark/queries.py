@@ -1951,3 +1951,94 @@ def pipeline_training_corpus(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+@q(
+    "vocab_top_tokens",
+    r"""
+    WITH toks AS (
+      SELECT lower(t.tok) AS token FROM documents,
+      unnest(regexp_split_to_array(text, '\s+')) AS t(tok)
+      WHERE t.tok <> '')
+    SELECT token, count(*) AS freq FROM toks
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Vocabulary building: global token frequencies, top-100 with
+    deterministic (freq desc, token asc) tie-break. One explode + one
+    map-side-combinable count; the ORDER+LIMIT is a driver-side top-k over
+    partial per-partition heaps (TakeOrderedAndProject in the plan) — no
+    full sort at corpus scale."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+@q(
+    "token_pmi_pairs",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, lower(t.tok) AS token FROM documents,
+      unnest(regexp_split_to_array(text, '\s+')) AS t(tok)
+      WHERE t.tok <> ''),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    co AS (
+      SELECT a.token AS ta, b.token AS tb, count(*) AS co
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+      HAVING count(*) >= 50)
+    SELECT ta, tb, co.co AS n_co,
+           round(ln((CAST(co.co AS DOUBLE) * n.n) / (CAST(da.df AS DOUBLE) * db.df)), 6) AS pmi
+    FROM co, n_docs n
+    JOIN df da ON da.token = co.ta
+    JOIN df db ON db.token = co.tb
+    """,
+)
+def token_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information over token co-occurrence (the classic
+    collocation / phrase-mining statistic): document-level distinct
+    tokens, a self-join on doc_id for co-occurrence counts (bounded by
+    the >= 50 support filter), PMI from integer counts — the only float op
+    is one final ln, rounded at 6dp in both engines."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = toks.select("doc_id", F.col("token").alias("ta"))
+    b = toks.select("doc_id", F.col("token").alias("tb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 50)
+    )
+    return (
+        co.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(df_.select(F.col("token").alias("ta"), F.col("df").alias("dfa"))), "ta")
+        .join(F.broadcast(df_.select(F.col("token").alias("tb"), F.col("df").alias("dfb"))), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_co",
+            F.round(
+                F.log((F.col("n_co").cast("double") * F.col("n")) / (F.col("dfa").cast("double") * F.col("dfb"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
