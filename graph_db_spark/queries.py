@@ -2042,3 +2042,55 @@ def token_pmi_pairs(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@q(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lower(t.tok) AS token FROM documents,
+      unnest(regexp_split_to_array(text, '\s+')) AS t(tok)
+      WHERE t.tok <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf, n_docs n JOIN df ON df.token = tf.token)
+    SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with the top-3 distinguishing terms per document: term
+    frequencies and document frequencies are two grouped counts over the
+    exploded token frame (both map-side combinable, keyed on token/doc),
+    idf is broadcast, the per-doc top-k is a window with deterministic
+    (score desc, token) tie-break."""
+    from graph_db_spark.functions.text import ws_tokens
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
