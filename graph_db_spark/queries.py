@@ -2094,3 +2094,84 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", "rnk")
     )
+
+
+@q(
+    "training_examples_window",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list(lower(t.tok)) AS arr FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok, 
+               generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos
+        FROM documents) AS t(doc_id, tok, pos)
+      WHERE t.tok <> '' GROUP BY doc_id),
+    ex AS (
+      SELECT doc_id, p AS pos,
+             array_to_string(arr[p:p+2], ' ') AS context,
+             arr[p+3] AS target
+      FROM toks, unnest(range(1, len(arr) - 2)) AS r(p))
+    SELECT doc_id, CAST(pos AS INT) AS pos, context, target FROM ex
+    """,
+)
+def training_examples_window(spark, sf_dir):
+    """Next-token training-example generation: every length-4 sliding
+    window of the document becomes (context of 3 tokens, target token) —
+    the explode-shaped sample-construction pass of an LM data pipeline.
+    Pure built-ins: one slice/transform per doc, no shuffle at all (the
+    plan is scan → project → explode)."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    arr = ws_tokens(F.lower(F.col("text")))
+    with_arr = d.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 4)
+    pos = F.sequence(F.lit(1), F.size("arr") - 3)
+    return (
+        with_arr.select("doc_id", "arr", F.explode(pos).alias("pos"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice("arr", F.col("pos"), 3)).alias("context"),
+            F.element_at("arr", F.col("pos") + 3).alias("target"),
+        )
+    )
+
+
+@q(
+    "bigram_cond_probs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list(lower(t.tok)) AS arr FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        FROM documents) AS t(doc_id, tok)
+      WHERE t.tok <> '' GROUP BY doc_id),
+    bi AS (
+      SELECT arr[p] AS w1, arr[p+1] AS w2
+      FROM toks, unnest(range(1, len(arr))) AS r(p)),
+    uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    pair AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2)
+    SELECT pair.w1, pair.w2, pair.c12,
+           round(CAST(pair.c12 AS DOUBLE) / uni.c1, 6) AS p_cond
+    FROM pair JOIN uni ON uni.w1 = pair.w1
+    WHERE pair.c12 >= 20
+    """,
+)
+def bigram_cond_probs(spark, sf_dir):
+    """Bigram language-model counts with conditional probabilities
+    P(w2|w1) = c(w1,w2)/c(w1·) — the n-gram-LM statistics pass. Two
+    grouped counts over one exploded bigram frame; ratio of exact integers
+    rounded at 6dp."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    arr = ws_tokens(F.lower(F.col("text")))
+    with_arr = d.select(arr.alias("arr")).filter(F.size("arr") >= 2)
+    bi = with_arr.select(F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("p"), "arr").select(
+        F.element_at("arr", F.col("p")).alias("w1"),
+        F.element_at("arr", F.col("p") + 1).alias("w2"),
+    )
+    uni = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(F.col("c12") >= 20)
+    return pair.join(uni, "w1").select(
+        "w1", "w2", "c12",
+        F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias("p_cond"),
+    )
