@@ -2175,3 +2175,50 @@ def bigram_cond_probs(spark, sf_dir):
         "w1", "w2", "c12",
         F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias("p_cond"),
     )
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH pairs AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    stats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM pairs GROUP BY dim),
+    quant AS (
+      SELECT p.vec_id, p.dim,
+             CAST(least(floor((p.x - s.lo) * 255.0 / (s.hi - s.lo)), 255) AS INT) AS qv
+      FROM pairs p JOIN stats s USING (dim))
+    SELECT vec_id,
+           CAST(sum(qv) AS BIGINT) AS q_sum,
+           CAST(min(qv) AS INT) AS q_min,
+           CAST(max(qv) AS INT) AS q_max
+    FROM quant GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of embeddings (the storage-compression
+    pass before ANN indexing at scale): per-dim min/max fit (tiny
+    broadcast) + floor-based bucketing — floor, not round, so the integer
+    codes are bit-identical across engines. Output is per-vector code
+    stats (sum/min/max) rather than 64 columns."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "x"),
+    )
+    stats = pairs.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    quant = pairs.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo"))),
+            F.lit(255),
+        )
+        .cast("int")
+        .alias("qv"),
+    )
+    return quant.groupBy("vec_id").agg(
+        F.sum("qv").alias("q_sum"),
+        F.min("qv").alias("q_min"),
+        F.max("qv").alias("q_max"),
+    )
