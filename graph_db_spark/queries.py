@@ -2222,3 +2222,33 @@ def embedding_quantize_int8(spark, sf_dir):
         F.min("qv").alias("q_min"),
         F.max("qv").alias("q_max"),
     )
+
+
+@q(
+    "anomaly_zscore_events",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) >= 3
+    """,
+)
+def anomaly_zscore_events(spark, sf_dir):
+    """Z-score outlier detection per event type: one grouped moment pass
+    (map-side combinable) broadcast back over the scan — the data-quality
+    filter pass of an ingestion pipeline. |z| >= 3 flags the tails."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
