@@ -2252,3 +2252,30 @@ def anomaly_zscore_events(spark, sf_dir):
         .filter(F.abs(z) >= 3)
         .select("event_id", "event_type", F.round(z, 6).alias("z"))
     )
+
+
+@q(
+    "histogram_event_values",
+    """
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_min,
+           CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bin_max
+    FROM events GROUP BY event_type, bin
+    """,
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width value histogram per event type (the data-profiling
+    pass): floor-based binning is engine-exact, min/max per bin on exact
+    decimals. One grouped agg, map-side combinable."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    return e.groupBy(
+        "event_type", F.floor(F.col("value") / 50.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(_dec("value", 6)).cast("double").alias("bin_min"),
+        F.max(_dec("value", 6)).cast("double").alias("bin_max"),
+    )
