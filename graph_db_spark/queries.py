@@ -1039,7 +1039,33 @@ def embedding_near_dup_pairs(spark, sf_dir):
     return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
-@q("multimodal_features")  # mapInPandas plumbing; digest math has no clean SQL twin
+@q(
+    "multimodal_features",
+    # The fake codec is pure md5-hex arithmetic (operators/multimodal.py:51-62):
+    # digest = md5(utf8(text)); h = int(digest[:8], 16); dims/duration are
+    # modular functions of h — all expressible in DuckDB (md5 + strpos-based
+    # hex parse), so the mapInPandas plumbing gets a full value-hash oracle.
+    """
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS digest
+      FROM documents
+    ),
+    h AS (
+      SELECT *, CAST(list_sum(list_transform(range(0, 8), i ->
+               (strpos('0123456789abcdef', substr(digest, i + 1, 1)) - 1)
+               * power(16, 7 - i))) AS BIGINT) AS hv
+      FROM a
+    )
+    SELECT asset_id, media_type, n_bytes, digest,
+           CASE WHEN media_type = 'image' THEN CAST(64 + hv % 1024 AS INT) END AS width,
+           CASE WHEN media_type = 'image' THEN CAST(64 + (hv // 1024) % 1024 AS INT) END AS height,
+           CASE WHEN media_type <> 'image' THEN 1000 + hv % 600000 END AS duration_ms
+    FROM h
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Multimodal decode/feature plumbing over synthetic binary assets
     derived from documents (deterministic fake codec — see
