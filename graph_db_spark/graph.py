@@ -351,9 +351,12 @@ class GraphSnapshot:
         """BFS from root via iterative frontier joins — the Pregel-style
         re-expression of the reference's queue+visited-set walk
         (Graph.hs:82-118). Driver loop (Catalyst has no recursion); lineage
-        truncated per iteration with localCheckpoint."""
-        from functools import reduce
+        truncated per iteration with localCheckpoint.
 
+        The visited set is ONE materialized frame, extended (and
+        re-checkpointed) per level — each level's anti-join plan is O(1)
+        regardless of depth, instead of re-unioning every prior frontier
+        (which grows the plan O(depth²) across the loop)."""
         spark = self.spark
         # Cache the (narrow) edge list for the duration of the loop — it is
         # joined once per level and must not be recomputed from source.
@@ -362,9 +365,8 @@ class GraphSnapshot:
             frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
                 eager=True
             )
-            frontiers = [frontier]  # each element is already materialized
+            visited = frontier
             for _ in range(max_iters):
-                visited = reduce(lambda a, b: a.unionByName(b), frontiers)
                 nxt = (
                     edges.join(frontier.withColumnRenamed("id", "src"), "src")
                     .select(F.col("dst").alias("id"))
@@ -374,9 +376,9 @@ class GraphSnapshot:
                 )
                 if nxt.isEmpty():
                     break
-                frontiers.append(nxt)
+                visited = visited.unionByName(nxt).localCheckpoint(eager=True)
                 frontier = nxt
-            return reduce(lambda a, b: a.unionByName(b), frontiers)
+            return visited
         finally:
             edges.unpersist()
 
@@ -694,5 +696,12 @@ class GraphSession:
             else:
                 self.snapshot = new_snap
             if self.storage is not None:
-                self.storage.persist_events(ev_df)
+                # Buffered persistence (Persistent.hs:62-69): enqueue the
+                # append on the storage's I/O worker — the commit returns
+                # without waiting on log I/O; checkpoint/load/close barrier
+                # on storage.flush(). first_seq comes from the staged list
+                # (driver-side), so the append needs no extra Spark job.
+                self.storage.persist_events_async(
+                    ev_df, first_seq=tx.events[0]["seq"]
+                )
         return result

@@ -41,8 +41,9 @@ def bfs_levels(
     """(id, level) for every vertex reachable from *sources* (level 0).
 
     The reference's visited-set BFS queue (Graph.hs:87-117) set-oriented:
-    each round expands the whole frontier in one join, anti-joins the
-    visited set, and checkpoints.
+    each round expands the whole frontier in one join, anti-joins ONE
+    materialized visited frame (O(1) plan per level — not a re-union of
+    every prior frontier), and checkpoints.
     """
     from functools import reduce
 
@@ -54,8 +55,8 @@ def bfs_levels(
             .localCheckpoint(eager=True)
         )
         levels = [frontier]
+        visited_ids = frontier.select("id")
         for level in range(1, max_iters + 1):
-            visited_ids = reduce(lambda a, b: a.unionByName(b), (f.select("id") for f in levels))
             nxt = (
                 e.join(frontier.select(F.col("id").alias("src")), "src")
                 .select(F.col("dst").alias("id"))
@@ -67,6 +68,9 @@ def bfs_levels(
             if nxt.isEmpty():
                 break
             levels.append(nxt)
+            visited_ids = visited_ids.unionByName(nxt.select("id")).localCheckpoint(
+                eager=True
+            )
             frontier = nxt
         return reduce(lambda a, b: a.unionByName(b), levels)
     finally:

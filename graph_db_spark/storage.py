@@ -30,9 +30,11 @@ total order (seq).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -42,6 +44,20 @@ from graph_db_spark.model import GraphSchema
 
 class StorageLockedError(RuntimeError):
     pass
+
+
+class SchemaMismatchError(RuntimeError):
+    """Raised when a store's checkpoint was written under a different
+    GraphSchema — the analogue of the reference's model-version handshake
+    (GraphDB.hs:169-230): loading with a mutated schema fails loudly
+    instead of silently mis-projecting payload columns."""
+
+
+def schema_hash(schema: GraphSchema) -> str:
+    """Deterministic fingerprint of the model: frozen-dataclass reprs are
+    stable, so the md5 of the canonical repr identifies the closed set of
+    vertex/edge kinds + index expressions."""
+    return hashlib.md5(repr(schema).encode()).hexdigest()
 
 
 class EventLogStorage:
@@ -54,6 +70,12 @@ class EventLogStorage:
         os.makedirs(path, exist_ok=True)
         os.makedirs(self._ckpt_root, exist_ok=True)
         os.makedirs(self._log_root, exist_ok=True)
+        # Buffered persistence (Persistent.hs:62-69 / Util/IOQueue.hs:20-48):
+        # WAL appends run on a single-worker executor so the commit path
+        # returns without waiting on log I/O; order is preserved by the
+        # single worker, and checkpoint/load barrier on flush().
+        self._wal_pool: ThreadPoolExecutor | None = None
+        self._pending: list = []
 
     # -- layout ------------------------------------------------------------
 
@@ -93,36 +115,84 @@ class EventLogStorage:
         if os.path.exists(self._lock_path):
             os.remove(self._lock_path)
 
-    # -- WAL sink (Storage.hs:154-159) -------------------------------------
+    # -- WAL sink (Storage.hs:154-159; buffering per Persistent.hs:62-69) --
 
-    def persist_events(self, events: DataFrame) -> None:
+    def persist_events(self, events: DataFrame, first_seq: int | None = None) -> None:
+        """Synchronous append of one committed event batch to the current
+        log generation. *first_seq* names the batch file; the caller (who
+        staged the events driver-side) passes it to avoid a Spark job."""
         gen = max(self._ckpt_versions(), default=0)
-        first_seq = events.agg(F.min("seq")).collect()[0][0]
+        if first_seq is None:
+            first_seq = events.agg(F.min("seq")).collect()[0][0]
         out = os.path.join(self._log_dir(gen), f"batch-{first_seq:012d}.parquet")
         events.coalesce(1).write.mode("errorifexists").parquet(out)
+
+    def persist_events_async(self, events: DataFrame, first_seq: int | None = None) -> None:
+        """Enqueue the append on the storage's single I/O worker and return
+        immediately — the commit path no longer waits on log I/O (the
+        reference's PersistenceBuffering with buffer > 1). Errors from
+        earlier appends surface on the next enqueue or flush()."""
+        if self._wal_pool is None:
+            self._wal_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="graphdb-wal"
+            )
+        # Re-raise failures of already-finished appends before enqueuing more.
+        for f in self._pending:
+            if f.done():
+                f.result()
+        self._pending = [f for f in self._pending if not f.done()]
+        self._pending.append(self._wal_pool.submit(self.persist_events, events, first_seq))
+
+    def flush(self) -> None:
+        """Barrier: wait for all enqueued WAL appends (and re-raise the
+        first failure). Called by checkpoint()/load()/close() — the
+        reference flushes its IOQueue on shutdown and checkpoint."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
+    def close(self) -> None:
+        """Flush buffered appends and release the writer lock."""
+        self.flush()
+        if self._wal_pool is not None:
+            self._wal_pool.shutdown(wait=True)
+            self._wal_pool = None
+        self.release()
 
     # -- checkpoint (Storage.hs:171-207) -----------------------------------
 
     def checkpoint(self, session: GraphSession) -> int:
         """Write the current snapshot as a new version; subsequent event
         batches land in the new generation. Old checkpoints/logs move to
-        archive (the reference's archiveDir, Storage.hs:43-48)."""
+        archive (the reference's archiveDir, Storage.hs:43-48).
+
+        Crash safety: tables land in a ``.tmp-N`` staging dir with
+        ``meta.json`` written last, then one atomic rename publishes the
+        version — a crash at any point leaves either the previous state or
+        the complete new version, never a half-written newest checkpoint
+        (the property StorageTests.hs:55-60 exercises via unreadable-file
+        fallback)."""
+        self.flush()  # pending appends belong to the pre-checkpoint generation
         version = max(self._ckpt_versions(), default=0) + 1
-        base = os.path.join(self._ckpt_root, str(version))
+        tmp = os.path.join(self._ckpt_root, f".tmp-{version}")
+        if os.path.isdir(tmp):  # leftover from a crashed attempt
+            shutil.rmtree(tmp)
         snap = session.snapshot
-        snap.vertices.write.mode("errorifexists").parquet(os.path.join(base, "vertices"))
-        snap.edges.write.mode("errorifexists").parquet(os.path.join(base, "edges"))
-        snap.edge_index.write.mode("errorifexists").parquet(os.path.join(base, "edge_index"))
-        with open(os.path.join(base, "meta.json"), "w") as f:
+        snap.vertices.write.mode("errorifexists").parquet(os.path.join(tmp, "vertices"))
+        snap.edges.write.mode("errorifexists").parquet(os.path.join(tmp, "edges"))
+        snap.edge_index.write.mode("errorifexists").parquet(os.path.join(tmp, "edge_index"))
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(
                 {
                     "version": version,
                     "next_id": session._next_id,
                     "next_seq": session._next_seq,
                     "next_tx": session._next_tx,
+                    "schema_hash": schema_hash(self.schema),
                 },
                 f,
             )
+        os.replace(tmp, os.path.join(self._ckpt_root, str(version)))  # atomic publish
         os.makedirs(self._log_dir(version), exist_ok=True)
         self._archive_before(version)
         return version
@@ -150,15 +220,29 @@ class EventLogStorage:
     # -- recovery (Storage.hs:104-148) -------------------------------------
 
     def _read_ckpt(self, version: int) -> tuple[GraphSnapshot, dict]:
+        """Read one checkpoint version, verifying it is complete: meta.json
+        (the commit marker) parses, its schema stamp matches, and every
+        table dir carries Spark's _SUCCESS marker. Raises on anything
+        short of a complete, schema-compatible version."""
         base = os.path.join(self._ckpt_root, str(version))
+        with open(os.path.join(base, "meta.json")) as f:
+            meta = json.load(f)
+        stamp = meta.get("schema_hash")
+        if stamp is not None and stamp != schema_hash(self.schema):
+            raise SchemaMismatchError(
+                f"checkpoint {version} at {self.path} was written under a "
+                f"different GraphSchema (stamp {stamp[:8]}… != "
+                f"{schema_hash(self.schema)[:8]}…); refusing to load"
+            )
+        for table in ("vertices", "edges", "edge_index"):
+            if not os.path.exists(os.path.join(base, table, "_SUCCESS")):
+                raise FileNotFoundError(f"checkpoint {version}: incomplete {table}")
         snap = GraphSnapshot(
             self.spark.read.parquet(os.path.join(base, "vertices")),
             self.spark.read.parquet(os.path.join(base, "edges")),
             self.spark.read.parquet(os.path.join(base, "edge_index")),
             self.schema,
         )
-        with open(os.path.join(base, "meta.json")) as f:
-            meta = json.load(f)
         return snap, meta
 
     def _log_batches(self, gen: int) -> list[str]:
@@ -169,24 +253,52 @@ class EventLogStorage:
             os.path.join(d, b) for b in os.listdir(d) if b.startswith("batch-")
         )
 
+    def _log_batches_from(self, gen_start: int) -> list[str]:
+        """Every log batch in generation >= *gen_start*, ordered by
+        (generation, seq). Needed when load() falls back past an
+        unreadable newest checkpoint: replaying the older checkpoint's
+        generation AND every later generation reproduces the lost
+        version's state exactly (seq is a total order and apply_events
+        folds a concatenated suffix as sequential replay)."""
+        gens = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self._log_root)
+            if d.startswith("gen=") and int(d.split("=")[1]) >= gen_start
+        )
+        out: list[str] = []
+        for g in gens:
+            out.extend(self._log_batches(g))
+        return out
+
     def load(self, empty_factory) -> GraphSession:
-        """Latest checkpoint + ordered replay of newer event batches.
+        """Newest *readable* checkpoint + ordered replay of newer event
+        batches — the reference's deserializeLatestCheckpoint scans
+        newest-to-oldest and takes the first readable version
+        (Storage.hs:121-131, StorageTests.hs:55-60
+        ``test_loadsPastTenAttempts``).
 
         ``empty_factory(spark, schema) -> GraphSnapshot`` seeds the v0 state
         when no checkpoint exists (the reference's ``initGraph``,
         GraphDB.hs:128-131).
         """
-        versions = self._ckpt_versions()
-        if versions:
-            snap, meta = self._read_ckpt(versions[-1])
-            gen = versions[-1]
+        self.flush()  # a buffered append must be on disk before we scan the log
+        snap, meta, gen = None, None, 0
+        for version in reversed(self._ckpt_versions()):
+            try:
+                snap, meta = self._read_ckpt(version)
+                gen = version
+                break
+            except SchemaMismatchError:
+                raise  # wrong model is a caller error, not a corrupt file
+            except Exception:
+                continue  # unreadable/partial — fall back to the next older
+        if snap is not None:
             next_id, next_seq, next_tx = meta["next_id"], meta["next_seq"], meta["next_tx"]
         else:
             snap = empty_factory(self.spark, self.schema)
-            gen = 0
             next_id, next_seq, next_tx = None, 0, 0
 
-        batches = self._log_batches(gen)
+        batches = self._log_batches_from(gen)
         if batches:
             # Replay all batches in one ordered set-oriented pass: the WAL is
             # a total order by seq, and apply_events resolves net effects by
@@ -295,9 +407,12 @@ class GenericEventStore:
 
     def checkpoint(self, state: DataFrame) -> int:
         version = max(self._versions(), default=0) + 1
-        state.write.mode("errorifexists").parquet(
-            os.path.join(self.path, "checkpoints", str(version), "state")
-        )
+        tmp = os.path.join(self.path, "checkpoints", f".tmp-{version}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        state.write.mode("errorifexists").parquet(os.path.join(tmp, "state"))
+        # Atomic publish — same crash-safety contract as EventLogStorage.
+        os.replace(tmp, os.path.join(self.path, "checkpoints", str(version)))
         os.makedirs(self._log_dir(version), exist_ok=True)
         return version
 

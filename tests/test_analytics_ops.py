@@ -128,6 +128,8 @@ def test_stream_apply_wal(spark, tmp_path, sf_dir):
             )
         )
 
+    store.flush()  # WAL appends are buffered; barrier before external readers
+
     state = StreamingGraphState(GraphSnapshot.empty(spark, catalogue_schema()))
     q = stream_apply_wal(
         spark, store._log_dir(0), state, str(tmp_path / "ckpt"), available_now=True
