@@ -155,8 +155,11 @@ def main() -> None:
             session.write(prog)
         session.snapshot.edge_index.count()
 
-    timed("insert_bulk_1000", insert_bulk_1000)
-    timed("insert_microtx_20x50", insert_microtx_20)
+    # best-of-2 for the insert workloads too — round-over-round regressions
+    # should be signal, not co-tenant noise (each run builds its own fresh
+    # session, so repeats are independent).
+    timed("insert_bulk_1000", insert_bulk_1000, repeats=2)
+    timed("insert_microtx_20x50", insert_microtx_20, repeats=2)
 
     total = round(sum(times.values()), 3)
     print(

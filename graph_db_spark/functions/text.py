@@ -20,10 +20,17 @@ def ws_tokens(text: Column) -> Column:
 def shingle_array(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles (k consecutive tokens joined by one space)
     — the standard near-dup unit; preserves word order that unigram sets
-    lose."""
+    lose.
+
+    Documents with fewer than k tokens emit NO shingles (not a partial or
+    empty-string shingle) — otherwise every short/empty doc shares one
+    degenerate shingle and surfaces as a spurious MinHash near-dup
+    candidate of every other short doc."""
     toks = ws_tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.when(F.size(toks) >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:

@@ -477,8 +477,23 @@ class GraphSnapshot:
             .unionByName(
                 self.edges.join(revalued, "dst", "left_semi").select("src", "dst")
             )
-            .distinct()
         )
+        # Re-valuing a node re-indexes its *source* edges (dst-payload
+        # exprs, the reference's Graph.hs:46-55 semantics). If any
+        # IndexSpec also reads src_-prefixed payload (allowed by
+        # model.IndexSpec), edges OUT of a re-valued node hold stale keys
+        # too — include them, but only when such a spec exists (no shipped
+        # schema has one, so this branch normally costs nothing).
+        if any(
+            spec.key_expr and "src_" in spec.key_expr
+            for ek in self.schema.edge_kinds
+            for spec in ek.indexes
+        ):
+            revalued_src = latest.select(F.col("id").alias("src")).distinct()
+            touched_pairs = touched_pairs.unionByName(
+                self.edges.join(revalued_src, "src", "left_semi").select("src", "dst")
+            )
+        touched_pairs = touched_pairs.distinct()
         kept_index = self.edge_index.join(touched_pairs, ["src", "dst"], "left_anti")
         reemit_pairs = new_edges.join(touched_pairs, ["src", "dst"], "left_semi")
         new_index = kept_index.unionByName(

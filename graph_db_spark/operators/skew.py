@@ -26,10 +26,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over *n_salts*
-    reducers. Result is identical to ``big.join(small, on, how)``; only
-    the shuffle distribution changes. The small side is replicated
-    n_salts-fold — keep it the dimension side.
+    reducers. Result is identical to ``big.join(small, on, how)`` for the
+    supported *how* values; only the shuffle distribution changes. The
+    small side is replicated n_salts-fold — keep it the dimension side.
+
+    Only big-side-preserving joins are supported: for ``right``/``full``
+    (outer on the small side) the n_salts-fold replication would emit
+    unmatched small-side rows once per salt — refused rather than wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated small "
+            "side duplicates unmatched rows under right/full joins"
+        )
     non_key = [c for c in big.columns if c not in on] or on
     salted_big = big.withColumn(
         SALT,

@@ -29,7 +29,17 @@ def asof_join(
     Union trick: right rows sort before left rows at equal timestamps
     (side=0 vs 1) unless strict, so `last(..., ignorenulls)` over the
     ordered window yields exactly the as-of match. Ties inside the right
-    side resolve to the latest (max ts, then max side order)."""
+    side resolve to the latest (max ts, then max side order).
+
+    ``right_cols`` may not collide with left columns (other than *key*) —
+    the union trick needs the right payload under its own names; a silent
+    rename would surprise callers, so collisions raise."""
+    collisions = set(right_cols) & {c for c in left.columns if c != key}
+    if collisions:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(collisions)} collide with left "
+            "columns — rename one side before joining"
+        )
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
         right.select(
@@ -39,9 +49,6 @@ def asof_join(
         )
         .withColumn("__side", F.lit(0))
     )
-    for c in left.columns:
-        if c not in (key,):
-            rt = rt.withColumn(c, F.lit(None)) if c in rt.columns else rt
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     order = [F.col("__ts"), F.col("__side")] if not strict else [F.col("__ts"), -F.col("__side")]
     w = (

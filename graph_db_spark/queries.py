@@ -714,8 +714,11 @@ def dedup_exact_documents(spark, sf_dir):
       FROM documents
     ),
     tok AS (
+      -- sub-k docs emit NO shingles (mirrors shingle_array's guard)
       SELECT id, unnest(list_distinct(
-               [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(greatest(len(tk)-3, 0)+1)]
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
              )) AS token
       FROM toks
     ),
@@ -963,8 +966,10 @@ def dedup_simhash(spark, sf_dir):
                FROM documents),
     s AS (SELECT doc_id,
                  list_sort(list_distinct(
-                   [md5(array_to_string(tk[i+1:i+3], ' '))
-                    FOR i IN range(greatest(len(tk) - 3, 0) + 1)])) AS hs
+                   CASE WHEN len(tk) >= 3
+                        THEN [md5(array_to_string(tk[i+1:i+3], ' '))
+                              FOR i IN range(len(tk) - 2)]
+                        ELSE [] END)) AS hs
           FROM t)
     SELECT doc_id, array_to_string(hs[1:4], '|') AS fingerprint FROM s
     """,
@@ -2068,9 +2073,12 @@ def vocab_top_tokens(spark, sf_dir):
       WHERE t.tok <> ''),
     n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
     df AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    ft AS (
+      SELECT t.doc_id, t.token FROM toks t JOIN df USING (token)
+      WHERE df.df >= 50),
     co AS (
       SELECT a.token AS ta, b.token AS tb, count(*) AS co
-      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
       GROUP BY a.token, b.token
       HAVING count(*) >= 50)
     SELECT ta, tb, co.co AS n_co,
@@ -2083,9 +2091,16 @@ def vocab_top_tokens(spark, sf_dir):
 def token_pmi_pairs(spark, sf_dir):
     """Pointwise mutual information over token co-occurrence (the classic
     collocation / phrase-mining statistic): document-level distinct
-    tokens, a self-join on doc_id for co-occurrence counts (bounded by
-    the >= 50 support filter), PMI from integer counts — the only float op
-    is one final ln, rounded at 6dp in both engines."""
+    tokens, a self-join on doc_id for co-occurrence counts, PMI from
+    integer counts — the only float op is one final ln, rounded at 6dp in
+    both engines.
+
+    Scale guard: the pair join runs only over tokens with df >= support —
+    a necessary condition for the final n_co >= support filter (n_co ≤
+    min(dfa, dfb)), so the pruning is lossless but stops long documents'
+    rare-token tails from exploding the self-join at 100 TB. The frequent
+    vocabulary is small (sublinear in corpus size) → broadcast semi-join,
+    no extra shuffle of the token table."""
     from graph_db_spark.functions.text import ws_tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -2094,8 +2109,10 @@ def token_pmi_pairs(spark, sf_dir):
     ).distinct()
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    a = toks.select("doc_id", F.col("token").alias("ta"))
-    b = toks.select("doc_id", F.col("token").alias("tb"))
+    frequent = df_.filter(F.col("df") >= 50).select("token")
+    toks_f = toks.join(F.broadcast(frequent), "token", "left_semi")
+    a = toks_f.select("doc_id", F.col("token").alias("ta"))
+    b = toks_f.select("doc_id", F.col("token").alias("tb"))
     co = (
         a.join(b, "doc_id")
         .filter(F.col("ta") < F.col("tb"))

@@ -224,3 +224,35 @@ def test_snapshot_isolation_across_commit(session):
     # old reference unchanged; new snapshot sees the commit
     assert reader_view.vertices.filter("kind = 'Artist'").count() == before
     assert session.snapshot.vertices.filter("kind = 'Artist'").count() == before + 1
+
+
+def test_set_value_reindexes_src_referencing_specs(spark):
+    """An IndexSpec whose key_expr reads src_-prefixed payload must be
+    re-emitted when the SOURCE node is re-valued (not only the dst —
+    model.py:30-34 allows src_ exprs, so apply_events includes edges out
+    of re-valued nodes in the touched set when such a spec exists)."""
+    from graph_db_spark.model import EdgeKind, GraphSchema, IndexSpec, VertexKind
+
+    schema = GraphSchema(
+        vertex_kinds=(VertexKind("Root"), VertexKind("Tag", ("name",)), VertexKind("Item", ("name",))),
+        edge_kinds=(
+            EdgeKind("Root", "Tag", (IndexSpec("Root_Tag"),)),
+            # key combines the SOURCE tag's name with the item's name
+            EdgeKind("Tag", "Item", (IndexSpec("Tag_Item_Combined", "concat(src_name, ':', name)"),)),
+        ),
+    )
+    s = GraphSession(GraphSnapshot.empty(spark, schema))
+
+    def prog(tx):
+        t = tx.new_node("Tag", name="old")
+        i = tx.new_node("Item", name="thing")
+        tx.add_target(ROOT_ID, t)
+        tx.add_target(t, i)
+        return t, i
+
+    t, i = s.write(prog)
+    assert s.read(lambda g: g.get_targets(t, "Tag_Item_Combined", "old:thing").count()) == 1
+
+    s.write(lambda tx: tx.set_value(t, "Tag", name="new"))
+    assert s.read(lambda g: g.get_targets(t, "Tag_Item_Combined", "old:thing").count()) == 0
+    assert s.read(lambda g: g.get_targets(t, "Tag_Item_Combined", "new:thing").count()) == 1
