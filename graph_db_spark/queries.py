@@ -2371,3 +2371,262 @@ def histogram_event_values(spark, sf_dir):
         F.min(_dec("value", 6)).cast("double").alias("bin_min"),
         F.max(_dec("value", 6)).cast("double").alias("bin_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline batch 4: decontamination, sequence packing, source
+# mixing, and portable sketches (KMV distinct, count-min heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def _hex_int_sql(expr: str, n: int) -> str:
+    """DuckDB twin of Spark's conv(substr(md5(x),1,n),16,10): parse the
+    first *n* hex chars of *expr* into a BIGINT (n<=13 → <2^52, exact in
+    the double-powered list_sum)."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {n}), i -> "
+        f"(strpos('0123456789abcdef', substr({expr}, i + 1, 1)) - 1) "
+        f"* power(16, {n} - 1 - i))) AS BIGINT)"
+    )
+
+
+def _hex_int(col, n: int):
+    """First *n* hex chars of an md5 digest column as a long (n<=13)."""
+    return F.conv(F.substring(col, 1, n), 16, 10).cast("long")
+
+
+@q(
+    "decontam_ngram_overlap",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+               FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(tk) >= 4
+                 THEN [array_to_string(tk[i+1:i+4], ' ') FOR i IN range(len(tk) - 3)]
+                 ELSE [] END)) AS gram
+          FROM t),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, count(*) AS n_hits
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (the pretraining hygiene pass): flag
+    corpus documents sharing any token 4-gram with a held-out benchmark
+    slice (doc_id % 97 == 0 stands in for the eval set).
+
+    100 TB shape: the benchmark n-gram set is tiny relative to the corpus
+    → broadcast; corpus grams are generated by a narrow explode and only
+    the (doc_id, gram) hits — not the text — reach the final groupBy.
+    """
+    from graph_db_spark.functions.text import shingle_array
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(shingle_array(F.lower(F.col("text")), 4)).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@q(
+    "pack_sequences",
+    r"""
+    WITH t AS (SELECT doc_id, source,
+                      len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, source, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM t)
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           strt // 256 AS pack_id, strt % 256 AS pack_offset
+    FROM s
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Contiguous sequence packing (concat-then-chunk pretraining layout):
+    per source, documents in doc_id order are laid head-to-tail and cut
+    into fixed 256-token context windows; each doc reports its pack id and
+    offset. One window cumsum per source partition — sources pack in
+    parallel (the 100 TB answer to a global-order cumsum, which would
+    funnel through one partition; provenance-local packing is also what a
+    real mixture loader wants)."""
+    from pyspark.sql import Window as W
+
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "source", F.size(ws_tokens(F.col("text"))).alias("n_tokens"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return tk.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("strt"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("strt DIV 256").alias("pack_id"),
+        (F.col("strt") % 256).alias("pack_offset"),
+    )
+
+
+@q(
+    "mix_sources_weighted",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             (1 + CAST(substr(source, 4) AS BIGINT) % 4) * 2500 AS rate_bp,
+             {_hex_int_sql("md5(source || ':' || CAST(doc_id AS VARCHAR))", 8)} % 10000 AS gate
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE gate < rate_bp
+    """,
+)
+def mix_sources_weighted(spark, sf_dir):
+    """Deterministic weighted source mixing (the data-mixture sampler):
+    each source gets a sampling rate (25/50/75/100% by source number —
+    stands in for a mixture config), and a document is kept iff a hash
+    gate on (source, doc_id) lands under the rate. Pure expression — no
+    RNG state, so the sample is stable across retries/replays and engines
+    (the property that makes mixture reproducible at 100 TB); scan-local,
+    no shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        "source",
+        ((F.substring("source", 4, 10).cast("long") % 4 + 1) * 2500).alias("rate_bp"),
+        (
+            _hex_int(F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 8)
+            % 10000
+        ).alias("gate"),
+    )
+    return r.filter(F.col("gate") < F.col("rate_bp")).select("doc_id", "source")
+
+
+@q(
+    "sketch_kmv_distinct_tokens",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source, t.tok AS token
+      FROM (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+      WHERE t.tok <> ''),
+    h AS (SELECT source, token, {_hex_int_sql("md5(token)", 13)} AS hv FROM toks),
+    rk AS (SELECT source, hv,
+                  row_number() OVER (PARTITION BY source ORDER BY hv, token) AS rn
+           FROM h),
+    exact AS (SELECT source, count(*) AS n_exact FROM toks GROUP BY source)
+    SELECT r.source,
+           round((16 - 1) * 4503599627370496.0 / r.hv, 6) AS est_distinct,
+           e.n_exact
+    FROM rk r JOIN exact e USING (source)
+    WHERE r.rn = 16
+    """,
+)
+def sketch_kmv_distinct_tokens(spark, sf_dir):
+    """KMV (bottom-k / k-minimum-values) distinct-count sketch per source,
+    k=16: estimate = (k-1)·M / h_(k) with md5-derived 52-bit hashes
+    (M = 2^52). The sketch state is 16 longs per group — constant-size,
+    mergeable, exactly the shape a 1000-executor partial-agg wants; here
+    the k-th minimum comes from one row_number window per source. The
+    exact distinct count rides along to show the estimate's error. Fully
+    deterministic (hash order + token tie-break), so the DuckDB twin
+    produces the identical estimate."""
+    from pyspark.sql import Window as W
+
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).distinct()
+    h = toks.select("source", "token", _hex_int(F.md5("token"), 13).alias("hv"))
+    w = W.partitionBy("source").orderBy(F.col("hv").asc(), F.col("token").asc())
+    kth = h.select("source", "hv", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") == 16
+    )
+    exact = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    return kth.join(exact, "source").select(
+        "source",
+        F.round(F.lit(15) * F.lit(4503599627370496.0) / F.col("hv"), 6).alias("est_distinct"),
+        "n_exact",
+    )
+
+
+@q(
+    "sketch_countmin_heavy_tokens",
+    f"""
+    WITH toks AS (
+      SELECT t.tok AS token
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+      WHERE t.tok <> ''),
+    cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    rows_ AS (SELECT unnest(range(4)) AS j),
+    cells AS (
+      SELECT r.j, {_hex_int_sql("md5(CAST(r.j AS VARCHAR) || '|' || c.token)", 8)} % 256 AS bucket,
+             CAST(sum(c.n) AS BIGINT) AS cell_n
+      FROM cnt c, rows_ r GROUP BY 1, 2),
+    top AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM cnt
+            QUALIFY rk <= 20)
+    SELECT t.token, t.n AS n_exact, min(ce.cell_n) AS n_est
+    FROM top t
+    JOIN rows_ r ON true
+    JOIN cells ce ON ce.j = r.j
+      AND ce.bucket = {_hex_int_sql("md5(CAST(r.j AS VARCHAR) || '|' || t.token)", 8)} % 256
+    GROUP BY t.token, t.n
+    """,
+)
+def sketch_countmin_heavy_tokens(spark, sf_dir):
+    """Count-min sketch (depth 4 × width 256) over token frequencies, read
+    back for the exact top-20 tokens: n_est = min over rows of the
+    hashed-bucket counters (always ≥ n_exact; equality when no collision).
+    The sketch build is one grouped agg over (row, bucket) — 1024 cells of
+    state regardless of corpus size, map-side combinable, mergeable across
+    executors; md5-derived bucket hashing makes the DuckDB twin
+    cell-for-cell identical."""
+    from pyspark.sql import Window as W
+
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def bucket(j_col, token_col):
+        return (
+            _hex_int(F.md5(F.concat(j_col.cast("string"), F.lit("|"), token_col)), 8) % 256
+        )
+
+    rows_ = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    cells = (
+        cnt.select("token", "n", rows_)
+        .select("n", F.col("j"), bucket(F.col("j"), F.col("token")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("cell_n"))
+    )
+    # top-k via TakeOrdered (distributed partial top-k per partition +
+    # driver merge of 20), not a global row_number window — the vocab can
+    # be 10^8+ at 100 TB and a single-partition sort would bottleneck.
+    top = cnt.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    probes = top.select("token", "n", rows_).select(
+        "token", "n", F.col("j"), bucket(F.col("j"), F.col("token")).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(F.col("token"), F.col("n").alias("n_exact"))
+        .agg(F.min("cell_n").alias("n_est"))
+    )
