@@ -1342,8 +1342,14 @@ def having_filter_nations(spark, sf_dir):
     """,
 )
 def ngram_char_jaccard(spark, sf_dir):
-    """Character 4-gram Jaccard similarity (all-pairs on a bounded doc
-    subset — the LSH pipeline is the scale path; this is the exact kernel)."""
+    """Character 4-gram Jaccard similarity — the exact all-pairs kernel.
+
+    The ``doc_id < 40`` bound is LOAD-BEARING: this is a correctness
+    fixture for the Jaccard math on a fixed small subset, kept O(40²) by
+    construction. The scale path for unbounded corpora is the bucketed
+    pipeline (dedup_minhash_lsh / lsh_near_dup_pairs): signatures → band
+    buckets → verify candidates only. Never lift the bound; widen coverage
+    by adding buckets, not pairs."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 40)
