@@ -122,6 +122,85 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, max_iters: int = 50
+) -> tuple[DataFrame, int]:
+    """(labels, rounds): large-star/small-star alternation — the
+    high-diameter scale path for connected components (O(log² n) rounds
+    versus O(diameter) for plain min-label propagation; Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, re-expressed as DataFrame aggregations).
+
+    Each half-round is one groupBy(min) + one join — same shuffle budget
+    per round as label propagation, but a 1000-diameter chain finishes in
+    ~10 rounds instead of ~1000. Returns (id, component) with component =
+    min vertex id, plus the round count (observability for choosing the
+    propagation variant).
+
+    Large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ {u}).
+    Small-star: every neighbor v ≤ u (plus u) re-points to
+    m = min(Γ⁻(u) ∪ {u}). Alternate until the edge set is stable; the
+    stable state is a star per component rooted at its min id.
+    """
+    ids = vertices.select(F.col("id").cast("long").alias("id")).distinct()
+    e = (
+        edges.select(F.col("src").cast("long").alias("a"), F.col("dst").cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # -- large-star: full neighborhood Γ(u) ∪ {u}, re-point v > u to min
+        nbr = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mmin = (
+            nbr.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))  # min(Γ(u) ∪ {u})
+        )
+        large = (
+            nbr.join(mmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m"))
+        )
+        e1 = (
+            large.filter(F.col("x") != F.col("m"))
+            .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # -- small-star: Γ⁻(u) ∪ {u} (v < u side), re-point all to its min
+        low = e1.select("u", "v")  # already oriented u > v
+        msmall = low.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            low.join(msmall, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(msmall.select(F.col("u").alias("x"), "m"))
+        )
+        e2 = (
+            small.filter(F.col("x") != F.col("m"))
+            .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            e2.exceptAll(e).unionByName(e.exceptAll(e2)).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    # Stable stars: (u > v) edges point members at their component root.
+    labels = (
+        ids.join(e.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce(F.col("root"), F.col("id"))).alias("component"))
+    )
+    return labels, rounds
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,

@@ -845,6 +845,23 @@ def graph_connected_components(spark, sf_dir):
     return connected_components(verts, edges)
 
 
+@q("graph_connected_components_star", REGISTRY["graph_connected_components"].oracle)
+def graph_connected_components_star(spark, sf_dir):
+    """Same component labelling through the large-star/small-star
+    alternation (pregel.connected_components_star) — the high-diameter
+    scale variant, checked against the identical closed-form oracle."""
+    from graph_db_spark.pregel import connected_components_star
+
+    g = tpch_graph(spark, sf_dir)
+    lo, hi = _REGION, _ORDER
+    verts = g.vertices.filter((F.col("id") >= lo) & (F.col("id") < hi)).select("id")
+    edges = g.edges.filter(
+        (F.col("src") >= lo) & (F.col("src") < hi) & (F.col("dst") >= lo) & (F.col("dst") < hi)
+    )
+    labels, _rounds = connected_components_star(verts, edges)
+    return labels
+
+
 @q(
     "graph_bfs_levels",
     f"""

@@ -314,3 +314,40 @@ def test_stream_session_windows(spark, sf_dir):
         assert all(r["w"]["end"] > r["w"]["start"] for r in rows)
     finally:
         q.stop()
+
+
+def test_connected_components_star_matches_naive(spark):
+    """Large-star/small-star CC == min-label propagation on a mixed graph
+    (two blobs + chain + singletons)."""
+    from graph_db_spark.pregel import connected_components, connected_components_star
+
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12)] + [
+        (100 + i, 101 + i) for i in range(40)  # 41-node chain
+    ]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    v = spark.createDataFrame(
+        [(i,) for i in {x for p in edges for x in p} | {999}], "id LONG"
+    )
+    naive = {r["id"]: r["component"] for r in connected_components(v, e).collect()}
+    star_df, rounds = connected_components_star(v, e)
+    star = {r["id"]: r["component"] for r in star_df.collect()}
+    assert star == naive
+    assert star[999] == 999  # singleton keeps own id
+    assert rounds < 15  # 41-diameter chain must NOT take ~41 rounds
+
+
+def test_connected_components_star_high_diameter(spark):
+    """The point of the star variant: a 512-node chain converges in
+    O(log² n) rounds, not O(diameter) — checked against a driver-side
+    union-find ground truth."""
+    from graph_db_spark.pregel import connected_components_star
+
+    n = 512
+    edges = [(i, i + 1) for i in range(n - 1)] + [(2000, 2001)]
+    e = spark.createDataFrame(edges, "src LONG, dst LONG")
+    v = spark.createDataFrame([(i,) for i in range(n)] + [(2000,), (2001,)], "id LONG")
+    labels_df, rounds = connected_components_star(v, e)
+    labels = {r["id"]: r["component"] for r in labels_df.collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[2000] == 2000 and labels[2001] == 2000
+    assert rounds <= 12, f"star CC took {rounds} rounds on a 512-chain"
