@@ -151,10 +151,19 @@ def emit_edge_index(
         .join(dst_v, edges.dst == dst_v.__dst_id)
         .drop("__src_id", "__dst_id")
     )
-    # One pass: per edge-kind a CASE branch builds the full ARRAY<STRUCT
-    # (tag, key)> of emitted indexes (markers, keyed, exploding specs
-    # concatenated), then a single explode — instead of re-executing the
-    # join once per IndexSpec and unioning 15 branches.
+    return emission_projection(joined, schema)
+
+
+def emission_projection(joined: DataFrame, schema: GraphSchema) -> DataFrame:
+    """The emission kernel over an already-joined row set with columns
+    (src, dst, __src_kind, __dst_kind, <dst payload>[, src_<payload>]):
+    per edge-kind a CASE branch builds the full ARRAY<STRUCT(tag, key)> of
+    emitted indexes (markers, keyed, exploding specs concatenated), then a
+    single explode — instead of re-executing the join once per IndexSpec
+    and unioning 15 branches. Factored out so the insert fast path can
+    feed it a driver-built local row set (no joins, no broadcasts)."""
+    if not schema.edge_kinds:
+        return joined.sparkSession.createDataFrame([], edge_index_schema())
     elem_t = "array<struct<t:string,k:string>>"
     branch_exprs = []
     for ek in schema.edge_kinds:
@@ -502,7 +511,12 @@ class GraphSnapshot:
 
         return GraphSnapshot(new_vertices, new_edges, new_index, self.schema)
 
-    def apply_insert_batch(self, events: DataFrame) -> "GraphSnapshot":
+    def apply_insert_batch(
+        self,
+        events: DataFrame,
+        staged: list[dict] | None = None,
+        src_kinds: dict[int, str] | None = None,
+    ) -> "GraphSnapshot":
         """Append-only fast path for insert-only commits (the reference's
         dominant OLTP shape, Benchmarks/GraphDB.hs:104-110: newNode +
         addTarget).
@@ -513,6 +527,16 @@ class GraphSnapshot:
         already exist, and plain unions ARE the net effect: no window over
         event seq, no anti-joins, no touched-pair re-emission. Each union
         branch is append-only, keeping the commit at three shallow jobs.
+
+        When the caller also provides the staged event list and the kinds
+        of every referenced src node (*src_kinds*), index emission skips
+        Spark joins entirely: the joined (src, dst, kinds, payload) rows
+        are built driver-side — they ARE driver-side already — and only
+        the emission projection runs on the cluster. This removes 2-3
+        broadcast exchanges + a base-table scan per commit, the latency
+        floor of the OLTP micro-commit path. (Falls back to the join path
+        when an IndexSpec reads src_ payload, which driver rows don't
+        carry.)
         """
         payload = self.payload_schema()
         new_v = (
@@ -529,19 +553,58 @@ class GraphSnapshot:
         )
         new_vertices = self.vertices.unionByName(new_v)
         new_edges = self.edges.unionByName(new_pairs)
-        # Emission only needs the dst payloads (all minted in this batch)
-        # plus the src vertices (a tiny distinct set — often just the
-        # root): semi-join the base table once instead of joining the full
-        # (and possibly lazily-stacked) vertex union twice.
-        srcs = events.filter(F.col("op") == OP_ADD_TARGET).select(
-            F.col("src").alias("id")
-        ).distinct()
-        emit_vertices = self.vertices.join(F.broadcast(srcs), "id", "left_semi").unionByName(
-            new_v
+
+        needs_src_payload = any(
+            spec.key_expr and "src_" in spec.key_expr
+            for ek in self.schema.edge_kinds
+            for spec in ek.indexes
         )
-        new_index = self.edge_index.unionByName(
-            emit_edge_index(new_pairs, emit_vertices, self.schema, broadcast_vertices=True)
-        )
+        if staged is not None and src_kinds is not None and not needs_src_payload:
+            # -- driver-built emission input: no joins, no broadcasts
+            minted: dict[int, tuple[str, dict]] = {}
+            for e in staged:
+                if e["op"] == OP_NEW_NODE:
+                    minted[e["node_id"]] = (e["kind"], json.loads(e["value"] or "{}"))
+            pairs = sorted(
+                {(e["src"], e["dst"]) for e in staged if e["op"] == OP_ADD_TARGET}
+            )
+            rows = [
+                {
+                    "src": s,
+                    "dst": d,
+                    "__src_kind": src_kinds[s],
+                    "__dst_kind": minted[d][0],
+                    **{f.name: minted[d][1].get(f.name) for f in payload.fields},
+                }
+                for s, d in pairs
+            ]
+            joined_schema = T.StructType(
+                [
+                    T.StructField("src", T.LongType(), False),
+                    T.StructField("dst", T.LongType(), False),
+                    T.StructField("__src_kind", T.StringType(), False),
+                    T.StructField("__dst_kind", T.StringType(), False),
+                ]
+                + payload.fields
+            )
+            joined = self.spark.createDataFrame(rows, joined_schema)
+            emitted = emission_projection(joined, self.schema)
+        else:
+            # Emission only needs the dst payloads (all minted in this
+            # batch) plus the src vertices (a tiny distinct set — often
+            # just the root): semi-join the base table once instead of
+            # joining the full (and possibly lazily-stacked) vertex union
+            # twice.
+            srcs = events.filter(F.col("op") == OP_ADD_TARGET).select(
+                F.col("src").alias("id")
+            ).distinct()
+            emit_vertices = self.vertices.join(
+                F.broadcast(srcs), "id", "left_semi"
+            ).unionByName(new_v)
+            emitted = emit_edge_index(
+                new_pairs, emit_vertices, self.schema, broadcast_vertices=True
+            )
+        new_index = self.edge_index.unionByName(emitted)
         return GraphSnapshot(new_vertices, new_edges, new_index, self.schema)
 
     def materialize(self) -> "GraphSnapshot":
@@ -551,14 +614,26 @@ class GraphSnapshot:
         The three table checkpoints are independent Spark jobs — submit
         them from a thread pool so they overlap (the scheduler interleaves
         their tasks; per-commit latency drops to ~the slowest job instead
-        of the sum, which dominates the OLTP micro-commit path)."""
+        of the sum, which dominates the OLTP micro-commit path).
+
+        Partition hygiene: every commit union appends the event batch's
+        partitions, so an OLTP loop grows the snapshot's partition count
+        without bound — hundreds of near-empty tasks per checkpoint, and
+        every emission broadcast re-scans them. Tables that crept past
+        2× the scheduler's parallelism are coalesced (narrow, no shuffle)
+        back to it before checkpointing; big tables under the cap are
+        left alone."""
         from concurrent.futures import ThreadPoolExecutor
 
+        p = self.spark.sparkContext.defaultParallelism
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            if df.rdd.getNumPartitions() > 2 * p:
+                df = df.coalesce(p)
+            return df.localCheckpoint(eager=True)
+
         with ThreadPoolExecutor(max_workers=3) as pool:
-            v, e, i = pool.map(
-                lambda df: df.localCheckpoint(eager=True),
-                (self.vertices, self.edges, self.edge_index),
-            )
+            v, e, i = pool.map(ckpt, (self.vertices, self.edges, self.edge_index))
         return GraphSnapshot(v, e, i, self.schema)
 
 
@@ -676,6 +751,12 @@ class GraphSession:
         self._next_tx = next_tx
         self._lazy_commits = 0
         self.storage = storage  # optional EventLogStorage (persistence layer)
+        # node-id → kind, maintained from committed events (+ lazy point
+        # lookups) so insert commits can build index-emission input
+        # driver-side. Kinds only change via set_value, which updates the
+        # cache; bounded by a size cap (drop-all on overflow — it is a
+        # cache, correctness falls back to the join path).
+        self._kind_cache: dict[int, str] = {}
 
     @property
     def spark(self) -> SparkSession:
@@ -685,6 +766,36 @@ class GraphSession:
         """GraphDB.hs:278-283 — run a read program against the snapshot."""
         return fn(self.snapshot)
 
+    def _resolve_src_kinds(
+        self, staged: list[dict], minted_kinds: dict[int, str]
+    ) -> dict[int, str] | None:
+        """Kinds for every AddTarget src in the batch, from this batch's
+        mints, the session cache, or ONE batched point lookup against the
+        snapshot (whose results are cached — steady-state OLTP loops never
+        look up again). Returns None only if a src id doesn't exist, which
+        the join path resolves to no emission the same way."""
+        src_ids = {e["src"] for e in staged if e["op"] == OP_ADD_TARGET}
+        kinds: dict[int, str] = {}
+        missing: list[int] = []
+        for s in src_ids:
+            k = minted_kinds.get(s) or self._kind_cache.get(s)
+            if k is None:
+                missing.append(s)
+            else:
+                kinds[s] = k
+        if missing:
+            found = (
+                self.snapshot.vertices.filter(F.col("id").isin(missing))
+                .select("id", "kind")
+                .collect()
+            )
+            for r in found:
+                kinds[r["id"]] = r["kind"]
+                self._kind_cache[r["id"]] = r["kind"]
+            if len(found) < len(missing):
+                return None  # dangling src — let the join path decide
+        return kinds
+
     def write(self, fn, materialize: bool = True):
         """GraphDB.hs:285-289 — run a write program, commit its staged
         events (one set-oriented apply + optional WAL append)."""
@@ -693,17 +804,29 @@ class GraphSession:
         self._next_tx += 1
         if tx.events:
             ev_df = tx.events_df()
-            minted = {e["node_id"] for e in tx.events if e["op"] == OP_NEW_NODE}
+            minted_kinds = {
+                e["node_id"]: e["kind"] for e in tx.events if e["op"] == OP_NEW_NODE
+            }
             insert_only = all(
                 e["op"] == OP_NEW_NODE
-                or (e["op"] == OP_ADD_TARGET and e["dst"] in minted)
+                or (e["op"] == OP_ADD_TARGET and e["dst"] in minted_kinds)
                 for e in tx.events
             )
-            new_snap = (
-                self.snapshot.apply_insert_batch(ev_df)
-                if insert_only
-                else self.snapshot.apply_events(ev_df)
-            )
+            if insert_only:
+                src_kinds = self._resolve_src_kinds(tx.events, minted_kinds)
+                new_snap = self.snapshot.apply_insert_batch(
+                    ev_df,
+                    staged=tx.events if src_kinds is not None else None,
+                    src_kinds=src_kinds,
+                )
+            else:
+                new_snap = self.snapshot.apply_events(ev_df)
+            if len(self._kind_cache) > 2_000_000:
+                self._kind_cache.clear()
+            self._kind_cache.update(minted_kinds)
+            for e in tx.events:
+                if e["op"] == OP_SET_VALUE:
+                    self._kind_cache[e["node_id"]] = e["kind"]
             self._lazy_commits += 1
             if materialize and self._lazy_commits >= self.MATERIALIZE_EVERY:
                 self.snapshot = new_snap.materialize()

@@ -217,6 +217,49 @@ class EventLogStorage:
         if os.path.exists(arch):
             shutil.rmtree(arch)
 
+    def compact_log(self, gen: int | None = None) -> int:
+        """Merge a generation's many per-commit batch files into one
+        combined batch (ordered by seq) — the small-files answer at scale:
+        an OLTP-shaped workload writes one tiny parquet per commit, and
+        recovery/streaming readers pay per-file open cost. Returns the
+        number of files compacted (0 = nothing to do).
+
+        Crash-safe protocol (no window loses data):
+        1. stage the combined batch in a hidden ``.compact-tmp`` dir;
+        2. atomically publish it as ``batch-<firstseq>-compacted``
+           — transiently the log holds the events TWICE, which is safe
+           because ``apply_events`` resolves net effects by the ``seq``
+           column, not file order, and identical duplicate events are a
+           fixed point (max-seq per key is unchanged);
+        3. remove the superseded originals.
+        A crash at any step leaves a log whose replay is identical; stale
+        staging dirs are swept on the next call.
+        """
+        self.flush()
+        if gen is None:
+            gen = max(self._ckpt_versions(), default=0)
+        batches = self._log_batches(gen)
+        if len(batches) <= 1:
+            return 0
+        events = self.spark.read.schema(EVENT_SCHEMA).parquet(*batches)
+        first_seq = int(
+            os.path.basename(batches[0]).split("-", 1)[1].split(".")[0].split("-")[0]
+        )
+        d = self._log_dir(gen)
+        tmp = os.path.join(d, ".compact-tmp")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        events.orderBy("seq").coalesce(1).write.parquet(tmp)
+        target = os.path.join(d, f"batch-{first_seq:012d}-compacted.parquet")
+        n = 1
+        while os.path.exists(target):  # re-compaction of an already-compacted gen
+            n += 1
+            target = os.path.join(d, f"batch-{first_seq:012d}-compacted{n}.parquet")
+        os.replace(tmp, target)
+        for b in batches:
+            shutil.rmtree(b)
+        return len(batches)
+
     # -- recovery (Storage.hs:104-148) -------------------------------------
 
     def _read_ckpt(self, version: int) -> tuple[GraphSnapshot, dict]:
