@@ -100,6 +100,13 @@ def main() -> None:
         "funnel_click_purchase",
         "window_rolling_1h_user",
         "pipeline_training_corpus",
+        # round-2 additions: LSH-bucketed near-dup detection, benchmark
+        # decontamination, count-min sketch, sequence packing, star CC
+        "embedding_near_dup_pairs",
+        "decontam_ngram_overlap",
+        "sketch_countmin_heavy_tokens",
+        "pack_sequences",
+        "graph_connected_components_star",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -71,6 +71,75 @@ def asof_join(
     return out
 
 
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join with tolerance/direction semantics the window trick
+    can't express — ``pd.merge_asof`` per key group via applyInPandas
+    (Arrow-batched; both sides shuffle once on *key*, each group joins
+    in-memory).
+
+    *tolerance* is in the timestamp column's own units (pass ns/us/s
+    consistently); *direction* ∈ backward | forward | nearest. Use
+    ``asof_join`` (pure window, no Python) when plain at-or-before
+    semantics suffice — this variant is the documented fallback for the
+    richer semantics. Per-key groups must fit executor memory (true for
+    time-partitioned telemetry; pre-split hot keys by time bucket first
+    at 100 TB)."""
+    collisions = set(right_cols) & {c for c in left.columns if c != key}
+    if collisions:
+        raise ValueError(
+            f"asof_join_grouped: right_cols {sorted(collisions)} collide "
+            "with left columns — rename one side before joining"
+        )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lschema = left.schema
+    out_fields = list(lschema.fields) + [
+        right.schema[c] for c in right_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    r = right.select(key, right_ts, *right_cols)
+    l_tagged = left.withColumn("__side", F.lit(1))
+    r_tagged = r.withColumn("__side", F.lit(0))
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    left_cols = left.columns
+
+    def per_key(pdf: pd.DataFrame):
+        # the union leaves NaN in each side's absent columns, so pandas may
+        # type the two ts columns differently — coerce both to float64
+        # (exact for tolerances/timestamps below 2^53)
+        lp = pdf[pdf["__side"] == 1][left_cols].sort_values(left_ts, kind="mergesort")
+        rp = pdf[pdf["__side"] == 0][[key, right_ts, *right_cols]].sort_values(
+            right_ts, kind="mergesort"
+        )
+        if lp.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lp = lp.assign(**{left_ts: lp[left_ts].astype("float64")})
+        rp = rp.assign(**{right_ts: rp[right_ts].astype("float64")})
+        merged = pd.merge_asof(
+            lp,
+            rp.drop(columns=[key]),
+            left_on=left_ts,
+            right_on=right_ts,
+            tolerance=None if tolerance is None else float(tolerance),
+            direction=direction,
+        )
+        if right_ts not in left_cols and right_ts in merged.columns and right_ts not in right_cols:
+            merged = merged.drop(columns=[right_ts])
+        return merged[[f.name for f in out_fields]]
+
+    return unioned.groupBy(key).applyInPandas(per_key, schema=out_schema)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

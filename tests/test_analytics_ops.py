@@ -351,3 +351,39 @@ def test_connected_components_star_high_diameter(spark):
     assert all(labels[i] == 0 for i in range(n))
     assert labels[2000] == 2000 and labels[2001] == 2000
     assert rounds <= 12, f"star CC took {rounds} rounds on a 512-chain"
+
+
+def test_asof_join_grouped_tolerance(spark):
+    """merge_asof fallback: tolerance + direction semantics the window
+    trick can't express; matches asof_join where semantics overlap."""
+    from graph_db_spark.operators.temporal import asof_join, asof_join_grouped
+
+    left = spark.createDataFrame([(1, 10), (1, 5), (2, 7), (3, 1)], "k LONG, t LONG")
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 9, "b"), (1, 11, "c"), (2, 7, "d")], "k LONG, ts LONG, v STRING"
+    )
+    # no tolerance → same as the window-trick asof_join
+    base = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(left, right, "k", "t", "ts", ["v"]).collect()
+    }
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join_grouped(left, right, "k", "t", "ts", ["v"]).collect()
+    }
+    assert got == base == {(1, 10): "b", (1, 5): "a", (2, 7): "d", (3, 1): None}
+    # tolerance=1: (1,5) is 1 past ts=4 → kept; (1,10) is 1 past ts=9 → kept;
+    # tolerance=0: only exact-timestamp matches survive
+    tol0 = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join_grouped(left, right, "k", "t", "ts", ["v"], tolerance=0).collect()
+    }
+    assert tol0 == {(1, 10): None, (1, 5): None, (2, 7): "d", (3, 1): None}
+    # forward direction: next right at-or-after
+    fwd = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join_grouped(
+            left, right, "k", "t", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 10): "c", (1, 5): "b", (2, 7): "d", (3, 1): None}
