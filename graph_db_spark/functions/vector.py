@@ -69,50 +69,78 @@ def hyperplane_signature(
     return sig.select("id", F.concat(*[F.col(f"b{p}") for p in range(n_planes)]).alias("bucket"))
 
 
+def plane_sign(seed: str, d: int) -> float:
+    """±1 component of a deterministic md5-parity hyperplane — the Python
+    twin of ``ascii(substr(md5('<seed><d>'), 1, 1)) % 2`` (any engine's
+    md5 of the same constant string derives the identical plane)."""
+    import hashlib
+
+    c = hashlib.md5(f"{seed}{d}".encode()).hexdigest()[0]
+    return 1.0 if ord(c) % 2 == 1 else -1.0
+
+
 def hyperplane_signatures_multi(
     df: DataFrame,
     n_planes: int = 4,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """All *n_tables* LSH table buckets in ONE pass → (id, table, bucket).
+    """All *n_tables* LSH table buckets → (id, table, bucket).
 
-    Same per-table signatures as ``hyperplane_signature(seed=f"t{t}:")``,
-    but every table's bits are aggregates of the same groupBy — one
-    posexplode + one shuffle total instead of one per table (the
-    difference between 1 and n_tables scans of a 100 TB corpus).
+    The planes are md5-parity functions of CONSTANTS (table, plane, dim) —
+    so they are computed once driver-side (hashlib md5 ≡ the engines' md5
+    of the same strings) and embedded as literal sign arrays. Each
+    signature is then a pure per-row zip_with/aggregate expression:
+    ZERO shuffles and zero per-row hashing, versus the posexplode +
+    64-agg groupBy formulation whose inline md5 ran n_tables×n_planes
+    times per vector component (~16M digests at sf0.1). The fold order
+    is the array order — deterministic across runs and engines.
+
+    The kernel is a dense matmul — vectors (n × dim) against the sign
+    matrix (dim × tables·planes) — which Spark's expression language has
+    no native operator for (a per-plane fold compiles to a huge expression
+    tree whose codegen cost dwarfs the data at any batch size). So this is
+    one of the few deliberate Pandas-path operators: an Arrow-batched
+    numpy matmul via mapInPandas — partition-local, zero shuffle, and the
+    batch matmul runs at memory bandwidth (the documented exception to
+    "built-ins first" when the built-in encoding is structurally worse).
+
+    *dim* is probed from the first row when not given; vectors must share
+    that length.
     """
-    pairs = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("d", "x"),
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+    # dim × (tables·planes) sign matrix, plane-major within each table
+    W = np.array(
+        [
+            [plane_sign(f"t{t}:{p}|", d) for t in range(n_tables) for p in range(n_planes)]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
     )
-    bit_aggs = []
-    for t in range(n_tables):
-        for p in range(n_planes):
-            sign = F.when(
-                F.ascii(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"t{t}:{p}|"), F.col("d").cast("string"))), 1, 1
-                    )
-                )
-                % 2
-                == 1,
-                F.col("x"),
-            ).otherwise(-F.col("x"))
-            bit_aggs.append(
-                F.when(F.sum(sign) > 0, F.lit("1")).otherwise(F.lit("0")).alias(f"t{t}b{p}")
-            )
-    sig = df.sparkSession.createDataFrame([], "id long") if not bit_aggs else pairs.groupBy("id").agg(*bit_aggs)
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                F.concat(*[F.col(f"t{t}b{p}") for p in range(n_planes)]).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return sig.select("id", F.explode(buckets).alias("tb")).select(
-        "id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+
+    def op(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            bits = (X @ W) > 0  # (n, tables·planes)
+            ids = pdf["id"].to_numpy()
+            out_ids, out_tables, out_buckets = [], [], []
+            for t in range(n_tables):
+                chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+                strs = ["".join("1" if b else "0" for b in row) for row in chunk]
+                out_ids.extend(ids)
+                out_tables.extend([t] * len(ids))
+                out_buckets.extend(strs)
+            yield pd.DataFrame({"id": out_ids, "table": out_tables, "bucket": out_buckets})
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")).mapInPandas(
+        op, schema="id long, table int, bucket string"
     )
