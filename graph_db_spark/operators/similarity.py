@@ -86,8 +86,10 @@ def lsh_cosine_topk(
     """
     from graph_db_spark.functions.vector import hyperplane_signatures_multi
 
-    cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col)
-    qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col)
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col, dim=dim)
+    qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col, dim=dim)
     cands = (
         cs.withColumnRenamed("id", "nid")
         .join(F.broadcast(qs.withColumnRenamed("id", "qid")), ["table", "bucket"])
