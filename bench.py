@@ -116,7 +116,10 @@ def main() -> None:
     for name in headline:
         force(REGISTRY[name].build(spark, "/root/testdata/sf0.001"))
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        # noop-write, not count(): count() answers from parquet footer
+        # stats without touching column chunks, so the first timed query
+        # would otherwise absorb the cold columnar-decode cost.
+        force(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
 
     for name in headline:
         timed(name, lambda n=name: force(REGISTRY[n].build(spark, sf_dir)), repeats=2)

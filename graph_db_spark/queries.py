@@ -2653,3 +2653,273 @@ def sketch_countmin_heavy_tokens(spark, sf_dir):
         .groupBy(F.col("token"), F.col("n").alias("n_exact"))
         .agg(F.min("cell_n").alias("n_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline batch 5: repetition-quality signals, LM-based document
+# scoring, boilerplate n-gram detection, stratified sampling, and graph
+# degree profiling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_repetition_signals",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+                  FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    n AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    tc AS (SELECT doc_id, max(c) AS max_tok
+           FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t) GROUP BY doc_id),
+    bi AS (SELECT doc_id, unnest([array_to_string(tk[i+1:i+2], ' ') FOR i IN range(len(tk) - 1)]) AS g
+           FROM toks WHERE len(tk) >= 2),
+    bc AS (SELECT doc_id, max(c) AS max_bi
+           FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g) GROUP BY doc_id),
+    tri AS (SELECT doc_id, unnest([array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]) AS g
+            FROM toks WHERE len(tk) >= 3),
+    trc AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS d_tri FROM tri GROUP BY doc_id)
+    SELECT n.doc_id, CAST(n.n_tok AS BIGINT) AS n_tok,
+           round(CAST(tc.max_tok AS DOUBLE) / n.n_tok, 6) AS top_token_frac,
+           round(CAST(coalesce(bc.max_bi, 0) AS DOUBLE) / greatest(n.n_tok - 1, 1), 6) AS top_bigram_frac,
+           round(CAST(coalesce(trc.n_tri - trc.d_tri, 0) AS DOUBLE) / greatest(coalesce(trc.n_tri, 1), 1), 6) AS dup_trigram_frac
+    FROM n JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id) LEFT JOIN trc USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/MassiveText repetition
+    rules re-expressed per document): most-frequent-token fraction,
+    most-frequent-bigram fraction of bigram slots, and duplicate-trigram
+    fraction. High values flag degenerate/spammy documents before
+    training.
+
+    100 TB shape: every n-gram frame derives from one tokenized scan; all
+    counts are per-doc grouped aggs (map-side combinable, shuffle keyed on
+    doc_id — no cross-document state at all)."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("tk"))
+
+    def grams(k: int):
+        idx = F.sequence(F.lit(1), F.size("tk") - (k - 1))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice("tk", i, k)))
+
+    tok = tk.select("doc_id", F.explode("tk").alias("t"))
+    n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    mt = (
+        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("max_tok"))
+    )
+    bc = (
+        tk.filter(F.size("tk") >= 2)
+        .select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("max_bi"))
+    )
+    trc = (
+        tk.filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"), F.countDistinct("g").alias("d_tri"))
+    )
+    return (
+        n.join(mt, "doc_id").join(bc, "doc_id", "left").join(trc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("max_tok").cast("double") / F.col("n_tok"), 6).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("max_bi"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tok") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("n_tri") - F.col("d_tri"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_tri"), F.lit(1)), F.lit(1)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
+@q(
+    "doc_lm_mean_prob",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+                  FROM documents),
+    bi AS (SELECT doc_id, tk[p] AS w1, tk[p+1] AS w2
+           FROM toks, unnest(range(1, len(tk))) AS r(p)),
+    uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    pair AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    p AS (SELECT w1, w2, CAST(round(CAST(c12 AS DOUBLE) / c1, 6) AS DECIMAL(18,6)) AS p6
+          FROM pair JOIN uni USING (w1))
+    SELECT bi.doc_id, count(*) AS n_bigrams,
+           CAST(sum(p.p6) * 1000000 AS BIGINT) // count(*) AS mean_p_micro
+    FROM bi JOIN p ON p.w1 = bi.w1 AND p.w2 = bi.w2
+    GROUP BY bi.doc_id
+    """,
+)
+def doc_lm_mean_prob(spark, sf_dir):
+    """Language-model document scoring: fit a corpus-level bigram MLE model
+    (P(w2|w1) = c12/c1), then score each document by the mean model
+    probability of its bigrams — the cheap statistical stand-in for a
+    perplexity quality filter. Probabilities are fixed-point DECIMAL(18,6)
+    before the per-doc sum, and the mean is reported in integer
+    micro-probability units (integer division), so every step is exact
+    and order-free (logs and float rounding are deliberately avoided:
+    libm/round-half behavior differs across engines at half boundaries).
+
+    100 TB shape: the model is two grouped counts (map-side combinable)
+    whose result — the distinct-bigram table — is vocabulary-bounded and
+    broadcast back over the corpus; documents never shuffle."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bi = tk.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("p"), "arr"
+    ).select(
+        "doc_id",
+        F.element_at("arr", F.col("p")).alias("w1"),
+        F.element_at("arr", F.col("p") + 1).alias("w2"),
+    )
+    uni = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = pair.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.col("c12").cast("double") / F.col("c1"), 6).cast("decimal(18,6)").alias("p6"),
+    )
+    return (
+        bi.join(F.broadcast(p), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("p6") * 1_000_000).cast("long").alias("sum_p_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_p_micro DIV n_bigrams").alias("mean_p_micro"),
+        )
+    )
+
+
+@q(
+    "boilerplate_ngrams",
+    r"""
+    WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+                  FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
+            THEN [array_to_string(tk[i+1:i+2], ' ') FOR i IN range(len(tk) - 1)] ELSE [] END)) AS gram
+          FROM toks),
+    boiler AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram) WHERE df >= 40),
+    per AS (SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler
+            FROM g LEFT JOIN boiler b USING (gram) GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_boiler AS BIGINT) AS n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_frac
+    FROM per
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate n-gram detection (the RefinedWeb/CCNet-style template
+    filter): word bigrams whose document frequency is >= 40 are deemed
+    boilerplate; each document reports how much of its distinct-bigram
+    surface is boilerplate. Downstream cleaning drops or down-weights
+    high-boiler_frac docs.
+
+    100 TB shape: df counts are one map-side-combinable grouped agg over
+    distinct per-doc grams; the boilerplate set is small by construction
+    (high-df tail) and broadcast for the per-doc membership count."""
+    from graph_db_spark.functions.text import shingle_array
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(shingle_array(F.lower(F.col("text")), 2)).alias("gram"))
+    boiler = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 40)
+        .select("gram", F.lit(1).alias("is_b"))
+    )
+    per = (
+        g.join(F.broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("is_b").alias("n_boiler"))
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6).alias("boiler_frac"),
+    )
+
+
+@q(
+    "sample_stratified_sources",
+    """
+    WITH r AS (SELECT doc_id, source, row_number() OVER (
+                 PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def sample_stratified_sources(spark, sf_dir):
+    """Stratified per-source sampling: a deterministic hash-ranked top-5
+    per source — the balanced-mixture sampler that guarantees every
+    stratum is represented regardless of source size (complementing the
+    rate-based mix_sources_weighted). md5 ordering makes the draw
+    reproducible across engines, retries, and replays.
+
+    100 TB shape: one window per source partition; sources rank in
+    parallel and only 5 rows per stratum survive."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@q(
+    "graph_degree_histogram",
+    f"""
+    WITH nodes AS (
+      SELECT CAST(0 AS BIGINT) AS id, 'Root' AS kind
+      UNION ALL SELECT {_REGION} + r_regionkey, 'Region' FROM region
+      UNION ALL SELECT {_NATION} + n_nationkey, 'Nation' FROM nation
+      UNION ALL SELECT {_CUSTOMER} + c_custkey, 'Customer' FROM customer
+      UNION ALL SELECT {_SUPPLIER} + s_suppkey, 'Supplier' FROM supplier
+      UNION ALL SELECT {_ORDER} + o_orderkey, 'Order' FROM orders
+      UNION ALL SELECT {_PART} + p_partkey, 'Part' FROM part
+    ),
+    deg AS (
+      SELECT CAST(0 AS BIGINT) AS id, CAST((SELECT count(*) FROM region) AS BIGINT) AS d
+      UNION ALL SELECT {_REGION} + n_regionkey, count(*) FROM nation GROUP BY n_regionkey
+      UNION ALL SELECT {_NATION} + nk, count(*) FROM (
+        SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier) GROUP BY nk
+      UNION ALL SELECT {_CUSTOMER} + o_custkey, count(*) FROM orders GROUP BY o_custkey
+      UNION ALL SELECT {_ORDER} + l_orderkey, count(DISTINCT l_partkey) FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n.kind, CAST(coalesce(d.d, 0) AS BIGINT) AS outdeg, count(*) AS n_nodes
+    FROM nodes n LEFT JOIN deg d USING (id) GROUP BY 1, 2
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree-distribution profiling over the graph (the getStats
+    extension a capacity planner wants): out-degree histogram per vertex
+    kind, zero-degree vertices included. The skew surface this exposes
+    (max nation fan-out vs median) is exactly what decides salting /
+    AQE-skew settings for the traversal joins at scale.
+
+    100 TB shape: one grouped count over edges keyed by src, one left
+    join against the (id, kind) vertex projection, one final tiny agg."""
+    g = tpch_graph(spark, sf_dir)
+    deg = g.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    return (
+        g.vertices.select("id", "kind")
+        .join(deg, "id", "left")
+        .groupBy("kind", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("outdeg"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
