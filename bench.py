@@ -107,6 +107,11 @@ def main() -> None:
         "sketch_countmin_heavy_tokens",
         "pack_sequences",
         "graph_connected_components_star",
+        # batch-5 additions: repetition quality signals, SimHash banded
+        # near-dup (signature-only candidate join), LM document scoring
+        "text_repetition_signals",
+        "dedup_simhash_banded",
+        "doc_lm_mean_prob",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -166,3 +166,51 @@ def simhash_bits(tok: DataFrame, n_bits: int = 32) -> DataFrame:
     agg = hexed.groupBy("id").agg(*votes)
     bits = [F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_bits)]
     return agg.select("id", F.concat(*bits).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame,
+    n_bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via band buckets: split each ``simhash`` bit
+    string into *bands* equal slices; documents sharing any slice are
+    candidates (two signatures within *max_hamming* of each other must
+    agree on at least one band when max_hamming < bands, so recall is
+    exact); verify by full Hamming distance. Returns (a, b, hd).
+
+    100 TB shape: the candidate join is an equi-join on (band, bucket) —
+    signatures only, never text, and no cross product anywhere. The
+    Hamming verify touches candidate pairs only.
+    """
+    width = n_bits // bands
+    bandse = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.substring("simhash", k * width + 1, width) for k in range(bands)])
+        ).alias("k", "bucket"),
+    )
+    a = bandse.select(F.col("id").alias("a"), "k", "bucket")
+    b = bandse.select(F.col("id").alias("b"), "k", "bucket")
+    cand = (
+        a.join(b, ["k", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"))
+    hd = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.substring(F.col("sig_a"), i, F.lit(1))
+            != F.substring(F.col("sig_b"), i, F.lit(1)),
+        )
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", hd.alias("hd"))
+        .filter(F.col("hd") <= max_hamming)
+    )

@@ -2923,3 +2923,91 @@ def graph_degree_histogram(spark, sf_dir):
         .groupBy("kind", F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("outdeg"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+@q(
+    "dedup_simhash_banded",
+    r"""
+    WITH t AS (SELECT doc_id AS id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+               FROM documents),
+    tok AS (SELECT id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+              THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)] ELSE [] END)) AS token
+            FROM t),
+    b AS (SELECT id, j, sum(CASE WHEN ascii(substr(md5(token), j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+          FROM tok, (SELECT unnest(range(32)) AS j) GROUP BY id, j),
+    sh AS (SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+           FROM b GROUP BY id),
+    bands AS (SELECT id, k, substr(simhash, k*8 + 1, 8) AS bucket
+              FROM sh, (SELECT unnest(range(4)) AS k)),
+    cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+             FROM bands x JOIN bands y ON x.k = y.k AND x.bucket = y.bucket AND x.id < y.id),
+    ham AS (SELECT c.a, c.b,
+              CAST(list_sum([CASE WHEN substr(sa.simhash, i+1, 1) <> substr(sb.simhash, i+1, 1)
+                             THEN 1 ELSE 0 END FOR i IN range(32)]) AS INT) AS hd
+            FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b)
+    SELECT a, b, hd FROM ham WHERE hd <= 3
+    """,
+)
+def dedup_simhash_banded(spark, sf_dir):
+    """SimHash near-dup detection with the banded scale path: 32-bit
+    shingle-SimHash signatures, band-bucket candidate generation (4×8-bit
+    slices — exact recall for Hamming <= 3 by pigeonhole), full Hamming
+    verify on candidates only. The SimHash complement to
+    dedup_minhash_lsh: one signature pass, one signature-only equi-join,
+    no cross product (shingle signatures, because unigram SimHash over a
+    shared vocabulary collapses — every doc looks like every other)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.simhash_bits(D.shingles(d, "doc_id", "text", 3), n_bits=32)
+    return D.simhash_near_dup_pairs(sigs, n_bits=32, bands=4, max_hamming=3)
+
+
+@q(
+    "graph_part_popularity",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    agg AS (
+      SELECT op.l_partkey AS part_key,
+             count(*) AS n_orders,
+             count(DISTINCT o.o_custkey) AS n_customers
+      FROM op JOIN orders o ON o.o_orderkey = op.l_orderkey
+      GROUP BY op.l_partkey)
+    SELECT CAST({_PART} + part_key AS BIGINT) AS id, n_orders, n_customers
+    FROM (SELECT *, row_number() OVER (ORDER BY n_orders DESC, part_key) AS rk FROM agg)
+    WHERE rk <= 20
+    """,
+)
+def graph_part_popularity(spark, sf_dir):
+    """Hub analysis over the graph: top-20 part nodes by in-degree
+    (n_orders) with 2-hop distinct-customer reach — the aggregate
+    traversal (reverse edges → sources → their sources) that complements
+    point traversals. Runs on the graph's edge frames, not the base
+    tables.
+
+    100 TB shape: in-degree is one grouped count on edges keyed by dst;
+    the reach join walks order→customer edges (fixed-width ids only);
+    top-20 is TakeOrdered, never a global sort."""
+    g = tpch_graph(spark, sf_dir)
+    parts = F.col("dst") >= _PART
+    order_part = g.edges.filter(parts)  # order -> part
+    cust_order = g.edges.filter(
+        (F.col("dst") >= _ORDER) & (F.col("dst") < _PART)
+    )  # customer -> order
+    reach = (
+        order_part.select(F.col("src").alias("order_id"), F.col("dst").alias("id"))
+        .join(
+            cust_order.select(
+                F.col("src").alias("cust_id"), F.col("dst").alias("order_id")
+            ),
+            "order_id",
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("cust_id").alias("n_customers"),
+        )
+    )
+    return (
+        reach.orderBy(F.col("n_orders").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", "n_orders", "n_customers")
+    )

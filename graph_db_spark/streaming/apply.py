@@ -122,3 +122,20 @@ def stream_sliding_counts(
     return ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    events_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion-time twin of the
+    batch ``dedup_exact_documents`` operator: keep the first arrival per
+    key, where state for a key is droppable once the watermark passes it
+    (``dropDuplicatesWithinWatermark``, so state is bounded by the
+    watermark horizon instead of growing forever — the property that
+    keeps a 100 TB ingest's dedup state in memory)."""
+    key_cols = key_cols or ["event_id"]
+    ev = _event_stream(spark, events_dir).withWatermark("ts", watermark)
+    return ev.dropDuplicatesWithinWatermark(key_cols)

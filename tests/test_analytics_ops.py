@@ -387,3 +387,34 @@ def test_asof_join_grouped_tolerance(spark):
         ).collect()
     }
     assert fwd == {(1, 10): "c", (1, 5): "b", (2, 7): "d", (3, 1): None}
+
+
+def test_stream_dedup_exact(spark, tmp_path, sf_dir):
+    """Duplicate events injected into the stream collapse to one row per
+    event_id; count matches the batch distinct."""
+    import os
+    import shutil
+
+    from graph_db_spark.streaming.apply import stream_dedup_exact
+
+    src = str(tmp_path / "dup_events")
+    os.makedirs(src)
+    # the same events file under two names: every event_id arrives twice
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events_dup.parquet")
+
+    ded = stream_dedup_exact(spark, src)
+    q = (
+        ded.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_out").collect()[0]
+        n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert got["total"] == got["n"] == n_batch
+    finally:
+        q.stop()
