@@ -178,3 +178,24 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_simhash_banded_no_cross_product(spark, sf_dir):
+    """SimHash banded near-dup must generate candidates via the
+    (band, bucket) equi-join — no cross product anywhere in the plan."""
+    from graph_db_spark.plans import explain_str
+
+    df = REGISTRY["dedup_simhash_banded"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_part_popularity_uses_take_ordered(spark, sf_dir):
+    """The hub top-20 must be a distributed TakeOrdered (partial top-k
+    per partition + driver merge), never a global sort."""
+    from graph_db_spark.plans import explain_str
+
+    df = REGISTRY["graph_part_popularity"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
