@@ -25,6 +25,9 @@ from graph_db_spark.functions.text import WHITESPACE, shingle_array, ws_tokens
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id, token) pairs, whitespace-tokenized."""
+    from graph_db_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -39,6 +42,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     consecutive words joined by one space) — the standard near-dup unit:
     unigram sets are too coarse (any two docs over a shared vocabulary look
     similar); shingles capture word order."""
+    from graph_db_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("id"), F.explode(shingle_array(F.col(text_col), k)).alias("token")
     )
@@ -185,22 +191,25 @@ def simhash_near_dup_pairs(
     Hamming verify touches candidate pairs only.
     """
     width = n_bits // bands
+    # Carry the full signature through the band explode: the self-join's
+    # two sides are then the *same* subplan shuffled on the same keys, so
+    # Spark's ReuseExchange computes the signature aggregation once — and
+    # the Hamming verify needs no extra joins back to the signatures.
     bandse = sigs.select(
         "id",
+        "simhash",
         F.posexplode(
             F.array(*[F.substring("simhash", k * width + 1, width) for k in range(bands)])
         ).alias("k", "bucket"),
     )
-    a = bandse.select(F.col("id").alias("a"), "k", "bucket")
-    b = bandse.select(F.col("id").alias("b"), "k", "bucket")
+    a = bandse.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "k", "bucket")
+    b = bandse.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "k", "bucket")
     cand = (
         a.join(b, ["k", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .select("a", "b", "sig_a", "sig_b")
         .distinct()
     )
-    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"))
     hd = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(n_bits)),
@@ -208,9 +217,4 @@ def simhash_near_dup_pairs(
             != F.substring(F.col("sig_b"), i, F.lit(1)),
         )
     )
-    return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .select("a", "b", hd.alias("hd"))
-        .filter(F.col("hd") <= max_hamming)
-    )
+    return cand.select("a", "b", hd.alias("hd")).filter(F.col("hd") <= max_hamming)

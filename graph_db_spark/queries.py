@@ -2446,8 +2446,9 @@ def decontam_ngram_overlap(spark, sf_dir):
     the (doc_id, gram) hits — not the text — reach the final groupBy.
     """
     from graph_db_spark.functions.text import shingle_array
+    from graph_db_spark.session import spread_small_input
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id", F.explode(shingle_array(F.lower(F.col("text")), 4)).alias("gram")
     )
@@ -3011,3 +3012,182 @@ def graph_part_popularity(spark, sf_dir):
         .limit(20)
         .select("id", "n_orders", "n_customers")
     )
+
+
+@q(
+    "source_token_drift",
+    r"""
+    WITH tok AS (SELECT source, t AS token FROM (
+        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents)
+        WHERE t <> ''),
+    corpus AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM corpus),
+    per AS (SELECT source, token, count(*) AS ns FROM tok GROUP BY source, token),
+    stot AS (SELECT source, CAST(sum(ns) AS BIGINT) AS ns_total FROM per GROUP BY source),
+    grid AS (SELECT s.source, c.token, c.n, coalesce(p.ns, 0) AS ns
+             FROM (SELECT DISTINCT source FROM tok) s
+             CROSS JOIN corpus c
+             LEFT JOIN per p ON p.source = s.source AND p.token = c.token)
+    SELECT g.source,
+           CAST(sum(abs((g.ns * 1000000) // st.ns_total - (g.n * 1000000) // t.n_total)) AS BIGINT) AS l1_micro
+    FROM grid g JOIN stot st USING (source) CROSS JOIN tot t
+    GROUP BY g.source
+    """,
+)
+def source_token_drift(spark, sf_dir):
+    """Distribution-shift detection per source: L1 distance between each
+    source's token distribution and the corpus distribution, in exact
+    integer micro-probability units (floor division — no float summation,
+    so the metric is engine- and order-exact). The monitoring pass that
+    flags a source whose content drifted from the mixture it was sampled
+    for.
+
+    100 TB shape: two grouped counts (map-side combinable); the
+    (source × vocabulary) evaluation grid is vocabulary-bounded — sources
+    are a tiny broadcast side against the corpus vocab frame, and no
+    document text ever reaches the join."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    per = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ns"))
+    stot = per.groupBy("source").agg(F.sum("ns").alias("ns_total"))
+    n_total = corpus.agg(F.sum("n").alias("n_total"))
+    sources = tok.select("source").distinct()
+    grid = (
+        sources.crossJoin(corpus)
+        .join(per, ["source", "token"], "left")
+        .withColumn("ns", F.coalesce(F.col("ns"), F.lit(0)))
+    )
+    return (
+        grid.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("(ns * 1000000) DIV ns_total")
+                    - F.expr("(n * 1000000) DIV n_total")
+                )
+            ).alias("l1_micro")
+        )
+    )
+
+
+@q(
+    "bpe_merge_pair_counts",
+    r"""
+    WITH tok AS (SELECT t AS token FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents) WHERE t <> ''),
+    wc AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    pairs AS (SELECT substr(token, i+1, 2) AS pair, CAST(sum(n) AS BIGINT) AS n_pair
+              FROM wc, unnest(range(len(token) - 1)) AS r(i)
+              GROUP BY pair)
+    SELECT pair, n_pair FROM (
+      SELECT *, row_number() OVER (ORDER BY n_pair DESC, pair) AS rk FROM pairs)
+    WHERE rk <= 20
+    """,
+)
+def bpe_merge_pair_counts(spark, sf_dir):
+    """The BPE tokenizer-fit kernel: corpus-wide adjacent-symbol pair
+    counts (the statistic behind each BPE merge step), computed over the
+    word-frequency table rather than raw tokens — the standard
+    train-a-tokenizer-at-scale trick (vocabulary-sized input, corpus
+    occurrence counts carried as weights). Top-20 pairs by count.
+
+    100 TB shape: the word-frequency table is one map-side-combinable
+    count; pair explosion runs over vocabulary (bounded), not the
+    corpus; top-k is TakeOrdered."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        wc.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("token") - 1),
+                    lambda i: F.substring("token", i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n_pair"))
+    )
+    return pairs.orderBy(F.col("n_pair").desc(), F.col("pair").asc()).limit(20)
+
+
+@q(
+    "ann_int8_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e),
+    stats AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM pairs GROUP BY dim),
+    q AS (SELECT p.vec_id, p.dim,
+                 CAST(least(floor((p.x - s.lo) * 255.0 / (s.hi - s.lo)), 255) AS BIGINT) AS qv
+          FROM pairs p JOIN stats s USING (dim)),
+    d AS (SELECT qa.vec_id AS qid, qb.vec_id AS nid,
+                 CAST(sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS dist2
+          FROM q qa JOIN q qb ON qa.dim = qb.dim AND qb.vec_id <> qa.vec_id
+          WHERE qa.vec_id < 5
+          GROUP BY qid, nid)
+    SELECT qid, nid, dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist2, nid) AS rk FROM d)
+    WHERE rk <= 5
+    """,
+)
+def ann_int8_topk(spark, sf_dir):
+    """Quantized-domain ANN: per-dim int8 codes (the embedding_quantize
+    fit) and exact integer squared-L2 distances over the codes — the
+    memory-bandwidth scale path (4× smaller vectors than float32, and
+    every distance is a BIGINT, so ordering is engine-exact with no
+    float-sum ambiguity). Top-5 per query vector, nid tie-break.
+
+    100 TB shape: the per-dim fit is one grouped agg broadcast back as
+    two 64-long arrays; codes are built scan-side (no explode shuffle);
+    the 5 query code-arrays broadcast; the distance kernel is a codegen'd
+    zip_with/aggregate over the corpus scan."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pairs = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    stats = pairs.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    stats_row = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "lo"))), lambda s: s["lo"]
+        ).alias("lo_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "hi"))), lambda s: s["hi"]
+        ).alias("hi_arr"),
+    )
+    code = F.expr(
+        "transform(v, (x, i) -> CAST(least(floor((x - lo_arr[i]) * 255.0 / (hi_arr[i] - lo_arr[i])), 255) AS BIGINT))"
+    )
+    coded = e.crossJoin(F.broadcast(stats_row)).select("vec_id", code.alias("qv"))
+    qs = coded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qv_q")
+    )
+    d = (
+        coded.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.aggregate(
+                F.zip_with("qv_q", "qv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("nid").asc())
+    return d.select("qid", "nid", "dist2", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= 5
+    ).select("qid", "nid", "dist2")

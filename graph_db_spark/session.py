@@ -76,3 +76,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "embeddings",
     ]
     return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def spread_small_input(df, factor: int = 1):
+    """Repartition *df* to the cluster's parallelism iff it scans fewer
+    partitions than that — the guard for single-file / single-row-group
+    inputs whose downstream per-row work (explode + hashing) would
+    otherwise run as one task.
+
+    At real scale the corpus arrives in thousands of splits and this is a
+    no-op (no shuffle is ever added to an already-wide input); on the
+    local fixtures it turns a 1-task scan stage into a full-width one at
+    the cost of shuffling the (small, by premise) raw input once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
