@@ -112,6 +112,10 @@ def main() -> None:
         "text_repetition_signals",
         "dedup_simhash_banded",
         "doc_lm_mean_prob",
+        # batch-6: quantized-domain ANN + the composed curated-corpus
+        # pipeline (clean -> decontaminate -> dedup -> pack)
+        "ann_int8_topk",
+        "pipeline_curated_pack",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

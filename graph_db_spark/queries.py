@@ -2698,7 +2698,9 @@ def text_repetition_signals(spark, sf_dir):
     doc_id — no cross-document state at all)."""
     from graph_db_spark.functions.text import ws_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     tk = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("tk"))
 
     def grams(k: int):
@@ -2775,7 +2777,9 @@ def doc_lm_mean_prob(spark, sf_dir):
     broadcast back over the corpus; documents never shuffle."""
     from graph_db_spark.functions.text import ws_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     tk = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("arr")).filter(
         F.size("arr") >= 2
     )
@@ -2836,7 +2840,9 @@ def boilerplate_ngrams(spark, sf_dir):
     (high-df tail) and broadcast for the per-doc membership count."""
     from graph_db_spark.functions.text import shingle_array
 
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     g = d.select("doc_id", F.explode(shingle_array(F.lower(F.col("text")), 2)).alias("gram"))
     boiler = (
         g.groupBy("gram")
@@ -3048,7 +3054,9 @@ def source_token_drift(spark, sf_dir):
     document text ever reaches the join."""
     from graph_db_spark.functions.text import ws_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     tok = d.select("source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
     corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     per = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ns"))
@@ -3101,7 +3109,9 @@ def bpe_merge_pair_counts(spark, sf_dir):
     corpus; top-k is TakeOrdered."""
     from graph_db_spark.functions.text import ws_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     wc = (
         d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
@@ -3191,3 +3201,99 @@ def ann_int8_topk(spark, sf_dir):
     return d.select("qid", "nid", "dist2", F.row_number().over(w).alias("rk")).filter(
         F.col("rk") <= 5
     ).select("qid", "nid", "dist2")
+
+
+def _curated_pack_oracle() -> str:
+    """Curated-corpus pipeline oracle: repetition + boilerplate +
+    decontamination + SimHash-dedup gates stitched from the stage
+    oracles, survivors packed per source (pack_sequences layout)."""
+    rep = REGISTRY["text_repetition_signals"].oracle
+    bo = REGISTRY["boilerplate_ngrams"].oracle
+    de = REGISTRY["decontam_ngram_overlap"].oracle
+    du = REGISTRY["dedup_simhash_banded"].oracle
+    return f"""
+    WITH rep AS ({rep}),
+    bo AS ({bo}),
+    dec AS ({de}),
+    dup AS ({du}),
+    kept AS (
+      SELECT d.doc_id, d.source, r.n_tok
+      FROM documents d
+      JOIN rep r USING (doc_id)
+      JOIN bo b USING (doc_id)
+      LEFT JOIN (SELECT DISTINCT doc_id, 1 AS hit FROM dec) h USING (doc_id)
+      LEFT JOIN (SELECT DISTINCT dup.b AS doc_id, 1 AS isdup FROM dup) x USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
+        AND r.top_token_frac <= 0.18
+        AND b.boiler_frac <= 0.10
+        AND h.hit IS NULL AND x.isdup IS NULL),
+    s AS (SELECT doc_id, source, n_tok,
+                 CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM kept)
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+           strt // 256 AS pack_id, strt % 256 AS pack_offset
+    FROM s
+    """
+
+
+@q("pipeline_curated_pack", _curated_pack_oracle())
+def pipeline_curated_pack(spark, sf_dir):
+    """The curated-corpus pipeline end-to-end, v2 of the composed story:
+    repetition-quality gate + boilerplate gate + benchmark
+    decontamination + SimHash near-dup removal (keep the lower doc_id of
+    each close pair), then contiguous per-source sequence packing of the
+    survivors — i.e. the full shape of a pretraining data build: clean →
+    decontaminate → dedup → lay out context windows.
+
+    100 TB shape: each gate is the already-audited stage plan (grouped
+    aggs + broadcast joins of small flag sets); the pack step is one
+    window cumsum per source partition. The decontam-hit and dup-loser
+    sets are small by construction and broadcast."""
+    rep = text_repetition_signals(spark, sf_dir).select(
+        "doc_id", "n_tok", "top_token_frac"
+    )
+    bo = boilerplate_ngrams(spark, sf_dir).select("doc_id", "boiler_frac")
+    dec = (
+        decontam_ngram_overlap(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    dup = (
+        dedup_simhash_banded(spark, sf_dir)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("isdup", F.lit(1))
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = (
+        d.join(rep, "doc_id")
+        .join(bo, "doc_id")
+        .join(F.broadcast(dec), "doc_id", "left")
+        .join(F.broadcast(dup), "doc_id", "left")
+        .filter(
+            (F.col("doc_id") % 97 != 0)
+            & (F.col("top_token_frac") <= 0.18)
+            & (F.col("boiler_frac") <= 0.10)
+            & F.col("hit").isNull()
+            & F.col("isdup").isNull()
+        )
+        .select("doc_id", "source", "n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        kept.select(
+            "doc_id",
+            "source",
+            F.col("n_tok").alias("n_tokens"),
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("strt"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("strt DIV 256").alias("pack_id"),
+            (F.col("strt") % 256).alias("pack_offset"),
+        )
+    )
