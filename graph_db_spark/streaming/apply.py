@@ -139,3 +139,41 @@ def stream_dedup_exact(
     key_cols = key_cols or ["event_id"]
     ev = _event_stream(spark, events_dir).withWatermark("ts", watermark)
     return ev.dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_click_error_join(
+    spark: SparkSession,
+    events_dir: str,
+    horizon: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream interval join: each click joins errors by the same
+    user within [click, click + horizon] — the streaming twin of the
+    batch as-of/range analysis (asof_join_click_error). Both sides carry
+    watermarks and the join condition bounds event time on both sides,
+    so Spark can age state out (the requirement for an unbounded run)."""
+    ev = _event_stream(spark, events_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            f"c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL {horizon}"
+        ),
+    )

@@ -418,3 +418,41 @@ def test_stream_dedup_exact(spark, tmp_path, sf_dir):
         assert got["total"] == got["n"] == n_batch
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path, sf_dir):
+    """Stream-stream click->error interval join produces exactly the
+    batch interval-join result on the same data."""
+    from graph_db_spark.streaming.apply import stream_click_error_join
+
+    q = (
+        stream_click_error_join(spark, f"{sf_dir}/events.parquet")
+        .writeStream.format("memory")
+        .outputMode("append")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM ss_join_out").collect()[0]["n"]
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    c = ev.filter("event_type = 'click'").selectExpr("user_id AS u", "ts AS cts")
+    e = ev.filter("event_type = 'error'").selectExpr("user_id AS v", "ts AS ets")
+    expected = c.join(
+        e,
+        (c.u == e.v)
+        & (e.ets >= c.cts)
+        & (e.ets <= c.cts + F.expr("INTERVAL 10 minutes")),
+    ).count()
+    assert got == expected and expected > 0

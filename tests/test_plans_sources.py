@@ -199,3 +199,52 @@ def test_part_popularity_uses_take_ordered(spark, sf_dir):
     df = REGISTRY["graph_part_popularity"].build(spark, sf_dir)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_simhash_banded_recall_exact(spark, sf_dir):
+    """Band-bucket candidates lose nothing: for Hamming <= 3 with 4
+    bands, every close pair agrees on at least one band (pigeonhole), so
+    the banded result equals the exact all-pairs computation."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = D.simhash_bits(D.shingles(d, "doc_id", "text", 3), n_bits=32).localCheckpoint()
+
+    banded = {
+        (r["a"], r["b"], r["hd"])
+        for r in D.simhash_near_dup_pairs(sigs, 32, 4, 3).collect()
+    }
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"))
+    hd = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.substring(F.col("sig_a"), i, F.lit(1))
+            != F.substring(F.col("sig_b"), i, F.lit(1)),
+        )
+    )
+    exact = {
+        (r["a"], r["b"], r["hd"])
+        for r in sa.crossJoin(sb)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hd.alias("hd"))
+        .filter(F.col("hd") <= 3)
+        .collect()
+    }
+    assert banded == exact and exact  # non-empty at sf0.001
+
+
+def test_spread_small_input_conditional(spark, sf_dir):
+    """spread_small_input widens a narrow scan to cluster parallelism but
+    is a no-op (no added shuffle) on an already-wide input."""
+    from graph_db_spark.session import spread_small_input
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert narrow.rdd.getNumPartitions() < par
+    assert spread_small_input(narrow).rdd.getNumPartitions() == par
+
+    wide = narrow.repartition(par * 2)
+    assert spread_small_input(wide) is wide
