@@ -2772,9 +2772,12 @@ def doc_lm_mean_prob(spark, sf_dir):
     and order-free (logs and float rounding are deliberately avoided:
     libm/round-half behavior differs across engines at half boundaries).
 
-    100 TB shape: the model is two grouped counts (map-side combinable)
-    whose result — the distinct-bigram table — is vocabulary-bounded and
-    broadcast back over the corpus; documents never shuffle."""
+    100 TB shape: everything derives from ONE (doc_id, w1, w2) grouped
+    count of the exploded bigrams — the model counts (pair, then unigram
+    as a rollup of pair) and the per-doc scoring both consume that
+    frame's exchange, so the corpus text is read and exploded exactly
+    once (ReuseExchange); the distinct-bigram model is
+    vocabulary-bounded and broadcast; documents never shuffle."""
     from graph_db_spark.functions.text import ws_tokens
 
     from graph_db_spark.session import spread_small_input
@@ -2790,19 +2793,20 @@ def doc_lm_mean_prob(spark, sf_dir):
         F.element_at("arr", F.col("p")).alias("w1"),
         F.element_at("arr", F.col("p") + 1).alias("w2"),
     )
-    uni = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bidoc = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("nd"))
+    pair = bidoc.groupBy("w1", "w2").agg(F.sum("nd").alias("c12"))
+    uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = pair.join(uni, "w1").select(
         "w1",
         "w2",
         F.round(F.col("c12").cast("double") / F.col("c1"), 6).cast("decimal(18,6)").alias("p6"),
     )
     return (
-        bi.join(F.broadcast(p), ["w1", "w2"])
+        bidoc.join(F.broadcast(p), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("p6") * 1_000_000).cast("long").alias("sum_p_micro"),
+            F.sum("nd").alias("n_bigrams"),
+            (F.sum(F.col("p6") * F.col("nd")) * 1_000_000).cast("long").alias("sum_p_micro"),
         )
         .select(
             "doc_id",
@@ -3058,11 +3062,15 @@ def source_token_drift(spark, sf_dir):
 
     d = spread_small_input(_t(spark, sf_dir, "documents"))
     tok = d.select("source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
-    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # Everything rolls up from the one (source, token) count, so the
+    # corpus is read and exploded exactly once (ReuseExchange on per's
+    # shuffle) — corpus counts, totals, and the source list are all
+    # aggregates of `per`.
     per = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("ns"))
+    corpus = per.groupBy("token").agg(F.sum("ns").alias("n"))
     stot = per.groupBy("source").agg(F.sum("ns").alias("ns_total"))
     n_total = corpus.agg(F.sum("n").alias("n_total"))
-    sources = tok.select("source").distinct()
+    sources = stot.select("source")
     grid = (
         sources.crossJoin(corpus)
         .join(per, ["source", "token"], "left")
