@@ -256,3 +256,19 @@ def test_set_value_reindexes_src_referencing_specs(spark):
     s.write(lambda tx: tx.set_value(t, "Tag", name="new"))
     assert s.read(lambda g: g.get_targets(t, "Tag_Item_Combined", "old:thing").count()) == 0
     assert s.read(lambda g: g.get_targets(t, "Tag_Item_Combined", "new:thing").count()) == 1
+
+
+def test_emission_copartition_equals_broadcast(spark, sf_dir):
+    """The co-partitioned index-emission path (broadcast_vertices=False —
+    what a true 100 TB load uses after pre-bucketing) emits exactly the
+    same edge_index as the broadcast path."""
+    from graph_db_spark.catalogue import tpch_graph_schema
+    from graph_db_spark.graph import emit_edge_index
+
+    from graph_db_spark.catalogue import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    co = emit_edge_index(g.edges, g.vertices, tpch_graph_schema(), broadcast_vertices=False)
+    bc = emit_edge_index(g.edges, g.vertices, tpch_graph_schema(), broadcast_vertices=True)
+    assert co.exceptAll(bc).isEmpty() and bc.exceptAll(co).isEmpty()
+    assert bc.count() > 0
