@@ -83,6 +83,8 @@ def lsh_candidate_pairs(
     rows_per_band = n_hashes // bands. The per-band equi-join hashes on the
     band key; at 100 TB this is the scale path (candidates ≪ all pairs).
     """
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
     rows = n_hashes // bands
     # All band keys in one projection + explode — a single scan of the
     # signature frame instead of one union branch per band.
@@ -190,6 +192,13 @@ def simhash_near_dup_pairs(
     signatures only, never text, and no cross product anywhere. The
     Hamming verify touches candidate pairs only.
     """
+    if n_bits % bands != 0:
+        raise ValueError(f"n_bits={n_bits} must divide evenly into bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < bands={bands} for exact recall "
+            "(pigeonhole: a close pair must agree on at least one full band)"
+        )
     width = n_bits // bands
     # Carry the full signature through the band explode: the self-join's
     # two sides are then the *same* subplan shuffled on the same keys, so
