@@ -107,6 +107,26 @@ def edge_index_schema() -> T.StructType:
     )
 
 
+def json_coerce(v, dt: T.DataType):
+    """Coerce a json.loads'd scalar to *dt* with ``from_json`` PERMISSIVE
+    semantics (verified against Spark: STRING accepts any scalar as its
+    JSON text; LONG accepts only integral JSON numbers; mismatches → null)
+    — so the driver-built emission fast path produces byte-identical rows
+    to the join path's from_json instead of crashing createDataFrame's
+    strict type verification on a mistyped staged payload."""
+    if v is None:
+        return None
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+        return v if isinstance(v, int) and not isinstance(v, bool) else None
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+    if isinstance(dt, T.StringType):
+        return v if isinstance(v, str) else json.dumps(v)
+    if isinstance(dt, T.BooleanType):
+        return v if isinstance(v, bool) else None
+    return v
+
+
 def emit_edge_index(
     edges: DataFrame,
     vertices: DataFrame,
@@ -574,7 +594,10 @@ class GraphSnapshot:
                     "dst": d,
                     "__src_kind": src_kinds[s],
                     "__dst_kind": minted[d][0],
-                    **{f.name: minted[d][1].get(f.name) for f in payload.fields},
+                    **{
+                        f.name: json_coerce(minted[d][1].get(f.name), f.dataType)
+                        for f in payload.fields
+                    },
                 }
                 for s, d in pairs
             ]

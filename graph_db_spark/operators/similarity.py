@@ -87,7 +87,12 @@ def lsh_cosine_topk(
     from graph_db_spark.functions.vector import hyperplane_signatures_multi
 
     first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first else 0
+    if first is None or first[0] is None:
+        # empty corpus (or null leading vector): no candidates, no matmul
+        return corpus.sparkSession.createDataFrame(
+            [], "qid LONG, nid LONG, cos DOUBLE, rank INT"
+        )
+    dim = len(first[0])
     cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col, dim=dim)
     qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col, dim=dim)
     cands = (

@@ -93,10 +93,10 @@ def asof_join_grouped(
     richer semantics. Per-key groups must fit executor memory (true for
     time-partitioned telemetry; pre-split hot keys by time bucket first
     at 100 TB)."""
-    collisions = set(right_cols) & {c for c in left.columns if c != key}
+    collisions = (set(right_cols) | {right_ts}) & {c for c in left.columns if c != key}
     if collisions:
         raise ValueError(
-            f"asof_join_grouped: right_cols {sorted(collisions)} collide "
+            f"asof_join_grouped: right columns {sorted(collisions)} collide "
             "with left columns — rename one side before joining"
         )
     import pandas as pd

@@ -1054,7 +1054,7 @@ def text_quality_score(spark, sf_dir):
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
     """,
 )
 def embedding_cosine_pairs_exact(spark, sf_dir):
@@ -1082,7 +1082,7 @@ def embedding_cosine_pairs_exact(spark, sf_dir):
     SELECT a.vec_id AS a, b.vec_id AS b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
     """,
 )
 def embedding_near_dup_pairs(spark, sf_dir):

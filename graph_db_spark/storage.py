@@ -96,6 +96,21 @@ class EventLogStorage:
             int(d) for d in os.listdir(self._ckpt_root) if d.isdigit()
         )
 
+    def _all_ckpt_versions(self) -> list[int]:
+        """Live + archived checkpoint versions. Recovery must scan BOTH:
+        normal operation keeps exactly one live checkpoint (checkpoint()
+        archives the rest), so a fallback that only looks at the live dir
+        has nothing to fall back to precisely when it matters."""
+        vers = set(self._ckpt_versions())
+        arch = os.path.join(self.path, "archive")
+        if os.path.isdir(arch):
+            vers.update(
+                int(d.split("-")[1])
+                for d in os.listdir(arch)
+                if d.startswith("checkpoint-")
+            )
+        return sorted(vers)
+
     def _log_dir(self, gen: int) -> str:
         return os.path.join(self._log_root, f"gen={gen}")
 
@@ -266,8 +281,11 @@ class EventLogStorage:
         """Read one checkpoint version, verifying it is complete: meta.json
         (the commit marker) parses, its schema stamp matches, and every
         table dir carries Spark's _SUCCESS marker. Raises on anything
-        short of a complete, schema-compatible version."""
+        short of a complete, schema-compatible version. Resolves archived
+        versions too (recovery may fall back past the live set)."""
         base = os.path.join(self._ckpt_root, str(version))
+        if not os.path.isdir(base):
+            base = os.path.join(self.path, "archive", f"checkpoint-{version}")
         with open(os.path.join(base, "meta.json")) as f:
             meta = json.load(f)
         stamp = meta.get("schema_hash")
@@ -289,11 +307,18 @@ class EventLogStorage:
         return snap, meta
 
     def _log_batches(self, gen: int) -> list[str]:
-        d = self._log_dir(gen)
-        if not os.path.isdir(d):
-            return []
+        # A generation's batches may live in the active log root OR the
+        # archive (generations < version-1 are archived on checkpoint);
+        # replay from an old fallback version needs both. Order across
+        # files is irrelevant to correctness: every event carries seq and
+        # apply_events folds the whole suffix by seq.
+        dirs = (self._log_dir(gen), os.path.join(self.path, "archive", f"log-{gen}"))
         return sorted(
-            os.path.join(d, b) for b in os.listdir(d) if b.startswith("batch-")
+            os.path.join(d, b)
+            for d in dirs
+            if os.path.isdir(d)
+            for b in os.listdir(d)
+            if b.startswith("batch-")
         )
 
     def _log_batches_from(self, gen_start: int) -> list[str]:
@@ -303,13 +328,20 @@ class EventLogStorage:
         generation AND every later generation reproduces the lost
         version's state exactly (seq is a total order and apply_events
         folds a concatenated suffix as sequential replay)."""
-        gens = sorted(
+        gens = {
             int(d.split("=")[1])
             for d in os.listdir(self._log_root)
-            if d.startswith("gen=") and int(d.split("=")[1]) >= gen_start
-        )
+            if d.startswith("gen=")
+        }
+        arch = os.path.join(self.path, "archive")
+        if os.path.isdir(arch):
+            gens.update(
+                int(d.split("-")[1])
+                for d in os.listdir(arch)
+                if d.startswith("log-")
+            )
         out: list[str] = []
-        for g in gens:
+        for g in sorted(g for g in gens if g >= gen_start):
             out.extend(self._log_batches(g))
         return out
 
@@ -326,7 +358,8 @@ class EventLogStorage:
         """
         self.flush()  # a buffered append must be on disk before we scan the log
         snap, meta, gen = None, None, 0
-        for version in reversed(self._ckpt_versions()):
+        all_versions = self._all_ckpt_versions()
+        for version in reversed(all_versions):
             try:
                 snap, meta = self._read_ckpt(version)
                 gen = version
@@ -335,6 +368,16 @@ class EventLogStorage:
                 raise  # wrong model is a caller error, not a corrupt file
             except Exception:
                 continue  # unreadable/partial — fall back to the next older
+        if snap is None and all_versions:
+            # Checkpoints were written but none (live or archived) is
+            # readable. Seeding empty_factory here would silently rebuild
+            # a partial store from whatever log suffix survives — loud
+            # failure is the only safe answer.
+            raise RuntimeError(
+                f"no readable checkpoint at {self.path} "
+                f"(versions present: {all_versions}); refusing to rebuild "
+                "from an incomplete event-log suffix"
+            )
         if snap is not None:
             next_id, next_seq, next_tx = meta["next_id"], meta["next_seq"], meta["next_tx"]
         else:
@@ -388,6 +431,7 @@ class EventLogStorage:
         generation's WAL suffix when *replay*). Archived versions are
         readable until ``clean_up()`` — columnar snapshots make time
         travel a pure read, no restore step."""
+        self.flush()  # queued async appends belong to the visible state
         base = os.path.join(self._ckpt_root, str(version))
         if not os.path.isdir(base):
             base = os.path.join(self.path, "archive", f"checkpoint-{version}")

@@ -439,7 +439,7 @@ def test_stream_stream_interval_join(spark, tmp_path, sf_dir):
     finally:
         q.stop()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is pinned session-wide by get_spark (session.py)
     ev = (
         spark.read.schema(
             "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"

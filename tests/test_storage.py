@@ -320,3 +320,59 @@ def test_compact_log(store, spark):
     s3 = store.load(_fresh)
     # s2's extra write appended an event; compare against s2's state
     assert s3.read(lambda g: g.get_stats()).as_tuple() == s2.read(lambda g: g.get_stats()).as_tuple()
+
+
+def test_load_falls_back_to_archived_checkpoint(store, spark):
+    """The realistic corruption case: normal operation leaves exactly ONE
+    live checkpoint (older versions are archived); if it is unreadable,
+    recovery must fall back to the newest readable ARCHIVED checkpoint
+    and replay the archived + live log generations on top."""
+    s = store.load(_fresh)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="a", uid=1)))
+    store.checkpoint(s)  # v1 → archived when v2 publishes
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="b", uid=2)))
+    store.checkpoint(s)  # v2 (the only live version)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="c", uid=3)))
+    store.flush()
+    want = s.read(lambda g: g.get_stats()).as_tuple()
+
+    os.remove(os.path.join(store.path, "checkpoints", "2", "meta.json"))
+
+    s2 = store.load(_fresh)
+    assert s2.read(lambda g: g.get_stats()).as_tuple() == want
+    assert s2.write(lambda tx: tx.new_node("Artist", name="d", uid=4)) > 0
+
+
+def test_load_raises_when_no_checkpoint_readable(store, spark):
+    """If checkpoints were written but NONE (live or archived) is
+    readable, load() must fail loudly — silently reseeding from
+    empty_factory + a partial log suffix would fabricate a store missing
+    committed data."""
+    s = store.load(_fresh)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="a", uid=1)))
+    store.checkpoint(s)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="b", uid=2)))
+    store.checkpoint(s)
+    store.flush()
+
+    os.remove(os.path.join(store.path, "checkpoints", "2", "meta.json"))
+    os.remove(os.path.join(store.path, "archive", "checkpoint-1", "meta.json"))
+
+    with pytest.raises(RuntimeError, match="no readable checkpoint"):
+        store.load(_fresh)
+
+
+def test_mistyped_payload_matches_join_path(store, spark):
+    """A staged payload whose JSON type mismatches the column (uid as a
+    string) must behave like the join path's from_json — null the field —
+    on the driver-built emission fast path too, not crash createDataFrame."""
+    s = store.load(_fresh)
+
+    def prog(tx):
+        n = tx.new_node("Artist", name="typed", uid="7")  # uid column is LONG
+        tx.add_target(ROOT_ID, n)
+        return n
+
+    nid = s.write(prog)
+    got = s.read(lambda g: g.get_value(nid))
+    assert got["name"] == "typed" and got["uid"] is None
