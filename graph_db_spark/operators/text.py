@@ -82,6 +82,92 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+# PII patterns chosen for regex-dialect portability (Java regex on the
+# Spark side, RE2 in the DuckDB oracle): character classes, bounded
+# quantifiers and \b only — no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII detection + redaction (the compliance pass every training-data
+    pipeline runs before tokenization): per document, count matches of
+    each PII category and replace them with ``[CATEGORY]`` placeholders.
+
+    Whole-stage-codegen expressions only (regexp_count/regexp_replace run
+    JVM-side) — one scan, zero shuffle, so at 100 TB this is a pure
+    map-stage that rides along with whatever scan already happens.
+    Categories are applied in sorted-name order so redaction is
+    deterministic when patterns overlap (email before ipv4 before phone:
+    an address inside an email match is consumed by the email rewrite
+    first on both engines).
+    """
+    pats = dict(sorted((patterns or PII_PATTERNS).items()))
+    out = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(F.regexp_count(out, F.lit(pat)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return df.select(F.col(id_col), *counts, out.alias("redacted"))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """RAG-style strided chunker: split the token stream into windows of
+    *chunk* tokens advancing by ``chunk - overlap``, re-joined to chunk
+    text. The tail chunk keeps whatever remains (>= 1 token), so every
+    token lands in at least one chunk.
+
+    Plan shape is scan -> project -> posexplode, no shuffle: chunking is
+    embarrassingly parallel per document and stays that way at 100 TB.
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got {overlap=} {chunk=}")
+    step = chunk - overlap
+    toks = F.filter(F.split(F.col(text_col), WS), lambda t: t != "")
+    starts = F.sequence(
+        F.lit(0),
+        # last start: largest multiple of step covering a non-empty,
+        # not-fully-overlapped tail; single short doc => one chunk at 0
+        F.greatest(
+            F.floor((F.size(toks) - F.lit(overlap) - 1) / F.lit(step)).cast("int"),
+            F.lit(0),
+        )
+        * step,
+        F.lit(step),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.col("__starts"), lambda s: F.slice(F.col("__toks"), s + 1, chunk))
+            ).alias("chunk_id", "__piece"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size("__piece").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "__piece").alias("chunk_text"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 3, keep: int = 4
 ) -> DataFrame:

@@ -1047,6 +1047,95 @@ def text_quality_score(spark, sf_dir):
 
 
 @q(
+    "pii_redact_documents",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             text || ' reach u' || doc_id || '@ex.org ip 10.0.'
+                  || (doc_id % 256) || '.7 tel 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+      FROM documents
+    ),
+    e AS (SELECT doc_id,
+                 len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+          FROM s),
+    i AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS t2
+          FROM e),
+    p AS (SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+                 regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t3
+          FROM i)
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(n_phone AS BIGINT) AS n_phone, t3 AS redacted
+    FROM p
+    """,
+)
+def pii_redact_documents(spark, sf_dir):
+    """PII detection + redaction over documents (operators/text.pii_scrub).
+
+    The synthetic corpus carries no real PII, so the fixture first appends
+    a deterministic PII suffix derived from doc_id (one email, one IPv4,
+    one phone per doc) — the redaction kernel then does real, verifiable
+    work: counts are checked per category and the fully-redacted text is
+    value-hashed against the oracle's staged regexp_replace chain."""
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    r = TX.pii_scrub(seeded)
+    return r.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    )
+
+
+@q(
+    "chunk_documents_strided",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+               FROM documents),
+    b AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) - 9) / 24.0) AS INT), 0) * 24 AS last_start
+          FROM t WHERE len(tk) > 0),
+    x AS (SELECT doc_id, tk, unnest(range(0, last_start + 1, 24)) AS s FROM b)
+    SELECT doc_id,
+           CAST(s // 24 AS BIGINT) AS chunk_id,
+           CAST(len(tk[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[s + 1 : s + 32], ' ') AS chunk_text
+    FROM x
+    """,
+)
+def chunk_documents_strided(spark, sf_dir):
+    """RAG-style strided chunking (operators/text.chunk_tokens): 32-token
+    windows advancing by 24 (8-token overlap), tail kept. Scan → project →
+    posexplode, zero shuffle — the chunk pass of a retrieval-indexing or
+    context-window-packing pipeline."""
+    c = TX.chunk_tokens(_t(spark, sf_dir, "documents"), chunk=32, overlap=8)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@q(
     "embedding_cosine_pairs_exact",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -456,3 +456,67 @@ def test_stream_stream_interval_join(spark, tmp_path, sf_dir):
         & (e.ets <= c.cts + F.expr("INTERVAL 10 minutes")),
     ).count()
     assert got == expected and expected > 0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from graph_db_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@sub.ex.org then 10.0.255.7 and 555-123-4567 end"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.ai; ip-ish 999.999.999.999 still matches shape"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["redacted"] == "mail [EMAIL] then [IPV4] and [PHONE] end"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["redacted"] == "no pii here at all"
+    # syntactic ipv4 shape is matched (no range validation — documented)
+    assert (got[3]["n_email"], got[3]["n_ipv4"]) == (2, 1)
+    assert got[4]["redacted"] == ""
+
+
+def test_chunk_tokens_stride_and_tail(spark):
+    from graph_db_spark.operators.text import chunk_tokens
+
+    toks80 = " ".join(f"t{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, toks80), (2, "a b c"), (3, ""), (4, " ".join(f"x{i}" for i in range(32)))],
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_tokens(df, chunk=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,24,48 — sizes 32,32,32; every token covered; tail not
+    # re-emitted as a 4th mostly-overlap chunk (start 72 would add nothing new)
+    sizes = [r["n_chunk_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])]
+    assert sizes == [32, 32, 32]
+    assert by_doc[1][0]["chunk_text"].startswith("t0 t1 ")
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(80)}
+    # short doc: one chunk, whole doc
+    assert [(r["chunk_id"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    # empty doc: no chunks
+    assert 3 not in by_doc
+    # exactly one window: no empty second chunk
+    assert [(r["chunk_id"], r["n_chunk_tokens"]) for r in by_doc[4]] == [(0, 32)]
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk=8, overlap=8)
+
+
+def test_pii_and_chunk_plans_no_shuffle(spark, sf_dir):
+    """Both kernels must stay pure map-stages: scan -> project(-explode),
+    zero Exchange — at 100 TB they ride along with any existing scan."""
+    from graph_db_spark.operators.text import chunk_tokens, pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for frame in (pii_scrub(d), chunk_tokens(d)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
