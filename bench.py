@@ -116,6 +116,8 @@ def main() -> None:
         # pipeline (clean -> decontaminate -> dedup -> pack)
         "ann_int8_topk",
         "pipeline_curated_pack",
+        # round-2 late additions: iterative k-core peeling
+        "graph_kcore_part_supplier",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -299,3 +299,53 @@ def pagerank(
     finally:
         e.unpersist()
         v.unpersist()
+
+
+def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int]:
+    """The k-core: the maximal subgraph in which every vertex has degree
+    >= k (over the undirected, deduplicated edge view). Returns
+    ((id, degree) of surviving vertices with their in-core degree, rounds).
+
+    Iterative peeling — the textbook algorithm, set-oriented: each round
+    computes every remaining vertex's degree in ONE groupBy over the
+    surviving edges (map-side-combinable count), drops vertices below k,
+    then semi-joins edges to survivors on both endpoints. Terminates when
+    a round drops nobody; ≤ |V| rounds in theory, a handful in practice
+    (each round removes a whole "shell" layer, not one vertex — the
+    peeling cascade depth, typically ≤ 10 even on power-law graphs).
+
+    Scale: state per round is the surviving edge list, hash-partitioned by
+    the groupBy/joins; degrees are (id, count) — fixed width. Lineage is
+    truncated per round with localCheckpoint (Catalyst has no recursion).
+    No reference analogue (getStats' BFS, Graph.hs:82-118, is the only
+    whole-graph pass there); included for parity with GraphX-style
+    analytics suites.
+    """
+    e = (
+        undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    n_edges = e.count()
+    for _ in range(max_iters):
+        deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+        survivors = deg.filter(F.col("degree") >= k)
+        e = (
+            e.join(survivors.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        # converged iff no edge was dropped (edge count is monotone ↓)
+        n_new = e.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    out = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+    return out, rounds

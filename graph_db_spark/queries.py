@@ -2982,6 +2982,57 @@ def sample_stratified_sources(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int, unroll: int) -> str:
+    """Unrolled peeling oracle: *unroll* fixed rounds of (degree >= k)
+    filtering as chained CTEs — exact iff the peel converges within
+    *unroll* rounds (4 at both driver SFs for k=4/qty>=48; asserted with
+    headroom by test_kcore_converges_within_oracle_unroll)."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT CAST({_PART} + l_partkey AS BIGINT) AS src,"
+        f" CAST({_SUPPLIER} + l_suppkey AS BIGINT) AS dst"
+        " FROM lineitem WHERE l_quantity >= 48)"
+    ]
+    for r in range(unroll):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT id, count(*) AS degree FROM "
+            f"(SELECT src AS id FROM e{r} UNION ALL SELECT dst FROM e{r}) GROUP BY id)"
+        )
+        ctes.append(f"v{r} AS (SELECT id FROM d{r} WHERE degree >= {k})")
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e "
+            f"JOIN v{r} a ON e.src = a.id JOIN v{r} b ON e.dst = b.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT id, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT src AS id FROM e{unroll} UNION ALL SELECT dst FROM e{unroll})
+    GROUP BY id HAVING count(*) >= {k}
+    """
+    )
+
+
+@q("graph_kcore_part_supplier", _kcore_oracle(k=4, unroll=8))
+def graph_kcore_part_supplier(spark, sf_dir):
+    """4-core of the part–supplier graph thinned to high-quantity
+    lineitems (pregel.kcore): iterative peeling, one degree-agg + two
+    semi-joins per round, converging in 4 rounds at both driver SFs.
+    The thinning filter gives the bipartite graph real degree variance —
+    without it every vertex clears k and the peel is vacuous."""
+    from graph_db_spark.pregel import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(
+            (F.lit(_PART) + F.col("l_partkey").cast("long")).alias("src"),
+            (F.lit(_SUPPLIER) + F.col("l_suppkey").cast("long")).alias("dst"),
+        )
+        .distinct()
+    )
+    out, _rounds = kcore(edges, k=4)
+    return out
+
+
 @q(
     "graph_degree_histogram",
     f"""

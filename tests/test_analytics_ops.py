@@ -520,3 +520,38 @@ def test_pii_and_chunk_plans_no_shuffle(spark, sf_dir):
     for frame in (pii_scrub(d), chunk_tokens(d)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_kcore_peeling(spark):
+    from graph_db_spark.pregel import kcore
+
+    # triangle 1-2-3 with a pendant chain 3-4-5: the 2-core is exactly the
+    # triangle, reached after peeling 5 (round 1) then 4 (round 2).
+    # Duplicate / reversed / self-loop edges must not inflate degrees.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 5), (4, 4)],
+        "src LONG, dst LONG",
+    )
+    out, rounds = kcore(edges, k=2)
+    got = {r["id"]: r["degree"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert rounds == 3  # two peel rounds + the convergence-confirming round
+
+    empty, _ = kcore(edges, k=3)
+    assert empty.count() == 0
+
+
+def test_kcore_converges_within_oracle_unroll(spark, sf_dir):
+    """The unrolled DuckDB oracle for graph_kcore_part_supplier is exact
+    only if the peel converges within its 8 unrolled rounds — assert the
+    actual round count with headroom."""
+    from graph_db_spark.pregel import kcore
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").alias("src"), (F.lit(10**9) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    _, rounds = kcore(edges, k=4)
+    assert rounds <= 8, rounds
