@@ -376,3 +376,71 @@ def test_mistyped_payload_matches_join_path(store, spark):
     nid = s.write(prog)
     got = s.read(lambda g: g.get_value(nid))
     assert got["name"] == "typed" and got["uid"] is None
+
+
+_CRASH_WRITER = r"""
+import sys, json
+sys.path.insert(0, {repo!r})
+from graph_db_spark.session import get_spark
+from graph_db_spark.catalogue import catalogue_schema
+from graph_db_spark.graph import GraphSnapshot
+from graph_db_spark.model import ROOT_ID
+from graph_db_spark.storage import EventLogStorage
+
+spark = get_spark(app_name="crash_writer", cpus="4", shuffle_partitions=4)
+store = EventLogStorage(spark, {path!r}, catalogue_schema())
+s = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+for i in range({n}):
+    s.write(lambda tx: tx.add_target(
+        ROOT_ID, tx.new_node("Artist", name=f"crash{{}}".format(i), uid=100 + i)))
+    store.flush()  # commit i is durable once flushed
+    print(f"COMMIT {{}}".format(i), flush=True)
+print("DONE", flush=True)
+"""
+
+
+def test_crash_between_commits(store, spark, tmp_path):
+    """The reference's stubbed crash-interruption property
+    (executables/APITests.hs:70), for real: SIGKILL a writer process
+    mid-run, then recover. The recovered state must be exactly the state
+    after SOME prefix of the committed writes — every flushed commit
+    survives, no partial commit is visible — and the store must accept
+    new writes."""
+    import signal
+    import subprocess
+    import time
+
+    path = os.path.join(str(tmp_path), "store")
+    script = _CRASH_WRITER.format(repo=os.path.dirname(os.path.dirname(__file__)), path=path, n=30)
+    proc = subprocess.Popen(
+        ["python", "-c", script], stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+    )
+    flushed = -1
+    try:
+        # read until a few commits are durable, then SIGKILL with a short
+        # delay so the kill lands mid-commit often
+        for line in proc.stdout:
+            if line.startswith("COMMIT"):
+                flushed = int(line.split()[1])
+                if flushed >= 3:
+                    time.sleep(0.37)  # land inside commit ~4/5's work
+                    break
+            if line.startswith("DONE"):  # writer outran us — still a valid run
+                break
+        proc.send_signal(signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+    assert flushed >= 3, "writer made no progress before the kill — fixture broken"
+
+    crashed_store = EventLogStorage(spark, path, catalogue_schema())
+    s2 = crashed_store.load(_fresh)
+    nodes, edges, index = s2.read(lambda g: g.get_stats()).as_tuple()
+    c = nodes - 1  # commits recovered: each adds exactly one Artist node
+    assert c >= flushed + 1, f"flushed commit lost: recovered {c}, saw COMMIT {flushed}"
+    assert c <= 30
+    assert edges == c  # prefix consistency: one add_target edge per commit
+    # the store keeps working after recovery
+    nid = s2.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="post", uid=999)))
+    assert nid > 0
+    s3 = crashed_store.load(_fresh)
+    assert s3.read(lambda g: g.get_stats()).as_tuple()[0] == nodes + 1
