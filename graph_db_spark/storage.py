@@ -312,6 +312,10 @@ class EventLogStorage:
         # replay from an old fallback version needs both. Order across
         # files is irrelevant to correctness: every event carries seq and
         # apply_events folds the whole suffix by seq.
+        #
+        # Spark's _SUCCESS marker is the WAL commit point: a writer killed
+        # mid-append leaves a batch dir without it, and that batch was by
+        # definition never acknowledged — it must not replay.
         dirs = (self._log_dir(gen), os.path.join(self.path, "archive", f"log-{gen}"))
         return sorted(
             os.path.join(d, b)
@@ -319,7 +323,27 @@ class EventLogStorage:
             if os.path.isdir(d)
             for b in os.listdir(d)
             if b.startswith("batch-")
+            and os.path.exists(os.path.join(d, b, "_SUCCESS"))
         )
+
+    def _sweep_aborted_batches(self) -> None:
+        """Remove batch dirs a killed writer left without the _SUCCESS
+        commit marker. Recovery must clear them: the recovered session's
+        seq counter is derived from committed batches only, so its next
+        append would otherwise collide with the orphaned path. Safe under
+        the single-writer lock — nothing else can be mid-write here."""
+        for d in os.listdir(self._log_root):
+            gen_dir = os.path.join(self._log_root, d)
+            if not os.path.isdir(gen_dir):
+                continue
+            for b in os.listdir(gen_dir):
+                full = os.path.join(gen_dir, b)
+                if (
+                    b.startswith("batch-")
+                    and os.path.isdir(full)
+                    and not os.path.exists(os.path.join(full, "_SUCCESS"))
+                ):
+                    shutil.rmtree(full)
 
     def _log_batches_from(self, gen_start: int) -> list[str]:
         """Every log batch in generation >= *gen_start*, ordered by
@@ -357,6 +381,7 @@ class EventLogStorage:
         GraphDB.hs:128-131).
         """
         self.flush()  # a buffered append must be on disk before we scan the log
+        self._sweep_aborted_batches()
         snap, meta, gen = None, None, 0
         all_versions = self._all_ckpt_versions()
         for version in reversed(all_versions):
@@ -444,15 +469,7 @@ class EventLogStorage:
             self.schema,
         )
         if replay:
-            batches = self._log_batches(version)
-            if not batches:
-                arch_log = os.path.join(self.path, "archive", f"log-{version}")
-                if os.path.isdir(arch_log):
-                    batches = sorted(
-                        os.path.join(arch_log, b)
-                        for b in os.listdir(arch_log)
-                        if b.startswith("batch-")
-                    )
+            batches = self._log_batches(version)  # active + archived, committed only
             if batches:
                 events = self.spark.read.schema(EVENT_SCHEMA).parquet(*batches)
                 snap = snap.apply_events(events).materialize()
@@ -518,7 +535,10 @@ class GenericEventStore:
         d = self._log_dir(gen)
         if os.path.isdir(d):
             batches = sorted(
-                os.path.join(d, b) for b in os.listdir(d) if b.startswith("batch-")
+                os.path.join(d, b)
+                for b in os.listdir(d)
+                if b.startswith("batch-")
+                and os.path.exists(os.path.join(d, b, "_SUCCESS"))
             )
             if batches:
                 events = self.spark.read.schema(self.event_schema).parquet(*batches)

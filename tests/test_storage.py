@@ -392,9 +392,9 @@ store = EventLogStorage(spark, {path!r}, catalogue_schema())
 s = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
 for i in range({n}):
     s.write(lambda tx: tx.add_target(
-        ROOT_ID, tx.new_node("Artist", name=f"crash{{}}".format(i), uid=100 + i)))
+        ROOT_ID, tx.new_node("Artist", name="crash{{}}".format(i), uid=100 + i)))
     store.flush()  # commit i is durable once flushed
-    print(f"COMMIT {{}}".format(i), flush=True)
+    print("COMMIT {{}}".format(i), flush=True)
 print("DONE", flush=True)
 """
 
@@ -440,7 +440,12 @@ def test_crash_between_commits(store, spark, tmp_path):
     assert c <= 30
     assert edges == c  # prefix consistency: one add_target edge per commit
     # the store keeps working after recovery
-    nid = s2.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="post", uid=999)))
+    def post_prog(tx):
+        n = tx.new_node("Artist", name="post", uid=999)
+        tx.add_target(ROOT_ID, n)
+        return n
+
+    nid = s2.write(post_prog)
     assert nid > 0
     s3 = crashed_store.load(_fresh)
     assert s3.read(lambda g: g.get_stats()).as_tuple()[0] == nodes + 1
