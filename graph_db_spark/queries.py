@@ -3445,3 +3445,295 @@ def pipeline_curated_pack(spark, sf_dir):
             (F.col("strt") % 256).alias("pack_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 — relational breadth: the TPC-H optimizer-shape suite
+# (SURVEY §2.5-§2.7 superset; each exercises a distinct Catalyst plan shape
+# the traversal/pipeline queries don't: disjunctive two-dimension joins,
+# multi-way star joins with expression aggs, ranked top-k membership,
+# correlated scalar-aggregate filters, and HAVING-subquery semi-joins.)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume. The plan
+    shape this adds: the same dimension (nation) joined twice under a
+    disjunctive cross-pair predicate — Catalyst must keep both broadcast
+    copies alive and evaluate the OR after both joins.
+
+    100 TB shape: nation is broadcast twice (25 rows); the fact table is
+    filtered on shipdate at the scan (pushed down), and the only shuffle
+    is the final 3-key grouped agg with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the driver schema has no partsupp, so
+    profit is discounted revenue): 5-way star join with a LIKE-filtered
+    part dimension, grouped by supplier nation and order year.
+
+    100 TB shape: part/supplier/nation broadcast (the LIKE prune happens
+    before the join, shrinking part further); lineitem never shuffles
+    until the final 2-key agg. Catalyst orders the star joins from the
+    selective dimension outward under CBO/AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY c_custkey, c_name, n_name)
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk FROM rev)
+    WHERE rk <= 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. Revenue is decimal-summed (exact, order-independent) so the
+    ranking — and therefore top-20 *membership* — is deterministic; ties
+    break on c_custkey.
+
+    100 TB shape: the returnflag+date filters push to the scans; one
+    grouped agg shuffled on custkey; the global top-20 is a TakeOrdered
+    over per-partition top-20s, never a full sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    gated by a correlated per-part average — rewritten (as every engine's
+    optimizer does) into a grouped agg + equi-join back to the fact table.
+    l_quantity is integral, so sum(l_quantity) is exact in double and the
+    0.2*avg comparison is bitwise identical across engines.
+
+    100 TB shape: the per-part avg aggregates map-side before one shuffle
+    on partkey; the brand filter broadcasts part; no row explosion."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pavg, li.l_partkey == pavg.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")) / 7.0, 4)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 280)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders via an IN subquery with a
+    HAVING aggregate — planned as a semi-join against the grouped fact
+    table. Quantity sums are integral-exact.
+
+    100 TB shape: the HAVING agg and the outer agg share the l_orderkey
+    shuffle key (one exchange reused); customer joins after the heavy
+    filter has shrunk orders to the hot few."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 280)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+@q(
+    "q2_min_price_supplier",
+    """
+    WITH mp AS (
+      SELECT l_partkey AS pk, min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_partkey, p_name, min_price, min(s_suppkey) AS supp_key
+    FROM lineitem
+    JOIN mp   ON pk = l_partkey AND l_extendedprice = min_price
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+    GROUP BY p_partkey, p_name, min_price
+    """,
+)
+def q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp table — supply price is the
+    lineitem extendedprice): for each small part, the supplier quoting
+    the minimum price. The correlated-min subquery becomes a grouped min
+    + join back on (partkey, price); ties resolve to the lowest suppkey
+    so the row set is deterministic.
+
+    100 TB shape: both the min-agg and the join-back shuffle on
+    l_partkey — one exchange, reused by AQE; part is broadcast after the
+    size prune."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    mp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(mp, (li.l_partkey == mp.pk) & (li.l_extendedprice == mp.min_price))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("p_partkey", "p_name", "min_price")
+        .agg(F.min("s_suppkey").alias("supp_key"))
+    )
