@@ -349,3 +349,99 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int
         .filter(F.col("degree") >= k)
     )
     return out, rounds
+
+
+def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection → (id, label).
+
+    Every vertex starts as its own community; each round, every vertex
+    simultaneously adopts the most frequent label among its neighbors
+    (undirected view), ties broken by the smallest label — the
+    deterministic variant of Raghavan et al.'s LPA (random tie-breaks
+    don't replay). Fixed iteration count: LPA has no convergence
+    guarantee under synchronous updates (bipartite oscillation), so a
+    fixed budget is the standard, replay-safe formulation — and is what
+    the unrolled SQL oracle mirrors.
+
+    Each round is one join (labels onto edges), one (dst, label) count —
+    map-side combinable — and one deterministic argmax via min over a
+    window-free groupBy trick: max_by(struct) ordering on
+    (cnt DESC, label ASC) folded as max(struct(cnt, -label)). Isolated
+    vertices keep their label via the left join. Lineage truncated per
+    round (Catalyst has no recursion).
+    """
+    e = undirected(edges).filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    v = e.select(F.col("src").alias("id")).distinct()
+    labels = v.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        neigh = e.join(labels.withColumnRenamed("id", "src"), "src")
+        counted = neigh.groupBy(F.col("dst").alias("id"), "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # deterministic argmax: max over (cnt, -label) picks highest count,
+        # then smallest label — a single max-agg, no window shuffle.
+        best = counted.groupBy("id").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m")
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(-F.col("m.nl"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank → (id, rank): the random walk teleports back
+    to the *seed set* instead of everywhere, so rank mass concentrates in
+    the seeds' neighborhoods — the similarity/recommendation primitive
+    (seeds = a user's items → ranked related nodes).
+
+    rank(v) = (1-α)·1[v ∈ seeds] + α·Σ rank(s)/outdeg(s). Same plan shape
+    as pagerank (one join + one map-side-combinable sum per round, lineage
+    truncated); only the base vector differs. *seeds* is (id) and is
+    expected tiny — it broadcasts into the per-round left join.
+    """
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .persist()
+    )
+    v = vertices.select("id").distinct().persist()
+    base = v.join(F.broadcast(seeds.select("id").withColumn("b", F.lit(1.0))), "id", "left")
+    base = base.select("id", F.coalesce(F.col("b"), F.lit(0.0)).alias("base")).persist()
+    ranks = base.select("id", F.col("base").alias("rank")).localCheckpoint(eager=True)
+    try:
+        for _ in range(n_iters):
+            contribs = (
+                e.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
+            )
+            ranks = (
+                base.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) * F.col("base")
+                        + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        e.unpersist()
+        v.unpersist()
+        base.unpersist()

@@ -3737,3 +3737,163 @@ def q2_min_price_supplier(spark, sf_dir):
         .groupBy("p_partkey", "p_name", "min_price")
         .agg(F.min("s_suppkey").alias("supp_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 — graph analytics breadth: communities, seeded ranking, link
+# prediction (Pregel suite extensions; GraphX-parity analytics on the
+# TPC-H-derived graphs)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(n_iters: int = 4) -> str:
+    """Unrolled synchronous label propagation: each iteration is the same
+    (join → neighbor-label count → deterministic argmax → left-join
+    update) the Spark side runs; ties break (count DESC, label ASC), so
+    every step is integer-exact and order-independent."""
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT CAST({_PART} + l_partkey AS BIGINT) AS src,"
+        f" CAST({_SUPPLIER} + l_suppkey AS BIGINT) AS dst"
+        " FROM lineitem WHERE l_quantity >= 48)",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT e.dst AS id, l.label, count(*) AS cnt"
+            f" FROM e JOIN l{i} l ON l.id = e.src GROUP BY e.dst, l.label)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT id, label FROM (SELECT id, label,"
+            f" row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rk"
+            f" FROM n{i}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"l{i + 1} AS (SELECT v.id, coalesce(b.label, v.label) AS label"
+            f" FROM l{i} v LEFT JOIN b{i} b USING (id))"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{n_iters}"
+
+
+@q("graph_label_propagation", _lpa_oracle(n_iters=4))
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation
+    (pregel.label_propagation) on the high-quantity part–supplier
+    bipartite graph — 4 fixed rounds, deterministic (count DESC, label
+    ASC) tie-break; the oracle unrolls the identical rounds as CTEs.
+
+    100 TB shape: each round is one edge⋈label join + one map-side-
+    combinable (id,label) count + one argmax-by-struct agg — no windows,
+    no driver data, lineage truncated per round."""
+    from graph_db_spark.pregel import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(
+            (F.lit(_PART) + F.col("l_partkey").cast("long")).alias("src"),
+            (F.lit(_SUPPLIER) + F.col("l_suppkey").cast("long")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, n_iters=4)
+
+
+def _ppr_oracle_sql(n_iters: int = 5, max_key: int = 500, seed: int = 1) -> str:
+    """Unrolled personalized PageRank (teleport to a single seed) on the
+    part chain graph — in-degree <= 2, so every float sum has <= 2
+    addends and is order-independent -> exact double equality."""
+    ctes = [
+        f"nodes AS (SELECT p_partkey AS id FROM part WHERE p_partkey <= {max_key})",
+        "edges AS (SELECT a.id AS src, b.id AS dst FROM nodes a "
+        "JOIN nodes b ON b.id = a.id + 1 OR b.id = a.id + 7)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"base AS (SELECT id, CASE WHEN id = {seed} THEN CAST(1.0 AS DOUBLE)"
+        f" ELSE CAST(0.0 AS DOUBLE) END AS b FROM nodes)",
+        "r0 AS (SELECT id, b AS rank FROM base)",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.id, (1 - 0.85) * n.b + 0.85 * coalesce(c.msum, 0) AS rank "
+            f"FROM base n LEFT JOIN (SELECT e.dst AS id, sum(p.rank / d.deg) AS msum "
+            f"FROM r{i} p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = e.src "
+            f"GROUP BY e.dst) c ON c.id = n.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM r{n_iters} WHERE rank > 0"
+    )
+
+
+@q("graph_personalized_ppr", _ppr_oracle_sql())
+def graph_personalized_ppr(spark, sf_dir):
+    """Personalized PageRank (pregel.personalized_pagerank) seeded at
+    part 1 on the part chain graph: rank mass decays outward from the
+    seed — the related-items/recommendation primitive. Oracle = the same
+    5 rounds unrolled; only reached vertices (rank > 0) are emitted so
+    the result is the seed's neighborhood, not the whole vertex set."""
+    from graph_db_spark.pregel import personalized_pagerank
+
+    nodes, edges = _part_chain_graph(spark, sf_dir, max_key=500)
+    seeds = nodes.filter(F.col("id") == 1)
+    ranks = personalized_pagerank(nodes, edges, seeds, n_iters=5, damping=0.85)
+    return ranks.filter(F.col("rank") > 0).select("id", F.round("rank", 9).alias("rank"))
+
+
+@q(
+    "graph_jaccard_link_prediction",
+    f"""
+    WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p, l_suppkey AS s
+               FROM lineitem WHERE l_quantity >= 48),
+    deg AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+    com AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS common
+            FROM e a JOIN e b ON a.s = b.s AND a.p < b.p
+            GROUP BY a.p, b.p)
+    SELECT part_a, part_b, CAST(common AS BIGINT) AS common,
+           round(common * 1.0 / (da.d + db.d - common), 6) AS jaccard
+    FROM com JOIN deg da ON da.p = part_a JOIN deg db ON db.p = part_b
+    WHERE common >= 2
+    """,
+)
+def graph_jaccard_link_prediction(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction: for part pairs sharing >= 2
+    suppliers in the high-quantity graph, |N(a)∩N(b)| / |N(a)∪N(b)| —
+    the classic common-neighbors score for 'parts that should be
+    co-sourced'. Counts are integer-exact; the single float division is
+    rounded identically in both engines.
+
+    100 TB shape: pair generation groups by the SHARED neighbor (one
+    shuffle on supplier), so cost is Σ deg(s)² over suppliers — the
+    standard hub risk; at scale hub suppliers get capped/salted before
+    pairing (same policy the PMI query applies to stopword tokens), which
+    the l_quantity >= 48 thinning stands in for here."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_partkey").cast("long").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select(F.col("p").alias("part_a"), "s")
+    b = e.select(F.col("p").alias("part_b"), "s")
+    com = (
+        a.join(b, "s")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("p").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("part_b"), F.col("d").alias("db"))
+    return (
+        com.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common",
+            F.round(F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

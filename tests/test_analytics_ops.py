@@ -555,3 +555,41 @@ def test_kcore_converges_within_oracle_unroll(spark, sf_dir):
     )
     _, rounds = kcore(edges, k=4)
     assert rounds <= 8, rounds
+
+
+def test_label_propagation_two_communities(spark):
+    """Two disjoint triangles: every vertex's neighbors all end up
+    carrying the triangle's min label, so LPA converges to one label per
+    triangle (and is stable across extra rounds)."""
+    from graph_db_spark.pregel import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)], "src LONG, dst LONG"
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(edges, n_iters=4).collect()}
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
+
+
+def test_label_propagation_tiebreak_deterministic(spark):
+    """A vertex with two equally-frequent neighbor labels adopts the
+    smaller one (count DESC, label ASC)."""
+    from graph_db_spark.pregel import label_propagation
+
+    edges = spark.createDataFrame([(5, 9), (7, 9)], "src LONG, dst LONG")
+    got = {r["id"]: r["label"] for r in label_propagation(edges, n_iters=1).collect()}
+    assert got[9] == 5  # neighbors {5, 7}, one vote each -> min label
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    """On a directed chain, rank decays monotonically with distance from
+    the seed, and unreached vertices hold rank 0."""
+    from graph_db_spark.pregel import personalized_pagerank
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id LONG")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (5, 0)], "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(0,)], "id LONG")
+    got = {r["id"]: r["rank"] for r in personalized_pagerank(verts, edges, seeds, n_iters=4).collect()}
+    assert got[0] > got[1] > got[2] > got[3] > 0
+    assert got[4] == 0.0 and got[5] == 0.0  # not reachable from the seed
