@@ -44,21 +44,41 @@ def get_spark(
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """Load the events table, whose parquet ``ts`` is TIMESTAMP(NANOS) —
-    unreadable by Spark's vectorized reader as a timestamp. We read nanos
-    as LONG (exact) and expose both:
+    """Load the events table and normalize its timestamp, exposing both:
       - ``ts_ns``  LONG       — exact nanosecond epoch, used for ordering,
                                 gap arithmetic, and second/hour bucketing
                                 (bit-for-bit reproducible in the oracle);
-      - ``ts``     TIMESTAMP  — microsecond-truncated, for display/windows.
+      - ``ts``     TIMESTAMP  — the instant as a session-tz timestamp, for
+                                display/windows.
+
+    The fixture's parquet ``ts`` has shipped in two physical encodings:
+    TIMESTAMP(NANOS) (unreadable by Spark's vectorized reader as a
+    timestamp — loaded as exact LONG nanos via the legacy conf) and
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (loads as TIMESTAMP_NTZ
+    on Spark 4.x). We branch on the *loaded* dtype so either encoding —
+    and either Spark major — produces identical ``ts_ns``/``ts`` columns.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # Lets genuine TIMESTAMP(NANOS) columns load as exact nanos longs
+        # instead of failing with PARQUET_TYPE_ILLEGAL. No effect on
+        # micros columns. Guarded: a future Spark may drop the conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long: the long IS the exact ns epoch
+        return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    # timestamp / timestamp_ntz: Spark timestamps carry at most micro
+    # precision, so micros*1000 is lossless. The ntz→ltz cast is an
+    # identity on the instant because the session timezone is UTC.
+    ts = F.col("ts").cast("timestamp")
+    return df.withColumn("ts_ns", F.unix_micros(ts) * F.lit(1000)).withColumn("ts", ts)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
