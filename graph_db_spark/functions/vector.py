@@ -107,29 +107,35 @@ def hyperplane_signatures_multi(
     batch matmul runs at memory bandwidth (the documented exception to
     "built-ins first" when the built-in encoding is structurally worse).
 
-    *dim* is probed from the first row when not given; vectors must share
-    that length.
+    When *dim* is not given, the sign matrix is derived executor-side
+    from each batch's vector length — the planes are pure functions of
+    constants, so every executor derives bit-identical planes and no
+    driver-side row probe (``.first()``) is ever needed. Vectors must
+    share one length; pass *dim* only to pin it explicitly.
     """
     import numpy as np
     import pandas as pd
 
-    if dim is None:
-        first = df.select(vec_col).first()
-        dim = len(first[0]) if first else 0
-    # dim × (tables·planes) sign matrix, plane-major within each table
-    W = np.array(
-        [
-            [plane_sign(f"t{t}:{p}|", d) for t in range(n_tables) for p in range(n_planes)]
-            for d in range(dim)
-        ],
-        dtype=np.float64,
-    )
+    def sign_matrix(d: int) -> "np.ndarray":
+        # d × (tables·planes) sign matrix, plane-major within each table
+        return np.array(
+            [
+                [plane_sign(f"t{t}:{p}|", dd) for t in range(n_tables) for p in range(n_planes)]
+                for dd in range(d)
+            ],
+            dtype=np.float64,
+        )
+
+    fixed_W = sign_matrix(dim) if dim is not None else None
 
     def op(batches):
+        W = fixed_W
         for pdf in batches:
             if pdf.empty:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            if W is None or W.shape[0] != X.shape[1]:
+                W = sign_matrix(X.shape[1])
             bits = (X @ W) > 0  # (n, tables·planes)
             ids = pdf["id"].to_numpy()
             out_ids, out_tables, out_buckets = [], [], []
@@ -141,6 +147,8 @@ def hyperplane_signatures_multi(
                 out_buckets.extend(strs)
             yield pd.DataFrame({"id": out_ids, "table": out_tables, "bucket": out_buckets})
 
-    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")).mapInPandas(
-        op, schema="id long, table int, bucket string"
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+        .filter(F.col("__vec").isNotNull())
+        .mapInPandas(op, schema="id long, table int, bucket string")
     )

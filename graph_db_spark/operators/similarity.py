@@ -86,15 +86,12 @@ def lsh_cosine_topk(
     """
     from graph_db_spark.functions.vector import hyperplane_signatures_multi
 
-    first = corpus.select(vec_col).first()
-    if first is None or first[0] is None:
-        # empty corpus (or null leading vector): no candidates, no matmul
-        return corpus.sparkSession.createDataFrame(
-            [], "qid LONG, nid LONG, cos DOUBLE, rank INT"
-        )
-    dim = len(first[0])
-    cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col, dim=dim)
-    qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col, dim=dim)
+    # No driver-side dim probe: the sign matrix is derived executor-side
+    # from each batch's vector length (pure function of constants, so all
+    # executors agree). An empty / all-null corpus simply yields an empty
+    # candidate set through the joins below.
+    cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col)
+    qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col)
     cands = (
         cs.withColumnRenamed("id", "nid")
         .join(F.broadcast(qs.withColumnRenamed("id", "qid")), ["table", "bucket"])
