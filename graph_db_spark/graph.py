@@ -717,6 +717,9 @@ class WriteTx:
     # -- plumbing ----------------------------------------------------------
 
     def _stage(self, op: str, node_id=None, src=None, dst=None, kind=None, value=None):
+        # reads after this staging must rebuild the dirty view — a cached
+        # one would show a stale prefix (read-write-read inside one tx)
+        self._dirty_view = None
         self._s._next_seq += 1
         self.events.append(
             {
@@ -822,8 +825,22 @@ class GraphSession:
     def write(self, fn, materialize: bool = True):
         """GraphDB.hs:285-289 — run a write program, commit its staged
         events (one set-oriented apply + optional WAL append)."""
-        tx = WriteTx(self)
+        tx = self.begin()
         result = fn(tx)
+        self.commit(tx, materialize=materialize)
+        return result
+
+    def begin(self) -> "WriteTx":
+        """Open an interactive write transaction. Ops stage against it;
+        ``commit`` applies them. The split (vs the closed ``write(fn)``
+        program form) exists for the remote session layer, whose clients
+        stream ops one request at a time (Server.hs:17-64's command
+        processor) and only commit on the protocol's Finish."""
+        return WriteTx(self)
+
+    def commit(self, tx: "WriteTx", materialize: bool = True) -> None:
+        """Apply a transaction's staged events as one set-oriented commit
+        (+ optional async WAL append)."""
         self._next_tx += 1
         if tx.events:
             ev_df = tx.events_df()
@@ -865,4 +882,3 @@ class GraphSession:
                 self.storage.persist_events_async(
                     ev_df, first_seq=tx.events[0]["seq"]
                 )
-        return result

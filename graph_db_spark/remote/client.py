@@ -1,0 +1,164 @@
+"""RemoteGraphSession — client side of the remote session layer.
+
+Behavioral analogue of Client.hs:71-117 + GraphDB.hs:160-232's
+runClientSession: connect to a :class:`~graph_db_spark.remote.server.
+GraphServer` by unix-socket path or (host, port, credentials), handshake
+protocol+model versions, then run transactions::
+
+    with RemoteGraphSession(socket_path=p, model_version=3) as db:
+        def prog(tx):
+            root = tx.get_root()
+            a = tx.new_node("Artist", name="X", uid=7)
+            tx.add_target(root, a)
+            return tx.get_targets(root, "Catalogue_Artist_Name", "X")
+        refs = db.write(prog)
+
+Node handles inside a transaction are opaque ints scoped to that
+transaction (the server's ref vector) — exactly the reference's client
+node semantics (``SessionNode ClientSession u = Int``, GraphDB.hs:163).
+
+Failures raise the taxonomy in :mod:`graph_db_spark.remote.protocol`:
+UnreachableURL / ServerIsBusy / Unauthenticated / Incompatible /
+ConnectionFailure / CorruptRequest (GraphDB.hs:184-208).
+"""
+
+from __future__ import annotations
+
+import socket
+
+from graph_db_spark.remote import protocol as P
+
+
+class RemoteTx:
+    """The 9-op transaction surface, each op one request round-trip
+    (Client.hs:71-117's runAction)."""
+
+    def __init__(self, session: "RemoteGraphSession", write: bool):
+        self._s = session
+        self._write = write
+
+    def _act(self, op: str, **kw) -> dict:
+        r = self._s._request({"t": P.ACTION, "op": op, **kw})
+        if r.get("t") == P.ERROR:
+            if r.get("code") == "corrupt":
+                raise P.CorruptRequest(r.get("error", ""))
+            raise RuntimeError(r.get("error", "remote operation failed"))
+        return r
+
+    def get_root(self) -> int:
+        return self._act(P.GET_ROOT)["ref"]
+
+    def new_node(self, kind: str, **payload) -> int:
+        return self._act(P.NEW_NODE, kind=kind, value=payload)["ref"]
+
+    def get_value(self, ref: int) -> dict | None:
+        return self._act(P.GET_VALUE, ref=ref)["value"]
+
+    def set_value(self, ref: int, kind: str, **payload) -> None:
+        self._act(P.SET_VALUE, ref=ref, kind=kind, value=payload)
+
+    def get_targets(self, ref: int, idx_tag: str, idx_key=None) -> list[int]:
+        return self._act(P.GET_TARGETS, ref=ref, idx_tag=idx_tag, idx_key=idx_key)["refs"]
+
+    def add_target(self, src: int, dst: int) -> None:
+        self._act(P.ADD_TARGET, src=src, dst=dst)
+
+    def remove_target(self, src: int, dst: int) -> None:
+        self._act(P.REMOVE_TARGET, src=src, dst=dst)
+
+    def remove(self, ref: int) -> None:
+        self._act(P.REMOVE, ref=ref)
+
+    def get_stats(self) -> tuple[int, int, int]:
+        return tuple(self._act(P.GET_STATS)["stats"])
+
+
+class RemoteGraphSession:
+    """A connection to a GraphServer; run transactions with
+    :meth:`read` / :meth:`write` (or :meth:`run_transaction`)."""
+
+    def __init__(
+        self,
+        socket_path: str | None = None,
+        host: str = "127.0.0.1",
+        port: int | None = None,
+        credentials=None,
+        model_version: int = 0,
+        timeout: float = 600.0,
+    ):
+        if (socket_path is None) == (port is None):
+            raise ValueError("exactly one of socket_path / port required")
+        try:
+            if socket_path is not None:
+                self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                self._sock.settimeout(timeout)
+                self._sock.connect(socket_path)
+            else:
+                self._sock = socket.create_connection((host, port), timeout=timeout)
+        except OSError as exc:
+            raise P.UnreachableURL(str(exc)) from exc
+        self._reader = P.MessageReader(self._sock)
+        P.send_msg(
+            self._sock,
+            {
+                "protocol": P.PROTOCOL_VERSION,
+                "model": model_version,
+                "credentials": credentials,
+            },
+        )
+        reply = self._reader.read()
+        if reply is None:
+            raise P.ConnectionFailure("server closed during handshake")
+        if not reply.get("ok"):
+            raise P.HANDSHAKE_FAILURES.get(reply.get("code"), P.ConnectionFailure)(
+                f"handshake rejected: {reply.get('code')}"
+            )
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _request(self, msg: dict) -> dict:
+        P.send_msg(self._sock, msg)
+        reply = self._reader.read()
+        if reply is None:
+            raise P.ConnectionFailure("server closed connection")
+        return reply
+
+    # -- transactions (GraphDB.hs:432-449 runTransaction semantics) --------
+
+    def run_transaction(self, write: bool, fn):
+        """Start a tx, run *fn(RemoteTx)*, Finish (commit if write).
+        The whole tx holds the server's read/write admission, so writes
+        are exclusive and reads see one consistent snapshot."""
+        r = self._request({"t": P.START, "write": bool(write)})
+        if r.get("t") == P.ERROR:
+            raise P.CorruptRequest(r.get("error", ""))
+        try:
+            result = fn(RemoteTx(self, write))
+        except BaseException:
+            # best-effort rollback: Finish on a write tx would commit the
+            # staged prefix, so just drop the connection — the server
+            # discards uncommitted state on disconnect.
+            self.close()
+            raise
+        r = self._request({"t": P.FINISH})
+        if r.get("t") == P.ERROR:
+            raise RuntimeError(r.get("error", "commit failed"))
+        return result
+
+    def read(self, fn):
+        return self.run_transaction(False, fn)
+
+    def write(self, fn):
+        return self.run_transaction(True, fn)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self) -> "RemoteGraphSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,223 @@
+"""Remote session layer tests — the analogue of the reference's
+client/server suite (executables/APITests.hs drives the same catalogue
+programs through a remote session; Server.hs:17-94, Client.hs:71-117).
+
+The server runs in-process on a background thread (it owns the shared
+SparkSession — the Spark-driver-hosts-the-server topology), clients talk
+to it over real sockets, so the full wire protocol, handshake, ref
+indirection, and rollback-on-disconnect paths are exercised.
+"""
+
+import threading
+import time
+
+import pytest
+
+from graph_db_spark.catalogue import catalogue_schema
+from graph_db_spark.graph import GraphSession, GraphSnapshot
+from graph_db_spark.remote import (
+    GraphServer,
+    Incompatible,
+    RemoteGraphSession,
+    ServerIsBusy,
+    Unauthenticated,
+    UnreachableURL,
+)
+
+MODEL_V = 3
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+    srv = GraphServer(
+        session, model_version=MODEL_V, socket_path=str(tmp_path / "graph.sock")
+    )
+    with srv:
+        yield srv
+
+
+def _connect(srv, **kw):
+    kw.setdefault("model_version", MODEL_V)
+    return RemoteGraphSession(socket_path=srv.socket_path, **kw)
+
+
+def _insert_artist(tx, name, uid):
+    root = tx.get_root()
+    a = tx.new_node("Artist", name=name, uid=uid)
+    tx.add_target(root, a)
+    return a
+
+
+def test_remote_write_then_read_other_connection(server):
+    """A write committed through one client is visible to a second client
+    — the multi-process-access capability the library alone lacks."""
+    with _connect(server) as db:
+        db.write(lambda tx: _insert_artist(tx, "The Beatles", 1))
+        db.write(lambda tx: _insert_artist(tx, "Metallica", 2))
+
+    with _connect(server) as db2:
+        def look(tx):
+            root = tx.get_root()
+            refs = tx.get_targets(root, "Catalogue_Artist_Name", "Metallica")
+            return [tx.get_value(r) for r in refs]
+
+        vals = db2.read(look)
+        assert len(vals) == 1
+        assert vals[0]["name"] == "Metallica"
+        assert vals[0]["kind"] == "Artist"
+        # marker index sees both inserts
+        n = db2.read(lambda tx: len(tx.get_targets(tx.get_root(), "Catalogue_Artist")))
+        assert n == 2
+
+
+def test_remote_refs_are_transaction_scoped(server):
+    """Node handles are per-transaction refs (Server.hs:22-26), not raw
+    ids: the same node read in two transactions can get different refs,
+    and each transaction's refs resolve correctly within it."""
+    with _connect(server) as db:
+        def prog(tx):
+            a = _insert_artist(tx, "Apocalyptica", 4)
+            # staged read inside the same write tx sees the dirty value
+            assert tx.get_value(a)["name"] == "Apocalyptica"
+            return a
+
+        ref_in_tx1 = db.write(prog)
+        assert isinstance(ref_in_tx1, int)
+
+        def reread(tx):
+            refs = tx.get_targets(tx.get_root(), "Catalogue_Artist_Name", "Apocalyptica")
+            assert len(refs) == 1
+            return tx.get_value(refs[0])["uid"]
+
+        assert db.read(reread) == 4
+
+
+def test_remote_mutations_and_stats(server):
+    with _connect(server) as db:
+        def prog(tx):
+            a = _insert_artist(tx, "A", 1)
+            b = _insert_artist(tx, "B", 2)
+            tx.add_target(a, b)  # extra edge
+            return a, b
+
+        db.write(prog)
+        nodes, edges, idx = db.read(lambda tx: tx.get_stats())
+        assert nodes == 3  # root + 2 artists
+        assert edges == 3  # root->A, root->B, A->B
+
+        def drop_b(tx):
+            refs = tx.get_targets(tx.get_root(), "Catalogue_Artist_Name", "B")
+            tx.remove(refs[0])
+
+        db.write(drop_b)
+        nodes2, edges2, _ = db.read(lambda tx: tx.get_stats())
+        assert nodes2 == 2
+        assert edges2 == 1
+
+
+def test_remote_write_op_rejected_in_read_tx(server):
+    with _connect(server) as db:
+        with pytest.raises(Exception, match="read transaction"):
+            db.read(lambda tx: tx.new_node("Artist", name="X", uid=9))
+    # connection was dropped for rollback; a new one still works
+    with _connect(server) as db2:
+        assert db2.read(lambda tx: tx.get_stats())[0] >= 1
+
+
+def test_handshake_version_mismatch(server):
+    with pytest.raises(Incompatible):
+        _connect(server, model_version=MODEL_V + 1)
+
+
+def test_unreachable_url(tmp_path):
+    with pytest.raises(UnreachableURL):
+        RemoteGraphSession(socket_path=str(tmp_path / "nope.sock"))
+
+
+def test_tcp_auth_and_busy(spark):
+    session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+    srv = GraphServer(
+        session,
+        model_version=MODEL_V,
+        port=0,  # ephemeral
+        authenticate=lambda cred: cred == "sesame",
+        max_clients=1,
+    )
+    with srv:
+        with pytest.raises(Unauthenticated):
+            RemoteGraphSession(port=srv.port, credentials="wrong", model_version=MODEL_V)
+        with RemoteGraphSession(
+            port=srv.port, credentials="sesame", model_version=MODEL_V
+        ) as ok:
+            ok.write(lambda tx: _insert_artist(tx, "C", 3))
+            with pytest.raises(ServerIsBusy):
+                RemoteGraphSession(port=srv.port, credentials="sesame", model_version=MODEL_V)
+        # capacity freed after disconnect
+        with RemoteGraphSession(
+            port=srv.port, credentials="sesame", model_version=MODEL_V
+        ) as again:
+            assert again.read(lambda tx: tx.get_stats())[0] == 2
+
+
+def test_disconnect_rolls_back_uncommitted_write(server):
+    """A write tx abandoned mid-flight must not commit, and must release
+    the write lock so later writers proceed."""
+    c = _connect(server)
+    c._request({"t": "start", "write": True})
+    from graph_db_spark.remote.client import RemoteTx
+
+    tx = RemoteTx(c, True)
+    _insert_artist(tx, "Ghost", 99)
+    c.close()  # vanish without Finish
+
+    deadline = time.time() + 10
+    with _connect(server) as db:
+        db.write(lambda tx: _insert_artist(tx, "Real", 1))
+        assert time.time() < deadline  # write lock was released promptly
+
+        def look(tx):
+            return len(tx.get_targets(tx.get_root(), "Catalogue_Artist"))
+
+        assert db.read(look) == 1  # Ghost never committed
+
+
+def test_concurrent_reads_overlap_write_waits(server):
+    """Reads run concurrently; a write starts only after open reads
+    finish (writer-preferring RWLock admission)."""
+    with _connect(server) as db:
+        db.write(lambda tx: _insert_artist(tx, "Seed", 1))
+
+    order = []
+    gate = threading.Event()
+
+    def slow_read():
+        with _connect(server) as db:
+            def prog(tx):
+                order.append("read_start")
+                gate.wait(5)
+                return len(tx.get_targets(tx.get_root(), "Catalogue_Artist"))
+
+            db.read(prog)
+            order.append("read_end")
+
+    def writer():
+        with _connect(server) as db:
+            def prog(tx):
+                order.append("write_start")
+                _insert_artist(tx, "W", 2)
+
+            db.write(prog)
+            order.append("write_end")
+
+    r = threading.Thread(target=slow_read)
+    r.start()
+    time.sleep(0.3)  # let the read open its tx
+    w = threading.Thread(target=writer)
+    w.start()
+    time.sleep(0.3)
+    assert "write_start" not in order  # writer blocked behind the open read
+    gate.set()
+    r.join(20)
+    w.join(20)
+    assert order.index("read_end") < order.index("write_start")
