@@ -51,10 +51,12 @@ def main() -> None:
                 fn()
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr, flush=True)
                 return
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        print(f"[bench] {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     # -- graph build: bulk load + index emission (write-time cost) ---------
     n_idx = None
