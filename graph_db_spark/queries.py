@@ -3897,3 +3897,275 @@ def graph_jaccard_link_prediction(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — TPC-H optimizer-shape completion: the remaining canonical
+# plan patterns (exists/anti subqueries, scan-only agg, CASE pivots,
+# conditional ratios, disjunctive pushdown, scalar-subquery gating), each
+# adapted to the driver's column set with an exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: the EXISTS predicate is "has a returned
+    line" — the driver's lineitem carries no commit/receipt dates): order
+    counts by priority over a date slice, gated by an EXISTS subquery →
+    planned as a left-semi join.
+
+    100 TB shape: the returnflag filter prunes lineitem at the scan, the
+    semi-join shuffles only (orderkey) pairs, and the tiny priority agg
+    is map-side combined."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the purest scan shape — no join, all four predicates
+    pushable to parquet, one global agg. The optimizer test is that the
+    plan is scan → partial agg → single-row exchange and nothing else;
+    revenue accumulates in decimal so the sum order can't perturb the
+    hash.
+
+    100 TB shape: this is the query whose entire cost is I/O; predicate
+    pushdown + column pruning (3 columns of 11) decide everything."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q12_priority_case_pivot",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_case_pivot(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: group by l_linestatus — the driver's
+    lineitem has no shipmode): CASE-pivot counts of urgent vs other
+    priorities per line status. The optimizer pattern is conditional
+    aggregation folded into one pass over the join.
+
+    100 TB shape: one fact-fact equi-join on orderkey (both sides huge →
+    shuffle join on the same key), integer CASE-sums map-side combined."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT CAST(round(
+             100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                               (1 - CAST(l_discount AS DECIMAL(18,4))) ELSE 0 END) /
+             sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-09-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14: promo revenue share — a conditional-ratio aggregate
+    whose numerator and denominator come from the same pass (no second
+    scan). Both sums run in decimal; only the final ratio rounds to
+    double.
+
+    100 TB shape: part is the small side → broadcast; the date filter
+    prunes the fact scan; a single partial-agg shuffle of two decimals."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-09-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.lit(100.00) * F.sum(promo) / F.sum(rev), 6)
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+@q(
+    "q16_supplier_cnt_antijoin",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%' AND p_size IN (1, 4, 9, 16, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt_antijoin(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp stands in as lineitem's part-supplier
+    pairs; the excluded-supplier predicate is "negative account balance"
+    in place of complaint comments): distinct supplier counts per
+    (brand, type, size) after a NOT-IN anti-join.
+
+    100 TB shape: the NOT-IN list is a filtered dim → broadcast
+    anti-join (null-safe not needed: s_suppkey is non-null); distinct
+    count shuffles (group keys, suppkey) once before the final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q19_disjunctive_pushdown",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19: the disjunctive-predicate stress test — three OR'd
+    brand/size/quantity clauses spanning both join sides. The optimizer
+    pattern: common sub-predicates (p_size >= 1, quantity bounds union)
+    are derivable per side, the rest evaluates post-join; no clause may
+    force a cartesian plan.
+
+    100 TB shape: part broadcasts; the OR is a row filter after the
+    broadcast hash join, not a join condition blowup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(clause).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@q(
+    "q22_dormant_rich_customers",
+    """
+    WITH thresh AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_bal
+    FROM customer, thresh
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (grouped by market segment — the driver's
+    customer has no phone country code): above-average-balance customers
+    who never placed an URGENT order. Two classic patterns in one plan:
+    an uncorrelated scalar subquery (the global average, computed once
+    and broadcast as a 1-row cross join) and a NOT EXISTS over a
+    filtered subquery → filter + left-anti join.
+
+    100 TB shape: the scalar agg is one tiny job; the anti-join
+    shuffles custkeys only; balance sums in decimal."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(_dec("c_acctbal")), 4).cast("double").alias("total_bal"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Harness-integrity tests.
+
+The round-2/3 outage pattern: the driver's bench and correctness gates
+broke while pytest stayed green, because nothing in CI exercised the
+harness entry points themselves. These tests run the actual driver
+surfaces — ``__spark_entry__`` and ``bench.py`` — end to end at the
+smallest scale factor, so a broken loader, registry import, or harness
+crash fails here first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns  # stable schema
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert len(qs) >= 100
+    # every oracle refers to a registered query, and the flagship set is
+    # fully oracle-checked
+    assert set(os_) <= set(qs)
+    missing_oracle = set(qs) - set(os_)
+    # non-SQL-expressible ops may omit oracles, but they must be a small
+    # documented minority, not silent coverage decay
+    assert len(missing_oracle) <= max(3, len(qs) // 10), sorted(missing_oracle)
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in os_.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_bench_harness_runs_and_emits_json():
+    """bench.py at sf0.001 must complete and print one parsable JSON line
+    with no errors — the exact failure mode that silently killed two
+    rounds of benchmarking. ~90 s at sf0.001."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["unit"] == "sec"
+    assert out["queries"], "no queries timed"
+    assert "errors" not in out, out.get("errors")
+    assert out["env"]["pyspark"]
