@@ -221,3 +221,33 @@ def test_concurrent_reads_overlap_write_waits(server):
     r.join(20)
     w.join(20)
     assert order.index("read_end") < order.index("write_start")
+
+
+def test_remote_writes_persist_and_replay(spark, tmp_path):
+    """The persistent remote topology (GraphDB.hs:118-131's persistent
+    session + serve): commits arriving over the wire append to the WAL
+    like local ones; a fresh storage load replays them — remote and
+    local clients share one durability story."""
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+    from graph_db_spark.storage import EventLogStorage
+
+    path = str(tmp_path / "db")
+    store = EventLogStorage(spark, path, catalogue_schema())
+    session = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+    srv = GraphServer(session, model_version=MODEL_V, socket_path=str(tmp_path / "g.sock"))
+    with srv:
+        with _connect(srv) as db:
+            db.write(lambda tx: _insert_artist(tx, "Durable", 7))
+            db.write(lambda tx: _insert_artist(tx, "AlsoDurable", 8))
+        store.flush()
+
+    store2 = EventLogStorage(spark, path, catalogue_schema())
+    reloaded = store2.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+    names = sorted(
+        r["name"]
+        for r in reloaded.read(
+            lambda s: s.get_values(s.get_targets(0, "Catalogue_Artist")).collect()
+        )
+    )
+    assert names == ["AlsoDurable", "Durable"]
