@@ -251,3 +251,64 @@ def test_remote_writes_persist_and_replay(spark, tmp_path):
         )
     )
     assert names == ["AlsoDurable", "Durable"]
+
+
+def test_remote_equivalent_to_local_session(spark, tmp_path):
+    """Equivalence property: the same deterministic mixed-op program run
+    through a local GraphSession and through the wire produces identical
+    graphs (vertices, edges, and stats) — the remote layer adds transport,
+    never semantics. Mirrors the reference's strategy of running one
+    program through every session type (APITests.hs)."""
+    import random
+
+    def build_programs():
+        rng = random.Random(7)
+        progs = []
+        for batch in range(4):
+            def prog(tx, batch=batch, seed=rng.random()):
+                r = random.Random(seed)
+                root = tx.get_root()
+                made = []
+                for i in range(5):
+                    a = tx.new_node(
+                        "Artist", name=f"a{batch}_{i}", uid=batch * 10 + i
+                    )
+                    tx.add_target(root, a)
+                    made.append(a)
+                # mutate: re-add one (idempotent), drop one, relink one
+                tx.add_target(root, made[0])
+                tx.remove_target(root, made[3])
+                tx.add_target(made[1], made[2])
+                if batch == 2:
+                    tx.set_value(made[4], "Artist", name="renamed", uid=999)
+                return made
+
+            progs.append(prog)
+        return progs
+
+    local = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+    for p in build_programs():
+        local.write(p)
+
+    remote_session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+    srv = GraphServer(
+        remote_session, model_version=MODEL_V, socket_path=str(tmp_path / "eq.sock")
+    )
+    with srv:
+        with _connect(srv) as db:
+            for p in build_programs():
+                db.write(p)
+
+    lv = sorted(
+        (r["id"], r["kind"], r["name"], r["uid"])
+        for r in local.snapshot.vertices.collect()
+    )
+    rv = sorted(
+        (r["id"], r["kind"], r["name"], r["uid"])
+        for r in remote_session.snapshot.vertices.collect()
+    )
+    assert lv == rv
+    le = sorted((r["src"], r["dst"]) for r in local.snapshot.edges.collect())
+    re_ = sorted((r["src"], r["dst"]) for r in remote_session.snapshot.edges.collect())
+    assert le == re_
+    assert local.snapshot.get_stats() == remote_session.snapshot.get_stats()
