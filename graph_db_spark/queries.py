@@ -4169,3 +4169,125 @@ def q22_dormant_rich_customers(spark, sf_dir):
             F.round(F.sum(_dec("c_acctbal")), 4).cast("double").alias("total_bal"),
         )
     )
+
+
+@q(
+    "window_distribution_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest,
+           CAST(last_value(o_orderkey)
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_functions(spark, sf_dir):
+    """Distribution-window breadth (SURVEY §2.7's ordering surface):
+    percent_rank / cume_dist / first_value / last_value per customer,
+    ordered by order value. The (o_totalprice, o_orderkey) sort key is
+    unique, so ranks are engine-independent.
+
+    100 TB shape: one window shuffle on o_custkey; all five functions
+    share the same ordered frame (single sort, single exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pr"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cd"),
+        F.first("o_orderkey").over(w).alias("cheapest"),
+        F.last("o_orderkey").over(wfull).alias("priciest"),
+    )
+
+
+def _hits_oracle_sql(n_iters: int = 2, max_key: int = 500) -> str:
+    """Unrolled HITS (hubs & authorities) on the bounded-degree chain
+    graph (same synthetic graph as the PageRank twin: out-edges id+1 and
+    id+7, so in/out degree <= 2 and every float sum has <= 2 addends —
+    order-independent, exact across engines). Unnormalized mutual
+    recursion: h_{k}(u) = sum a_{k-1}(v) over out-edges, then
+    a_{k}(v) = sum h_{k}(u) over in-edges; 2 rounds keeps magnitudes
+    integral-exact in double."""
+    ctes = [
+        f"nodes AS (SELECT p_partkey AS id FROM part WHERE p_partkey <= {max_key})",
+        "edges AS (SELECT a.id AS src, b.id AS dst FROM nodes a "
+        "JOIN nodes b ON b.id = a.id + 1 OR b.id = a.id + 7)",
+        "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+        "a0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS a FROM nodes)",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"h{i + 1} AS (SELECT n.id, coalesce(s.v, 0) AS h FROM nodes n "
+            f"LEFT JOIN (SELECT e.src AS id, sum(x.a) AS v FROM a{i} x "
+            f"JOIN edges e ON e.dst = x.id GROUP BY e.src) s ON s.id = n.id)"
+        )
+        ctes.append(
+            f"a{i + 1} AS (SELECT n.id, coalesce(s.v, 0) AS a FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(x.h) AS v FROM h{i + 1} x "
+            f"JOIN edges e ON e.src = x.id GROUP BY e.dst) s ON s.id = n.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT h{n_iters}.id, round(h{n_iters}.h, 6) AS hub,"
+        f" round(a{n_iters}.a, 6) AS authority"
+        f" FROM h{n_iters} JOIN a{n_iters} ON a{n_iters}.id = h{n_iters}.id"
+    )
+
+
+@q("graph_hits_hubs_authorities", _hits_oracle_sql())
+def graph_hits_hubs_authorities(spark, sf_dir, n_iters: int = 2, max_key: int = 500):
+    """HITS hubs/authorities — the mutually-recursive eigenvector pair,
+    unrolled to fixed iterations exactly like the PageRank twin. Each
+    half-step is one edge join + one map-side-combinable sum keyed on a
+    node id.
+
+    100 TB shape: per iteration two shuffles (src-keyed, dst-keyed) of
+    (id, double) pairs only; the edge list partitioning is reusable
+    across iterations; lineage stays flat because each step derives from
+    the previous materialized frame (no loop-carried plan growth needed
+    at 2 iterations)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= max_key)
+    nodes = p.select(F.col("p_partkey").alias("id"))
+    b = nodes.select(F.col("id").alias("dst"))
+    edges = (
+        nodes.select(F.col("id").alias("src"))
+        .join(b, (F.col("dst") == F.col("src") + 1) | (F.col("dst") == F.col("src") + 7))
+    )
+    h = nodes.select("id", F.lit(1.0).alias("h"))
+    a = nodes.select("id", F.lit(1.0).alias("a"))
+    for _ in range(n_iters):
+        h = (
+            nodes.join(
+                edges.join(a.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("a").alias("v"))
+                .withColumnRenamed("src", "id"),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("v", F.lit(0.0)).alias("h"))
+        )
+        a = (
+            nodes.join(
+                edges.join(h.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("h").alias("v"))
+                .withColumnRenamed("dst", "id"),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("v", F.lit(0.0)).alias("a"))
+        )
+    return h.join(a, "id").select(
+        "id",
+        F.round("h", 6).alias("hub"),
+        F.round("a", 6).alias("authority"),
+    )
