@@ -136,6 +136,13 @@ def main() -> None:
         "pipeline_curated_pack",
         # round-2 late additions: iterative k-core peeling
         "graph_kcore_part_supplier",
+        # round-4: TPC-H shape completions (scan-pure agg, disjunctive
+        # pushdown, CASE pivot, scalar-subquery + anti-join) and HITS
+        "q6_forecast_revenue",
+        "q19_disjunctive_pushdown",
+        "q12_priority_case_pivot",
+        "q22_dormant_rich_customers",
+        "graph_hits_hubs_authorities",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

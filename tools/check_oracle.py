@@ -96,7 +96,12 @@ def main():
     if failures:
         print(f"{len(failures)}/{len(names)} FAILED: {failures}")
         sys.exit(1)
-    print(f"all {len(names)} queries match")
+    import pyspark
+
+    print(
+        f"all {len(names)} queries match "
+        f"[pyspark {pyspark.__version__}, duckdb {duckdb.__version__}]"
+    )
 
 
 if __name__ == "__main__":
