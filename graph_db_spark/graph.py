@@ -391,6 +391,8 @@ class GraphSnapshot:
         # joined once per level and must not be recomputed from source.
         edges = self.edges.select("src", "dst").persist()
         try:
+            from graph_db_spark.pregel import release
+
             frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
                 eager=True
             )
@@ -404,9 +406,18 @@ class GraphSnapshot:
                     .localCheckpoint(eager=True)  # materialize + cut lineage
                 )
                 if nxt.isEmpty():
+                    release(nxt)
                     break
-                visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-                frontier = nxt
+                new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+                # superseded generation: the new checkpoint owns its own
+                # blocks, so last round's visited/frontier frames are dead
+                prev_visited, prev_frontier = visited, frontier
+                visited, frontier = new_visited, nxt
+                release(prev_visited)
+                if prev_frontier is not prev_visited:
+                    release(prev_frontier)
+            if frontier is not visited:
+                release(frontier)  # last frontier; already folded into visited
             return visited
         finally:
             edges.unpersist()

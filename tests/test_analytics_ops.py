@@ -593,3 +593,37 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
     got = {r["id"]: r["rank"] for r in personalized_pagerank(verts, edges, seeds, n_iters=4).collect()}
     assert got[0] > got[1] > got[2] > got[3] > 0
     assert got[4] == 0.0 and got[5] == 0.0  # not reachable from the seed
+
+
+def test_iterative_loops_release_checkpoint_blocks(spark):
+    """Superseded localCheckpoint generations must be dropped each round
+    (pregel.release): a deep loop may otherwise pin one block set per
+    round for the session's lifetime. A 60-deep chain bounds the leak
+    check well above noise."""
+    import gc
+
+    from graph_db_spark.pregel import connected_components, pagerank, shortest_paths
+
+    def n_persistent():
+        gc.collect()
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    n = 60
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    w_edges = edges.withColumn("weight", (F.col("src") % 3 + 1).cast("double"))
+    src = spark.createDataFrame([(0,)], "id LONG")
+
+    before = n_persistent()
+    cc = connected_components(verts, edges, max_iters=n + 5)
+    assert cc.count() == n
+    sp = shortest_paths(w_edges, src, max_iters=n + 5)
+    assert sp.count() == n
+    pr = pagerank(verts, edges, n_iters=10)
+    assert pr.count() == n
+    after = n_persistent()
+    # each loop's RESULT is one live checkpointed frame; the ~170 loop
+    # rounds above must not have pinned one generation each
+    assert after - before <= 6, f"leaked {after - before} persistent RDDs"
