@@ -370,11 +370,13 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int
     for _ in range(max_iters):
         deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
         survivors = deg.filter(F.col("degree") >= k)
-        e = (
+        new_e = (
             e.join(survivors.select(F.col("id").alias("src")), "src", "left_semi")
             .join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        release(e)
+        e = new_e
         rounds += 1
         # converged iff no edge was dropped (edge count is monotone ↓)
         n_new = e.count()
@@ -422,7 +424,7 @@ def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
         best = counted.groupBy("id").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m")
         )
-        labels = (
+        new_labels = (
             labels.join(best, "id", "left")
             .select(
                 "id",
@@ -430,6 +432,8 @@ def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        release(labels)
+        labels = new_labels
     return labels
 
 
@@ -467,7 +471,7 @@ def personalized_pagerank(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
             )
-            ranks = (
+            new_ranks = (
                 base.join(contribs, "id", "left")
                 .select(
                     "id",
@@ -478,6 +482,8 @@ def personalized_pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+            release(ranks)
+            ranks = new_ranks
         return ranks
     finally:
         e.unpersist()
