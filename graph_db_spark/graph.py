@@ -107,6 +107,27 @@ def edge_index_schema() -> T.StructType:
     )
 
 
+def local_frame(spark: SparkSession, rows: list[dict], schema: T.StructType) -> DataFrame:
+    """Arrow-backed local DataFrame (physical plan: LocalTableScan).
+
+    ``createDataFrame(list_of_dicts, schema)`` builds a *pickled-RDD*-backed
+    frame whose every scan spins Python deserializer workers — under a
+    narrow ``coalesce(1)`` the 32 slice computations serialize into one
+    task (~150 ms each ≈ 5 s per scan, measured: the entire OLTP
+    micro-commit floor). Routing through a pyarrow Table embeds the rows
+    JVM-side instead: scans are pure JVM, and the planner sees exact size
+    stats (broadcast-ability preserved). Missing dict keys become nulls,
+    matching the dict path. Falls back to the classic path for types the
+    Arrow bridge can't represent."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return spark.createDataFrame(pa.Table.from_pylist(rows, schema=to_arrow_schema(schema)))
+    except Exception:  # noqa: BLE001 — exotic payload type: correctness over speed
+        return spark.createDataFrame(rows, schema)
+
+
 def json_coerce(v, dt: T.DataType):
     """Coerce a json.loads'd scalar to *dt* with ``from_json`` PERMISSIVE
     semantics (verified against Spark: STRING accepts any scalar as its
@@ -570,6 +591,16 @@ class GraphSnapshot:
         carry.)
         """
         payload = self.payload_schema()
+        # One partition per union branch: createDataFrame slices even a
+        # 100-row staged batch across defaultParallelism (32) partitions,
+        # so an OLTP loop's lazy union stack grows +32 partitions per
+        # commit per table — by the 4th commit localCheckpoint schedules
+        # ~300 near-empty tasks (measured: 2.5 s per materialize, the
+        # whole micro-commit floor). Staged batches are driver-sized by
+        # construction, so coalesce(1) is always right here; the forced
+        # broadcasts below make planner size-stats irrelevant (unlike
+        # events_df, where coalesce hides LocalTableScan stats — see
+        # WriteTx.events_df).
         new_v = (
             events.filter(F.col("op") == OP_NEW_NODE)
             .select(
@@ -578,13 +609,14 @@ class GraphSnapshot:
                 F.from_json("value", payload).alias("v"),
             )
             .select("id", "kind", *[F.col(f"v.{f.name}").alias(f.name) for f in payload.fields])
+            .coalesce(1)
         )
         new_pairs = (
-            events.filter(F.col("op") == OP_ADD_TARGET).select("src", "dst").distinct()
+            events.filter(F.col("op") == OP_ADD_TARGET)
+            .select("src", "dst")
+            .distinct()
+            .coalesce(1)
         )
-        new_vertices = self.vertices.unionByName(new_v)
-        new_edges = self.edges.unionByName(new_pairs)
-
         needs_src_payload = any(
             spec.key_expr and "src_" in spec.key_expr
             for ek in self.schema.edge_kinds
@@ -621,7 +653,7 @@ class GraphSnapshot:
                 ]
                 + payload.fields
             )
-            joined = self.spark.createDataFrame(rows, joined_schema)
+            joined = local_frame(self.spark, rows, joined_schema).coalesce(1)
             emitted = emission_projection(joined, self.schema)
         else:
             # Emission only needs the dst payloads (all minted in this
@@ -638,6 +670,23 @@ class GraphSnapshot:
             emitted = emit_edge_index(
                 new_pairs, emit_vertices, self.schema, broadcast_vertices=True
             )
+        # Eagerly checkpoint the three tiny (1-partition) branches NOW, in
+        # parallel: each commit's json/emission projections compile and run
+        # once, on a shallow single-branch plan, and the snapshot becomes a
+        # union of plain checkpoint scans. Without this, every 4th-commit
+        # materialize re-plans + re-codegens the whole stacked tree (wide
+        # from_json payload x N branches) — measured as the entire OLTP
+        # micro-commit floor (3-8 s spikes). Three 1-task jobs cost
+        # ~0.1 s total and make later compaction codegen-free.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            new_vertices, new_edges, emitted = pool.map(
+                lambda df: df.localCheckpoint(eager=True),
+                (new_v, new_pairs, emitted),
+            )
+        new_vertices = self.vertices.unionByName(new_vertices)
+        new_edges = self.edges.unionByName(new_edges)
         new_index = self.edge_index.unionByName(emitted)
         return GraphSnapshot(new_vertices, new_edges, new_index, self.schema)
 
@@ -750,8 +799,9 @@ class WriteTx:
         # NOTE: no coalesce here — wrapping the LocalTableScan hides its
         # size from the planner, which then sort-merge-joins (full snapshot
         # shuffle) instead of broadcasting the batch into index emission:
-        # measured 2.5x slower per commit.
-        return self._s.spark.createDataFrame(self.events, EVENT_SCHEMA)
+        # measured 2.5x slower per commit. local_frame keeps the scan an
+        # Arrow LocalTableScan (JVM-side) rather than a pickled RDD.
+        return local_frame(self._s.spark, self.events, EVENT_SCHEMA)
 
     def _view(self) -> GraphSnapshot:
         if not self.events:
@@ -879,7 +929,20 @@ class GraphSession:
                 if e["op"] == OP_SET_VALUE:
                     self._kind_cache[e["node_id"]] = e["kind"]
             self._lazy_commits += 1
-            if materialize and self._lazy_commits >= self.MATERIALIZE_EVERY:
+            # Insert-path commits checkpoint their own branches eagerly
+            # (apply_insert_batch), so the snapshot is a shallow union of
+            # checkpoint scans — the periodic full materialize is then pure
+            # compaction and only needs to run when the stack's partition
+            # count (≈ one per commit) approaches the coalesce guard.
+            # General (apply_events) commits still materialize every Nth:
+            # their window/anti-join trees deepen the plan for every later
+            # query until truncated.
+            threshold = (
+                2 * self.spark.sparkContext.defaultParallelism
+                if insert_only
+                else self.MATERIALIZE_EVERY
+            )
+            if materialize and self._lazy_commits >= threshold:
                 self.snapshot = new_snap.materialize()
                 self._lazy_commits = 0
             else:

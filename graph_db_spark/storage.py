@@ -63,7 +63,13 @@ def schema_hash(schema: GraphSchema) -> str:
 class EventLogStorage:
     """Directory-backed WAL + checkpoint store (single writer)."""
 
-    def __init__(self, spark: SparkSession, path: str, schema: GraphSchema):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: GraphSchema,
+        wal_buffer: int = 100,
+    ):
         self.spark = spark
         self.path = path
         self.schema = schema
@@ -74,8 +80,14 @@ class EventLogStorage:
         # WAL appends run on a single-worker executor so the commit path
         # returns without waiting on log I/O; order is preserved by the
         # single worker, and checkpoint/load barrier on flush().
+        # *wal_buffer* bounds the in-flight queue (the reference's
+        # PersistenceBuffering value, default 100 per CompetitionBench):
+        # a stalled disk blocks the committer at the cap instead of letting
+        # pending appends — each pinning an events DataFrame — grow without
+        # backpressure.
         self._wal_pool: ThreadPoolExecutor | None = None
         self._pending: list = []
+        self.wal_buffer = max(1, int(wal_buffer))
 
     # -- layout ------------------------------------------------------------
 
@@ -156,6 +168,13 @@ class EventLogStorage:
             if f.done():
                 f.result()
         self._pending = [f for f in self._pending if not f.done()]
+        # Backpressure (PersistenceBuffering, Persistent.hs:62-69): at the
+        # cap, block the committer on the OLDEST in-flight append — the
+        # single worker drains in FIFO order, so waiting on the head frees
+        # exactly one slot (and surfaces its failure) before we enqueue.
+        while len(self._pending) >= self.wal_buffer:
+            head = self._pending.pop(0)
+            head.result()
         self._pending.append(self._wal_pool.submit(self.persist_events, events, first_seq))
 
     def flush(self) -> None:

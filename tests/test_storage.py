@@ -449,3 +449,46 @@ def test_crash_between_commits(store, spark, tmp_path):
     assert nid > 0
     s3 = crashed_store.load(_fresh)
     assert s3.read(lambda g: g.get_stats()).as_tuple()[0] == nodes + 1
+
+
+def test_async_wal_backpressure(store):
+    """The async-WAL pending queue is BOUNDED (the reference's
+    PersistenceBuffering, Persistent.hs:62-69): with the single I/O worker
+    stalled, the commit path blocks at wal_buffer in-flight appends instead
+    of accumulating futures (each pinning an events DataFrame) without
+    limit."""
+    import threading
+    import time
+
+    gate = threading.Event()
+    started = []
+
+    def slow_persist(events, first_seq=None):
+        started.append(first_seq)
+        assert gate.wait(timeout=30), "test gate never opened"
+
+    store.persist_events = slow_persist  # stall the worker behind the gate
+    store.wal_buffer = 2
+
+    store.persist_events_async(None, first_seq=1)  # worker picks up, blocks
+    store.persist_events_async(None, first_seq=2)  # queued; pending now == 2
+
+    blocked_done = threading.Event()
+
+    def third():
+        store.persist_events_async(None, first_seq=3)
+        blocked_done.set()
+
+    t = threading.Thread(target=third, daemon=True)
+    t.start()
+    # At the cap the committer must be blocked, not enqueueing.
+    assert not blocked_done.wait(timeout=1.0), "commit path did not block at wal_buffer"
+    assert len(store._pending) <= 2
+
+    gate.set()  # disk recovers: worker drains FIFO, slot frees, enqueue 3 lands
+    assert blocked_done.wait(timeout=10), "commit path never unblocked after drain"
+    store.flush()
+    deadline = time.time() + 10
+    while len(started) < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    assert started == [1, 2, 3]  # FIFO order preserved through backpressure
