@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import shutil
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -69,6 +70,7 @@ class EventLogStorage:
         path: str,
         schema: GraphSchema,
         wal_buffer: int = 100,
+        index_buckets: int = 32,
     ):
         self.spark = spark
         self.path = path
@@ -88,6 +90,14 @@ class EventLogStorage:
         self._wal_pool: ThreadPoolExecutor | None = None
         self._pending: list = []
         self.wal_buffer = max(1, int(wal_buffer))
+        # Bucket count for the persisted edge_index (0 disables). Traversals
+        # join edge_index on ``src``; writing the checkpoint bucketed by src
+        # means a RELOADED store's traversal joins read pre-partitioned
+        # buckets — no exchange on the (huge) index side, ever. At 100 TB
+        # this is the difference between re-shuffling trillions of index
+        # rows per traversal after a restart and shuffling only the small
+        # frontier into the existing bucket layout.
+        self.index_buckets = int(index_buckets)
 
     # -- layout ------------------------------------------------------------
 
@@ -214,7 +224,7 @@ class EventLogStorage:
         snap = session.snapshot
         snap.vertices.write.mode("errorifexists").parquet(os.path.join(tmp, "vertices"))
         snap.edges.write.mode("errorifexists").parquet(os.path.join(tmp, "edges"))
-        snap.edge_index.write.mode("errorifexists").parquet(os.path.join(tmp, "edge_index"))
+        buckets = self._write_edge_index(snap.edge_index, os.path.join(tmp, "edge_index"))
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -223,6 +233,7 @@ class EventLogStorage:
                     "next_seq": session._next_seq,
                     "next_tx": session._next_tx,
                     "schema_hash": schema_hash(self.schema),
+                    "index_buckets": buckets,
                 },
                 f,
             )
@@ -230,6 +241,64 @@ class EventLogStorage:
         os.makedirs(self._log_dir(version), exist_ok=True)
         self._archive_before(version)
         return version
+
+    def _write_edge_index(self, df, path: str) -> int:
+        """Write the index bucketed by ``src`` (the traversal join key).
+
+        Spark's bucket metadata normally lives in the catalog, so this
+        routes through a throwaway external ``saveAsTable`` (bucket ids are
+        also encoded in the file NAMES, which is what the reader keys on),
+        then drops the catalog entry — external drop keeps the files, and
+        the checkpoint's atomic-rename publish stays intact. Returns the
+        bucket count recorded in meta.json (0 = plain parquet fallback)."""
+        if self.index_buckets <= 0:
+            df.write.mode("errorifexists").parquet(path)
+            return 0
+        name = f"graphdb_ei_w_{uuid.uuid4().hex[:10]}"
+        try:
+            (
+                df.repartition(self.index_buckets, "src")  # one file per bucket
+                .write.mode("errorifexists")
+                .bucketBy(self.index_buckets, "src")
+                .sortBy("src")
+                .option("path", path)
+                .saveAsTable(name)
+            )
+            return self.index_buckets
+        except Exception:  # no catalog support — plain parquet is always safe
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                df.write.mode("overwrite").parquet(path)
+            return 0
+        finally:
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _read_edge_index(self, base: str, meta: dict):
+        """Read a checkpoint's edge_index, re-attaching the bucket spec via
+        an external CLUSTERED BY table over the published files — a plain
+        ``read.parquet`` would discard the layout and every post-reload
+        traversal join would re-shuffle the index side."""
+        path = os.path.join(base, "edge_index")
+        n = meta.get("index_buckets") or 0
+        if not n:
+            return self.spark.read.parquet(path)
+        from graph_db_spark.graph import edge_index_schema
+
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in edge_index_schema().fields
+        )
+        name = "graphdb_ei_r_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        try:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "
+                f"CLUSTERED BY (src) SORTED BY (src) INTO {n} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            return self.spark.table(name)
+        except Exception:  # noqa: BLE001 — catalog unavailable: plain read
+            return self.spark.read.parquet(path)
 
     def _archive_before(self, version: int) -> None:
         arch = os.path.join(self.path, "archive")
@@ -320,7 +389,7 @@ class EventLogStorage:
         snap = GraphSnapshot(
             self.spark.read.parquet(os.path.join(base, "vertices")),
             self.spark.read.parquet(os.path.join(base, "edges")),
-            self.spark.read.parquet(os.path.join(base, "edge_index")),
+            self._read_edge_index(base, meta),
             self.schema,
         )
         return snap, meta
@@ -481,10 +550,15 @@ class EventLogStorage:
             base = os.path.join(self.path, "archive", f"checkpoint-{version}")
         if not os.path.isdir(base):
             raise FileNotFoundError(f"checkpoint version {version} not found")
+        try:
+            with open(os.path.join(base, "meta.json")) as f:
+                meta = json.load(f)
+        except Exception:  # noqa: BLE001
+            meta = {}
         snap = GraphSnapshot(
             self.spark.read.parquet(os.path.join(base, "vertices")),
             self.spark.read.parquet(os.path.join(base, "edges")),
-            self.spark.read.parquet(os.path.join(base, "edge_index")),
+            self._read_edge_index(base, meta),
             self.schema,
         )
         if replay:

@@ -248,3 +248,47 @@ def test_spread_small_input_conditional(spark, sf_dir):
 
     wide = narrow.repartition(par * 2)
     assert spread_small_input(wide) is wide
+
+
+def test_reloaded_edge_index_bucketed_no_index_shuffle(spark, tmp_path):
+    """A RELOADED store's edge_index keeps its bucket layout (checkpoint
+    writes it CLUSTERED BY src, the traversal join key): a post-reload
+    traversal join shows no Exchange over the index-side scan — at 100x
+    the alternative is re-shuffling the whole persisted index on every
+    traversal after restart."""
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSession, GraphSnapshot
+    from graph_db_spark.model import ROOT_ID
+    from graph_db_spark.storage import EventLogStorage
+
+    store = EventLogStorage(spark, str(tmp_path / "bstore"), catalogue_schema(), index_buckets=8)
+    s = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()), storage=store)
+
+    def prog(tx):
+        for i in range(200):
+            a = tx.new_node("Artist", name=f"artist {i}", uid=i)
+            tx.add_target(ROOT_ID, a)
+
+    s.write(prog)
+    store.checkpoint(s)
+
+    reloaded = store.load(lambda sp, sch: GraphSnapshot.empty(sp, sch))
+    snap = reloaded.snapshot
+    frontier = snap.vertices.select("id")  # every node: too big a frontier to matter
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = snap.edge_index.join(frontier.withColumnRenamed("id", "src"), "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # exactly one Exchange: the frontier side shuffling INTO the
+        # index's bucket layout; the index scan itself must not shuffle
+        assert plan.count("Exchange") == 1, plan
+        # every index row's src (the root) is in the frontier — the join
+        # must preserve the full index through the bucketed path
+        assert joined.count() == snap.edge_index.count()
+        # semantics survive the layout: indexed lookup still answers
+        hits = snap.get_targets(ROOT_ID, "Catalogue_Artist_SearchTerm", "artist")
+        assert hits.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
