@@ -74,6 +74,7 @@ def lsh_cosine_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assert_same_dim: bool = False,
 ) -> DataFrame:
     """Bucketed ANN with OR-amplification: *n_tables* independent
     hyperplane tables of *n_planes* bits each; a corpus vector is a
@@ -83,13 +84,38 @@ def lsh_cosine_topk(
     only on the deduped candidate set. Recall < 1 by construction (the
     brute-force operator is the correctness baseline; bench the
     recall/cost trade by n_tables).
+
+    Failure modes (documented contract): null vectors are dropped by the
+    signature stage's isNotNull filter, and a corpus/query DIMENSION
+    mismatch yields non-matching buckets — i.e. an EMPTY result, not an
+    error (each side derives its own sign matrix from its batch's vector
+    length). Pass ``assert_same_dim=True`` to pay two limit-1 probe jobs
+    and raise ``ValueError`` on mismatch instead; the default stays
+    probe-free so the hot path launches no extra jobs.
     """
     from graph_db_spark.functions.vector import hyperplane_signatures_multi
 
-    # No driver-side dim probe: the sign matrix is derived executor-side
-    # from each batch's vector length (pure function of constants, so all
-    # executors agree). An empty / all-null corpus simply yields an empty
-    # candidate set through the joins below.
+    if assert_same_dim:
+        def _dim(df):
+            r = (
+                df.filter(F.col(vec_col).isNotNull())
+                .select(F.size(F.col(vec_col)).alias("d"))
+                .limit(1)
+                .collect()
+            )
+            return r[0]["d"] if r else None
+
+        cd, qd = _dim(corpus), _dim(queries)
+        if cd is not None and qd is not None and cd != qd:
+            raise ValueError(
+                f"corpus vectors have dim {cd} but query vectors dim {qd}; "
+                "LSH buckets would never match (empty result)"
+            )
+
+    # No driver-side dim probe by default: the sign matrix is derived
+    # executor-side from each batch's vector length (pure function of
+    # constants, so all executors agree). An empty / all-null corpus
+    # simply yields an empty candidate set through the joins below.
     cs = hyperplane_signatures_multi(corpus, n_planes, n_tables, id_col, vec_col)
     qs = hyperplane_signatures_multi(queries, n_planes, n_tables, id_col, vec_col)
     cands = (
@@ -116,7 +142,12 @@ def lsh_cosine_topk(
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # cos is null exactly when the pair is unscorable (zip_with over
+        # mismatched vector lengths) — drop those rather than rank them,
+        # which makes the dim-mismatch contract above literally true even
+        # when short/long sign matrices happen to collide on bucket bits.
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cos", "rank")
     )

@@ -58,7 +58,17 @@ class RemoteTx:
         self._act(P.SET_VALUE, ref=ref, kind=kind, value=payload)
 
     def get_targets(self, ref: int, idx_tag: str, idx_key=None) -> list[int]:
-        return self._act(P.GET_TARGETS, ref=ref, idx_tag=idx_tag, idx_key=idx_key)["refs"]
+        # The server streams large fan-outs: zero or more NODE_LIST_CHUNK
+        # messages, then the terminal NODE_LIST with the tail.
+        r = self._act(P.GET_TARGETS, ref=ref, idx_tag=idx_tag, idx_key=idx_key)
+        refs: list[int] = []
+        while r.get("t") == P.NODE_LIST_CHUNK:
+            refs.extend(r["refs"])
+            r = self._s._read_reply()
+            if r.get("t") == P.ERROR:
+                raise RuntimeError(r.get("error", "remote operation failed"))
+        refs.extend(r.get("refs", []))
+        return refs
 
     def add_target(self, src: int, dst: int) -> None:
         self._act(P.ADD_TARGET, src=src, dst=dst)
@@ -118,6 +128,9 @@ class RemoteGraphSession:
 
     def _request(self, msg: dict) -> dict:
         P.send_msg(self._sock, msg)
+        return self._read_reply()
+
+    def _read_reply(self) -> dict:
         reply = self._reader.read()
         if reply is None:
             raise P.ConnectionFailure("server closed connection")
@@ -135,10 +148,19 @@ class RemoteGraphSession:
         try:
             result = fn(RemoteTx(self, write))
         except BaseException:
-            # best-effort rollback: Finish on a write tx would commit the
-            # staged prefix, so just drop the connection — the server
-            # discards uncommitted state on disconnect.
-            self.close()
+            if write:
+                # best-effort rollback: Finish on a write tx would commit
+                # the staged prefix, so drop the connection — the server
+                # discards uncommitted state on disconnect.
+                self.close()
+            else:
+                # a read tx has nothing to roll back: Finish releases the
+                # server-side admission and the connection stays usable
+                # for subsequent transactions.
+                try:
+                    self._request({"t": P.FINISH})
+                except Exception:  # connection already broken — give up on it
+                    self.close()
             raise
         r = self._request({"t": P.FINISH})
         if r.get("t") == P.ERROR:

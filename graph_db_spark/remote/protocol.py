@@ -43,6 +43,10 @@ UNIT = "unit"
 NODE = "node"
 VALUE = "value"
 NODE_LIST = "node_list"
+# Streaming prefix of a NODE_LIST: zero or more chunks followed by the
+# terminal NODE_LIST carrying the tail. Keeps a hub node's fan-out from
+# buffering entirely on the server or in one wire message.
+NODE_LIST_CHUNK = "node_list_chunk"
 STATS = "stats"
 ERROR = "error"
 

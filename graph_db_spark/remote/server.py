@@ -103,9 +103,23 @@ class GraphServer:
         authenticate=None,
         max_clients: int = 64,
         timeout: float = 600.0,
+        chunk_size: int = 10_000,
     ):
         if (socket_path is None) == (port is None):
             raise ValueError("exactly one of socket_path / port required")
+        if port is not None and authenticate is None and host not in (
+            "127.0.0.1",
+            "::1",
+            "localhost",
+        ):
+            # The reference always checks credentials on network listeners;
+            # a non-loopback TCP listener without an authenticate callback
+            # would silently expose an unauthenticated write endpoint.
+            raise ValueError(
+                f"refusing to listen on {host!r} without an authenticate "
+                "callback (loopback hosts are exempt; unix sockets are "
+                "filesystem-local)"
+            )
         self.session = session
         self.model_version = model_version
         self.socket_path = socket_path
@@ -114,6 +128,7 @@ class GraphServer:
         self.authenticate = authenticate
         self.max_clients = max_clients
         self.timeout = timeout
+        self.chunk_size = max(1, int(chunk_size))
         self._lock = _RWLock()
         self._clients = 0
         self._clients_mu = threading.Lock()
@@ -157,6 +172,30 @@ class GraphServer:
 
     def __exit__(self, *exc) -> None:
         self.stop()
+
+    # -- local access under the same admission -----------------------------
+    # The hosting process must NOT mutate self.session directly while
+    # serving: GraphSession.write()/begin()/commit() bypass the server's
+    # RWLock and race remote write txs on the id/seq allocators and the
+    # snapshot swap. Route local work through these instead — they take
+    # the same admission as a remote transaction.
+
+    def write(self, fn):
+        """Run a local write program under the server's write lock."""
+        self._lock.acquire_write()
+        try:
+            return self.session.write(fn)
+        finally:
+            self._lock.release_write()
+
+    def read(self, fn):
+        """Run a local read against one pinned snapshot under the
+        server's read admission."""
+        self._lock.acquire_read()
+        try:
+            return fn(self.session.snapshot)
+        finally:
+            self._lock.release_read()
 
     # -- connection handling -----------------------------------------------
 
@@ -304,8 +343,18 @@ class GraphServer:
         elif op == P.GET_TARGETS:
             node = st.resolve(msg["ref"])
             df = (st.tx or st.view).get_targets(node, msg["idx_tag"], msg.get("idx_key"))
-            ids = [r["id"] for r in df.collect()]
-            P.send_msg(conn, {"t": P.NODE_LIST, "refs": [st.new_ref(i) for i in sorted(ids)]})
+            # Stream in chunks via toLocalIterator: a hub node's fan-out
+            # never materializes fully on the server or in one wire
+            # message — driver memory is bounded by one Spark partition
+            # plus one chunk. orderBy replaces the old driver-side sort,
+            # keeping ref allocation deterministic.
+            chunk: list[int] = []
+            for row in df.orderBy("id").toLocalIterator():
+                chunk.append(st.new_ref(row["id"]))
+                if len(chunk) >= self.chunk_size:
+                    P.send_msg(conn, {"t": P.NODE_LIST_CHUNK, "refs": chunk})
+                    chunk = []
+            P.send_msg(conn, {"t": P.NODE_LIST, "refs": chunk})
         elif op == P.ADD_TARGET:
             st.tx.add_target(st.resolve(msg["src"]), st.resolve(msg["dst"]))
             P.send_msg(conn, {"t": P.UNIT})

@@ -627,3 +627,28 @@ def test_iterative_loops_release_checkpoint_blocks(spark):
     # each loop's RESULT is one live checkpointed frame; the ~170 loop
     # rounds above must not have pinned one generation each
     assert after - before <= 6, f"leaked {after - before} persistent RDDs"
+
+
+def test_lsh_dim_mismatch_contract(spark):
+    """Documented failure modes of lsh_cosine_topk: mismatched
+    corpus/query dims yield an EMPTY result by default, and raise with
+    assert_same_dim=True."""
+    import pytest
+
+    from graph_db_spark.operators.similarity import lsh_cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    assert lsh_cosine_topk(corpus, queries, k=3).count() == 0
+    with pytest.raises(ValueError, match="dim"):
+        lsh_cosine_topk(corpus, queries, k=3, assert_same_dim=True)
+    # matching dims under the assert flag still work
+    q_ok = spark.createDataFrame(
+        [(100, [1.0, 2.0, 0.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    assert lsh_cosine_topk(corpus, q_ok, k=3, assert_same_dim=True).count() > 0

@@ -312,3 +312,80 @@ def test_remote_equivalent_to_local_session(spark, tmp_path):
     re_ = sorted((r["src"], r["dst"]) for r in remote_session.snapshot.edges.collect())
     assert le == re_
     assert local.snapshot.get_stats() == remote_session.snapshot.get_stats()
+
+
+def test_get_targets_paginates_large_fanout(spark, tmp_path):
+    """A hub node's fan-out streams back in chunks (toLocalIterator +
+    NODE_LIST_CHUNK frames) — the server never materializes the whole
+    target list, and the client reassembles it in order."""
+    session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+
+    # Build the hub locally in one set-oriented commit (100k remote
+    # round-trips would test the wire, not the pagination).
+    def fanout(tx):
+        for i in range(100_000):
+            a = tx.new_node("Artist", name="hub", uid=i)
+            tx.add_target(0, a)
+
+    session.write(fanout)
+    srv = GraphServer(
+        session,
+        model_version=MODEL_V,
+        socket_path=str(tmp_path / "hub.sock"),
+        chunk_size=1_000,  # forces >= 100 chunk frames
+    )
+    with srv:
+        with _connect(srv) as db:
+            def look(tx):
+                root = tx.get_root()
+                return tx.get_targets(root, "Catalogue_Artist_Name", "hub")
+
+            refs = db.read(look)
+    assert len(refs) == 100_000
+    assert refs == sorted(refs)  # deterministic server-side order
+
+
+def test_read_tx_failure_keeps_connection(server):
+    """An exception inside a READ transaction releases the server-side
+    admission and keeps the connection usable (only write-tx failures
+    drop the connection for rollback)."""
+    with _connect(server) as db:
+        db.write(lambda tx: _insert_artist(tx, "keepalive", 1))
+
+        class Boom(RuntimeError):
+            pass
+
+        with pytest.raises(Boom):
+            def bad(tx):
+                tx.get_root()
+                raise Boom("reader failed")
+            db.read(bad)
+
+        # same connection, next transaction works — and a writer can get
+        # the lock (the failed read tx released its admission)
+        def look(tx):
+            return tx.get_targets(tx.get_root(), "Catalogue_Artist_Name", "keepalive")
+        assert len(db.read(look)) == 1
+        db.write(lambda tx: _insert_artist(tx, "after", 2))
+        assert len(db.read(look)) == 1
+
+
+def test_tcp_nonloopback_requires_auth(spark):
+    """TCP on a non-loopback host without an authenticate callback is an
+    unauthenticated write endpoint — the constructor refuses it."""
+    session = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()))
+    with pytest.raises(ValueError, match="authenticate"):
+        GraphServer(session, host="0.0.0.0", port=0)
+    # loopback without auth stays allowed (local-only, like a unix socket)
+    GraphServer(session, host="127.0.0.1", port=0)
+
+
+def test_server_local_write_routes_through_lock(server):
+    """server.write()/read() give the hosting process lock-correct local
+    access; interleaved with remote transactions the final state is
+    consistent."""
+    server.write(lambda tx: _insert_artist(tx, "local", 10))
+    with _connect(server) as db:
+        db.write(lambda tx: _insert_artist(tx, "remote", 11))
+    n = server.read(lambda snap: snap.get_stats().as_tuple())
+    assert n[0] == 3  # root + 2 artists
