@@ -11,6 +11,12 @@ SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (sf0.1-scale fixtures, restart storms)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")

@@ -256,6 +256,60 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert len(ivf & exact) / len(exact) >= 0.6
 
 
+@pytest.mark.slow
+def test_ann_recall_regression_sf01(spark):
+    """Recall-regression guard at the BENCH scale (sf0.1, 2,000 dim-64
+    vectors): pins minimum recall vs the brute-force baseline for the two
+    LSH retrieval paths the bench times (`ann_lsh_topk`,
+    `embedding_near_dup_pairs`), so a future n_tables/n_planes tweak can't
+    silently degrade retrieval while still benching fast.
+
+    Floors vs measured (deterministic md5 planes, round-5): LSH top-k
+    0.80, IVF 0.86, planted near-dup 1.000 (2,000/2,000 pairs; the
+    ((1-(1-θ/π)^p))^t miss bound at cos ≥ 0.99 is < 1e-6). Floors leave
+    slack for fixture regeneration with a different seed, not for
+    parameter degradation."""
+    from graph_db_spark.operators.similarity import (
+        cosine_topk,
+        exact_near_dup_pairs,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.qid, r.nid) for r in cosine_topk(emb, q, 5).collect()}
+    lsh = {
+        (r.qid, r.nid)
+        for r in lsh_cosine_topk(emb, q, 5, n_planes=4, n_tables=8).collect()
+    }
+    ivf = {(r.qid, r.nid) for r in ivf_cosine_topk(emb, q, 5).collect()}
+    assert len(lsh & exact) / len(exact) >= 0.7, "ann_lsh_topk recall regressed"
+    assert len(ivf & exact) / len(exact) >= 0.75, "ann_ivf_topk recall regressed"
+
+    # embedding_near_dup_pairs shape: plant a perturbed copy of every
+    # vector (cos ≈ 0.998 to its original) and require LSH-bucketed
+    # candidate generation to recover essentially all true pairs.
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005) * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    allv = e.unionByName(pert)
+    got = {(r.a, r.b) for r in lsh_near_dup_pairs(allv, threshold=0.99).collect()}
+    want = {(r.a, r.b) for r in exact_near_dup_pairs(allv, threshold=0.99).collect()}
+    assert want, "fixture produced no true near-dup pairs"
+    assert len(got & want) / len(want) >= 0.995, "near-dup LSH recall regressed"
+    assert got <= want  # precision 1.0: exact cosine verifies every candidate
+
+
 def test_stream_sliding_counts(spark, sf_dir):
     from graph_db_spark.streaming.apply import stream_sliding_counts
 
