@@ -164,6 +164,16 @@ def main() -> None:
         "q12_priority_case_pivot",
         "q22_dormant_rich_customers",
         "graph_hits_hubs_authorities",
+        # round-5: full-TPC-H completion — the last six canonical shapes
+        # (conditional-ratio share, global-threshold HAVING, filtered
+        # outer-join histogram, view-max equality, chained semi-joins,
+        # exists+not-exists self-correlation)
+        "q8_nation_market_share",
+        "q11_important_inventory",
+        "q13_customer_orders_distribution",
+        "q15_top_supplier",
+        "q20_promotion_suppliers",
+        "q21_waiting_suppliers",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

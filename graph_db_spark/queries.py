@@ -4291,3 +4291,316 @@ def graph_hits_hubs_authorities(spark, sf_dir, n_iters: int = 2, max_key: int = 
         F.round("h", 6).alias("hub"),
         F.round("a", 6).alias("authority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 — the last six canonical TPC-H plan shapes (Q8/Q11/Q13/Q15/Q20/
+# Q21), completing all 22. The driver's tables lack partsupp and the
+# commit/receipt dates, so each is adapted to the available column set
+# while preserving the optimizer pattern the original exercises (the same
+# approach as the round-4 completions above).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q8_nation_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+                 CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): six-way join — fact ⋈ fact
+    (lineitem ⋈ orders) plus four broadcastable dims on both the customer
+    and supplier legs — then a conditional-ratio agg by order year.
+    Adapted: market share of supplier nation NATION_7 within EUROPE-
+    customer revenue, 1995-1996 (the driver's parts carry no p_type line).
+
+    100 TB shape: the only shuffle is lineitem ⋈ orders on orderkey (the
+    date filter pushes into the orders scan first); customer, supplier,
+    nation×2, region all broadcast; the year-level agg is 2 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_regionkey")
+    )
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = (
+        li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), "c_nationkey")
+        .join(F.broadcast(r.select(F.col("r_regionkey").alias("n_regionkey"))), "n_regionkey")
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), "s_nationkey")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "q11_important_inventory",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT p_partkey, round(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM pv)
+    """,
+)
+def q11_important_inventory(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): grouped value per part, kept
+    only when it exceeds a fraction of the GLOBAL total — the scalar-
+    subquery-as-threshold pattern. Adapted: shipped value from NATION_3's
+    suppliers stands in for partsupp supplycost×availqty (no partsupp
+    table).
+
+    100 TB shape: one shuffle per branch for the per-part agg; the 1-row
+    threshold broadcasts back as a filter (never a window over an
+    un-partitioned frame). Catalyst inlines the pv subtree into both
+    branches (two pruned lineitem scans — same as the SQL CTE); at 100 TB
+    you'd persist pv once and filter the persisted frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"))), "s_nationkey")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    total = pv.agg((F.lit(0.001) * F.sum("part_value")).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("p_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@q(
+    "q13_customer_orders_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_orders_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): left outer join with a
+    predicate INSIDE the join condition (orders in pending status don't
+    count, but the customer still appears with c_count=0), then a
+    two-level aggregation — orders-per-customer, then the histogram of
+    that count. Adapted: status filter stands in for the o_comment
+    NOT LIKE pattern (no comment column).
+
+    100 TB shape: the outer join and first agg share the custkey
+    partitioning (one shuffle); the histogram agg is tiny."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    per_cust = (
+        c.join(o, (c["c_custkey"] == o["o_custkey"]) & (o["o_orderstatus"] != "P"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-04-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s_name, CAST(rev.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.s_suppkey
+    WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): a revenue view over a quarter,
+    then select the supplier(s) achieving the view's MAX — the
+    view + scalar-subquery-equality pattern. Exact decimal revenue, so
+    the max-equality comparison is not float-fragile.
+
+    100 TB shape: one shuffle per branch for the per-supplier agg; the
+    max is a 1-row broadcast (not a global sort), and the supplier dim
+    joins broadcast. Catalyst inlines the rev subtree into both branches
+    (two pruned scans — same as the SQL CTE); at 100 TB you'd persist
+    rev once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-04-01") & (F.col("l_shipdate") < "1995-07-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), "s_suppkey")
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@q(
+    "q20_promotion_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50)
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): chained semi-joins —
+    suppliers (nation-filtered) IN (grouped-HAVING subquery over
+    lineitem ⋈ part). Adapted: "shipped > 50 units of a small% part in
+    1996" stands in for the partsupp availqty comparison.
+
+    100 TB shape: the part name-filter broadcasts into the lineitem
+    scan; the HAVING agg shuffles on (suppkey, partkey); the final
+    supplier probe is a broadcast left-semi — supplier never shuffles."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qualified = (
+        li.join(F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))), "l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"))), "s_nationkey")
+        .join(qualified, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, numwait FROM (
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders   ON l1.l_orderkey = o_orderkey
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name)
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    subquery pattern — EXISTS and NOT EXISTS against the SAME fact table
+    with a different-supplier correlation. Adapted: "sole returning
+    supplier in a finished multi-supplier order" stands in for the
+    late-receipt predicate (no commit/receipt dates). Top-20 by count,
+    name-tiebroken (names are unique → total order, deterministic).
+
+    100 TB shape: all three lineitem legs hash-shuffle on orderkey once
+    each (semi + anti join, no fact-side broadcast); supplier broadcasts;
+    the per-supplier agg is 100s of rows."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    ok = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").join(ok, "l_orderkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(l2, (l1["l_orderkey"] == l2["o2"]) & (l1["l_suppkey"] != l2["s2"]), "left_semi")
+        .join(l3, (l1["l_orderkey"] == l3["o3"]) & (l1["l_suppkey"] != l3["s3"]), "left_anti")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), "l_suppkey")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+        .select("s_name", "numwait")
+    )
