@@ -397,7 +397,12 @@ class GraphSnapshot:
 
     # -- whole-graph analytics ---------------------------------------------
 
-    def reachable(self, root_id: int = ROOT_ID, max_iters: int = 1000) -> DataFrame:
+    def reachable(
+        self,
+        root_id: int = ROOT_ID,
+        max_iters: int = 1000,
+        broadcast_frontier: bool = True,
+    ) -> DataFrame:
         """BFS from root via iterative frontier joins — the Pregel-style
         re-expression of the reference's queue+visited-set walk
         (Graph.hs:82-118). Driver loop (Catalyst has no recursion); lineage
@@ -407,51 +412,82 @@ class GraphSnapshot:
         re-checkpointed) per level — each level's anti-join plan is O(1)
         regardless of depth, instead of re-unioning every prior frontier
         (which grows the plan O(depth²) across the loop)."""
-        spark = self.spark
-        # Cache the (narrow) edge list for the duration of the loop — it is
-        # joined once per level and must not be recomputed from source.
         edges = self.edges.select("src", "dst").persist()
         try:
-            from graph_db_spark.pregel import release
-
-            frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
-                eager=True
-            )
-            visited = frontier
-            for _ in range(max_iters):
-                nxt = (
-                    edges.join(frontier.withColumnRenamed("id", "src"), "src")
-                    .select(F.col("dst").alias("id"))
-                    .distinct()
-                    .join(visited, "id", "left_anti")
-                    .localCheckpoint(eager=True)  # materialize + cut lineage
-                )
-                if nxt.isEmpty():
-                    release(nxt)
-                    break
-                new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-                # superseded generation: the new checkpoint owns its own
-                # blocks, so last round's visited/frontier frames are dead
-                prev_visited, prev_frontier = visited, frontier
-                visited, frontier = new_visited, nxt
-                release(prev_visited)
-                if prev_frontier is not prev_visited:
-                    release(prev_frontier)
-            if frontier is not visited:
-                release(frontier)  # last frontier; already folded into visited
-            return visited
+            return self._reachable_on(edges, root_id, max_iters, broadcast_frontier)
         finally:
             edges.unpersist()
 
-    def get_stats(self) -> GraphStats:
+    def _reachable_on(
+        self,
+        edges: DataFrame,
+        root_id: int,
+        max_iters: int,
+        broadcast_frontier: bool,
+    ) -> DataFrame:
+        """BFS loop over a caller-persisted narrow (src, dst) frame.
+
+        With ``broadcast_frontier`` (default) the frontier and visited
+        frames — bounded by the reachable-node count, i.e. a few MB of
+        longs even on million-node graphs — are broadcast, so each level
+        is ONE shuffle (the distinct over newly-found dsts): the cached
+        edge list is scanned in place (BroadcastHashJoin inner + LeftAnti,
+        no exchange on the fat side), and the anti-join runs BEFORE the
+        distinct so already-visited dsts never enter the shuffle. For
+        graphs whose per-level frontier outgrows executor broadcast
+        budgets (~100 MB of ids), pass ``broadcast_frontier=False`` to
+        fall back to shuffle joins and let AQE plan each level."""
+        spark = self.spark
+        from graph_db_spark.pregel import release
+
+        hint = F.broadcast if broadcast_frontier else (lambda df: df)
+        frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
+            eager=True
+        )
+        visited = frontier
+        for _ in range(max_iters):
+            nxt = (
+                edges.join(hint(frontier.withColumnRenamed("id", "src")), "src")
+                .select(F.col("dst").alias("id"))
+                .join(hint(visited), "id", "left_anti")
+                .distinct()
+                .localCheckpoint(eager=True)  # materialize + cut lineage
+            )
+            if nxt.isEmpty():
+                release(nxt)
+                break
+            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # superseded generation: the new checkpoint owns its own
+            # blocks, so last round's visited/frontier frames are dead
+            prev_visited, prev_frontier = visited, frontier
+            visited, frontier = new_visited, nxt
+            release(prev_visited)
+            if prev_frontier is not prev_visited:
+                release(prev_frontier)
+        if frontier is not visited:
+            release(frontier)  # last frontier; already folded into visited
+        return visited
+
+    def get_stats(self, broadcast_frontier: bool = True) -> GraphStats:
         """GraphDB.hs:355-356 / Graph.hs:82-118: (reachable nodes, distinct
-        edges from reachable nodes, index entries from reachable nodes)."""
-        reach = self.reachable()
-        n_nodes = reach.count()
-        reach_src = reach.withColumnRenamed("id", "src")
-        n_edges = self.edges.join(reach_src, "src", "left_semi").count()
-        n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
-        return GraphStats(n_nodes, n_edges, n_idx)
+        edges from reachable nodes, index entries from reachable nodes).
+
+        The narrow edge list is persisted ONCE for the whole call — the
+        BFS levels and the n_edges semi-join all reuse it instead of
+        re-deriving edges from source per count — and the reachable set
+        (a localCheckpointed frame of ids) broadcasts into both semi-joins
+        so the 2.7M-row edge_index never shuffles."""
+        edges = self.edges.select("src", "dst").persist()
+        try:
+            reach = self._reachable_on(edges, ROOT_ID, 1000, broadcast_frontier)
+            n_nodes = reach.count()
+            hint = F.broadcast if broadcast_frontier else (lambda df: df)
+            reach_src = hint(reach.withColumnRenamed("id", "src"))
+            n_edges = edges.join(reach_src, "src", "left_semi").count()
+            n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
+            return GraphStats(n_nodes, n_edges, n_idx)
+        finally:
+            edges.unpersist()
 
     # -- mutation (set-oriented, one pass per commit) ----------------------
 
