@@ -59,6 +59,17 @@ def undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def _src_partitioned(edges: DataFrame) -> DataFrame:
+    """Hash-partition an edge frame by ``src`` BEFORE persisting it for an
+    iterative loop. A persisted-but-unpartitioned edge list gets an
+    Exchange inserted over it EVERY round (the per-round join on src needs
+    hash distribution); partitioned once, the cached layout satisfies the
+    join's requirement for the whole loop and only the small per-round
+    state frame shuffles — the GraphX edge-partition-reuse pattern, and
+    the difference between O(rounds) and O(1) edge shuffles at 100 TB."""
+    return edges.repartition("src")
+
+
 def bfs_levels(
     edges: DataFrame, sources: DataFrame, max_iters: int = 1000, directed: bool = True
 ) -> DataFrame:
@@ -71,7 +82,9 @@ def bfs_levels(
     """
     from functools import reduce
 
-    e = (edges.select("src", "dst") if directed else undirected(edges)).persist()
+    e = _src_partitioned(
+        edges.select("src", "dst") if directed else undirected(edges)
+    ).persist()
     try:
         frontier = (
             sources.select(F.col("id"), F.lit(0).alias("level"))
@@ -120,7 +133,7 @@ def connected_components(
     changes. For high-diameter graphs the large-star/small-star variant
     halves round count — not needed for the layered graphs here.
     """
-    e = undirected(edges).persist()
+    e = _src_partitioned(undirected(edges)).persist()
     labels = vertices.select(
         F.col("id"), F.col("id").alias("component")
     ).localCheckpoint(eager=True)
@@ -251,7 +264,9 @@ def shortest_paths(
     practice O(weighted diameter). Lineage is truncated per round with
     localCheckpoint (Catalyst has no recursion).
     """
-    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w")).persist()
+    e = _src_partitioned(
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    ).persist()
     dist = (
         sources.select(F.col("id"), F.lit(0.0).alias("dist"))
         .groupBy("id")
@@ -306,11 +321,9 @@ def pagerank(
     replay deterministic.
     """
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        edges.select("src", "dst")
-        .join(out_deg.withColumnRenamed("id", "src"), "src")
-        .persist()
-    )
+    e = _src_partitioned(
+        edges.select("src", "dst").join(out_deg.withColumnRenamed("id", "src"), "src")
+    ).persist()
     v = vertices.select("id").distinct().persist()
     ranks = v.select("id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
     try:
@@ -455,11 +468,9 @@ def personalized_pagerank(
     expected tiny — it broadcasts into the per-round left join.
     """
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        edges.select("src", "dst")
-        .join(out_deg.withColumnRenamed("id", "src"), "src")
-        .persist()
-    )
+    e = _src_partitioned(
+        edges.select("src", "dst").join(out_deg.withColumnRenamed("id", "src"), "src")
+    ).persist()
     v = vertices.select("id").distinct().persist()
     base = v.join(F.broadcast(seeds.select("id").withColumn("b", F.lit(1.0))), "id", "left")
     base = base.select("id", F.coalesce(F.col("b"), F.lit(0.0)).alias("base")).persist()
