@@ -75,6 +75,28 @@ def minhash_signatures(
     return tok.groupBy("id").agg(*aggs)
 
 
+def row_minhash_signature(text, n_hashes: int = 8, k: int = 3):
+    """Row-local MinHash signature column: '|'-joined h0..h{n-1}, NULL for
+    docs that emit no shingles (< k tokens).
+
+    Bit-identical to ``minhash_signatures`` over ``shingles(...)``: MIN is
+    insensitive to duplicate set elements, so folding it per row over the
+    shingle array (higher-order functions — no aggregation, no shuffle,
+    whole-stage codegen) yields exactly the groupBy form's minima. Because
+    it needs NO aggregation state it is the signature form usable inside
+    a streaming projection (see streaming.apply.stream_dedup_near) or any
+    per-row pipeline stage."""
+    sh = shingle_array(text, k)
+
+    # NB: the transform lambda must take exactly ONE parameter — PySpark
+    # inspects arity and passes the element index to a second one.
+    def _hasher(i):
+        return lambda t: F.md5(F.concat(F.lit(f"{i}|"), t))
+
+    mins = [F.array_min(F.transform(sh, _hasher(i))) for i in range(n_hashes)]
+    return F.when(sh.isNotNull(), F.concat_ws("|", *mins))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:

@@ -4604,3 +4604,52 @@ def q21_waiting_suppliers(spark, sf_dir):
         .limit(20)
         .select("s_name", "numwait")
     )
+
+
+@q(
+    "dedup_minhash_signature_groups",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct([array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)])
+                  ELSE NULL END AS s
+      FROM toks),
+    sig AS (
+      SELECT doc_id,
+             list_min(list_transform(s, t -> md5('0|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('1|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('2|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('3|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('4|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('5|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('6|' || t))) || '|' ||
+             list_min(list_transform(s, t -> md5('7|' || t))) AS sig
+      FROM sh WHERE s IS NOT NULL)
+    SELECT sig, min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM sig GROUP BY sig
+    """,
+)
+def dedup_minhash_signature_groups(spark, sf_dir):
+    """Row-local MinHash signature dedup groups: (sig, kept_id,
+    n_members) — the batch twin of the streaming near-dup suppressor
+    (streaming.apply.stream_dedup_near), proving the per-row
+    higher-order-function signature (no aggregation, no shuffle until the
+    final fixed-width groupBy) is bit-identical cross-engine. Signature
+    equality is the high-precision near-dup tier: all 8 minima agree ⇒
+    shingle-set Jaccard ≈ 1.
+
+    100 TB shape: the only shuffle carries (sig 260 B, doc_id) — never
+    text; the groupBy is map-side combinable; short docs (no shingles)
+    are excluded here and pass through unsuppressed in the stream."""
+    d = _t(spark, sf_dir, "documents")
+    sig = D.row_minhash_signature(F.col("text"), n_hashes=8, k=3)
+    return (
+        d.select("doc_id", sig.alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("n_members"))
+    )

@@ -141,6 +141,53 @@ def stream_dedup_exact(
     return ev.dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_dedup_near(
+    spark: SparkSession,
+    docs_dir: str,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression — the ingestion-time twin of
+    the batch MinHash dedup family: each arriving document gets a
+    ROW-LOCAL MinHash signature (operators.dedup.row_minhash_signature —
+    higher-order functions only, no aggregation state, bit-identical to
+    the batch groupBy signature), and documents whose full signature
+    repeats within the watermark horizon are dropped
+    (``dropDuplicatesWithinWatermark`` keyed on the signature, so dedup
+    state stays bounded by the horizon — the property that keeps a
+    100 TB ingest's near-dup state in memory).
+
+    An identical 8-hash signature implies near-identical shingle sets
+    (each hash agrees ⇒ Jaccard ≈ 1); this is the high-precision tier of
+    streaming dedup — looser matching (band-level keys) trades precision
+    for recall by keying on band hashes instead of the full signature.
+    Documents too short to emit shingles pass through unsuppressed (their
+    key falls back to the doc id). Event time is synthesized
+    deterministically from doc_id (the fixture carries no ingest
+    timestamp; a production ingest uses its arrival time column)."""
+    import os
+
+    from graph_db_spark.operators.dedup import row_minhash_signature
+
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(docs_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_dir))
+        docs_dir = os.path.dirname(docs_dir)
+    docs = reader.parquet(docs_dir)
+    sig = row_minhash_signature(F.col("text"), n_hashes, shingle_k)
+    return (
+        docs.withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+        .withColumn(
+            "sig",
+            F.coalesce(sig, F.concat(F.lit("__nosig__"), F.col("doc_id").cast("string"))),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["sig"])
+    )
+
+
 def stream_click_error_join(
     spark: SparkSession,
     events_dir: str,

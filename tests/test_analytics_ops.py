@@ -310,6 +310,60 @@ def test_ann_recall_regression_sf01(spark):
     assert got <= want  # precision 1.0: exact cosine verifies every candidate
 
 
+def test_stream_dedup_near_and_rowlocal_signature(spark, sf_dir, tmp_path):
+    """(1) The row-local higher-order-function MinHash signature is
+    bit-identical to the batch groupBy form (MIN is duplicate-insensitive,
+    so folding per row over the shingle array = aggregating over exploded
+    shingles). (2) The streaming near-dup suppressor keeps exactly one doc
+    per signature: planted signature-identical copies are dropped within
+    the watermark, while short (no-shingle) docs pass through."""
+    from graph_db_spark.operators.dedup import (
+        minhash_signatures,
+        row_minhash_signature,
+        shingles,
+    )
+    from graph_db_spark.streaming.apply import stream_dedup_near
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).cache()
+    n_docs = docs.count()
+    batch = minhash_signatures(shingles(docs, "doc_id", "text", 3), 8)
+    packed_batch = {
+        r["id"]: "|".join(r[f"h{i}"] for i in range(8)) for r in batch.collect()
+    }
+    rowlocal = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", row_minhash_signature(F.col("text"), 8, 3).alias("sig")
+        ).collect()
+        if r["sig"] is not None
+    }
+    assert rowlocal == packed_batch
+
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    # copies: same text => same signature; ts offset +10000s stays inside
+    # the 6h watermark, so the suppressor must drop every copy
+    docs.withColumn("doc_id", F.col("doc_id") + 10000).write.mode("append").parquet(src)
+    out = stream_dedup_near(spark, src, watermark="6 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) AS n FROM neardup_out").collect()[0]["n"]
+    finally:
+        q.stop()
+    # distinct signature VALUES: the fixture itself contains near-dup
+    # docs whose 8 minima all agree, which collapse too
+    n_sig = len(set(packed_batch.values()))
+    n_short = n_docs - len(packed_batch)  # no-shingle docs are never suppressed
+    assert n == n_sig + 2 * n_short
+    docs.unpersist()
+
+
 def test_stream_sliding_counts(spark, sf_dir):
     from graph_db_spark.streaming.apply import stream_sliding_counts
 
