@@ -174,6 +174,9 @@ def main() -> None:
         "q15_top_supplier",
         "q20_promotion_suppliers",
         "q21_waiting_suppliers",
+        # round-5: streaming-dedup batch twin + BPE tokenizer apply
+        "dedup_minhash_signature_groups",
+        "bpe_encode_fixed_rules",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

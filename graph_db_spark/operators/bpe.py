@@ -1,0 +1,209 @@
+"""Distributed BPE tokenizer: fit AND apply on the cluster.
+
+Fit is the standard train-a-tokenizer-at-scale loop: the corpus collapses
+to a word-frequency table once (vocabulary-sized state, corpus counts as
+weights — the same trick as queries.bpe_merge_pair_counts), then each
+merge step is one map-side-combinable pair count + one fold that rewrites
+every word's symbol array. All set-oriented; the driver only picks the
+argmax pair per step.
+
+Apply comes in two forms:
+
+- ``bpe_encode_expr``  — the merge rules unrolled into chained
+  ``aggregate`` folds (pure column expressions, whole-stage codegen, and
+  reproducible in DuckDB via ``list_reduce`` — the oracle path). Sound
+  because BPE encoding applies merges in learned order: a rule's operand
+  tokens can only be produced by EARLIER rules (a pair containing token
+  "ab" is learnable only after "ab" exists), so sequential application in
+  rank order equals the classic lowest-rank-first algorithm. Practical to
+  ~a few dozen rules before expression depth dominates.
+- ``bpe_encode``       — the scale path for real vocabularies (10k+
+  merges): an Arrow-batched pandas UDF holding the rank table once per
+  executor, with a per-batch word cache (Zipf makes the cache hit rate
+  ~99%). This is the genuinely non-SQL-expressible loop the UDF tier
+  exists for; everything around it stays in JVM expressions.
+
+No reference analogue (the reference is an OLTP graph store); part of the
+LLM-training-data suite alongside queries.bpe_merge_pair_counts (the
+single-step fit kernel).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
+from pyspark.sql import Column, DataFrame, functions as F
+
+from graph_db_spark.functions.text import ws_tokens
+
+__all__ = ["bpe_encode", "bpe_encode_expr", "char_symbols", "fit_bpe", "merge_pair"]
+
+
+def char_symbols(word: Column) -> Column:
+    """ARRAY<STRING> of single characters of *word* (1 element per char)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, F.lit(1))
+    )
+
+
+def merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """One BPE merge rule applied to a symbol array: every adjacent
+    (a, b) becomes a+b, left-to-right, non-overlapping ("aaa" + rule
+    (a,a) → ["aa","a"]). A single ``aggregate`` fold — no UDF, and
+    bit-reproducible in DuckDB as a ``list_reduce`` (see the
+    bpe_encode_fixed_rules oracle)."""
+    # Single fold from an EMPTY accumulator, so *symbols* is referenced
+    # exactly once — chaining n rules then nests linearly instead of
+    # duplicating the whole upstream expression per reference (4 refs per
+    # rule would blow up 4^n and hang analysis). F.get returns NULL on the
+    # empty accumulator (no ANSI index error), which falls through to the
+    # append branch.
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def encode_word_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol array of *word* after applying *merges* in rank order —
+    chained folds, expression-only."""
+    syms = char_symbols(word)
+    for a, b in merges:
+        syms = merge_pair(syms, a, b)
+    return syms
+
+
+def bpe_encode_expr(
+    text: Column, merges: list[tuple[str, str]], word_sep: str = " ", tok_sep: str = "_"
+) -> Column:
+    """Encode a document: lower-cased whitespace words, each BPE-encoded
+    by *merges*; tokens joined by *tok_sep* within a word and *word_sep*
+    across words (a flat STRING so the result is hash-comparable across
+    engines)."""
+    words = ws_tokens(F.lower(text))
+    return F.concat_ws(
+        word_sep,
+        F.transform(words, lambda w: F.concat_ws(tok_sep, encode_word_expr(w, merges))),
+    )
+
+
+def fit_bpe(
+    df: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn *n_merges* BPE merge rules from a corpus, distributed.
+
+    State is the word-frequency table with each word as a symbol array —
+    vocabulary-sized, NOT corpus-sized. Per step: adjacent-pair counts
+    (one explode + map-side-combinable sum, weighted by word frequency),
+    the argmax pair (deterministic tie-break on the pair itself) comes to
+    the driver as ONE row, and the fold rewrites the arrays. Lineage is
+    truncated per step with localCheckpoint and superseded blocks are
+    released (same discipline as the Pregel loops)."""
+    from graph_db_spark.pregel import release
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(df)
+    state = (
+        d.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(char_symbols(F.col("word")).alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                state.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy("p")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
+            merges.append((a, b))
+            new_state = state.select(
+                merge_pair(F.col("syms"), a, b).alias("syms"), "n"
+            ).localCheckpoint(eager=True)
+            release(state)
+            state = new_state
+        return merges
+    finally:
+        release(state)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale-path BPE encode → (id, tokens ARRAY<STRING>): Arrow-batched
+    pandas UDF applying the classic lowest-rank-first merge loop per word,
+    with the rank table captured once per executor and a per-batch word
+    cache (Zipf ⇒ most words repeat). Produces exactly the same
+    segmentation as ``bpe_encode_expr`` (rank-order equivalence — see
+    module docstring); tested for equality against it."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best_i, best_rank = -1, len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]), len(ranks))
+                if r < best_rank:
+                    best_i, best_rank = i, r
+            if best_i < 0 or best_rank >= len(ranks):
+                break
+            # merge ALL non-overlapping occurrences of the chosen pair,
+            # left to right (standard BPE merge-step semantics)
+            a, b = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return texts.map(
+            lambda t: [
+                tok
+                for w in (t or "").lower().split()
+                for tok in encode_word(w, cache)
+            ]
+        )
+
+    return df.select(F.col(id_col).alias("id"), enc(F.col(text_col)).alias("tokens"))

@@ -4653,3 +4653,59 @@ def dedup_minhash_signature_groups(spark, sf_dir):
         .groupBy("sig")
         .agg(F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("n_members"))
     )
+
+
+# Fixed BPE rule list for the oracle-checkable expression-path encode:
+# chained multi-char merges (t+a → ta → tab → table; v+a → va → val;
+# r+o → row) over the fixture's vocabulary.
+_BPE_RULES = [
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("v", "a"), ("va", "l"), ("r", "o"), ("ro", "w"),
+]
+
+
+def _bpe_oracle_sql(rules) -> str:
+    """DuckDB twin of operators.bpe.encode_word_expr: each merge rule is
+    one list_reduce fold over singleton-wrapped symbols — the same
+    left-to-right non-overlapping semantics as the Spark aggregate."""
+    expr = "list_transform(range(len(w)), i -> w[i+1:i+1])"
+    for a, b in rules:
+        expr = (
+            f"(CASE WHEN len({expr}) <= 1 THEN {expr} ELSE "
+            f"list_reduce(list_transform({expr}, s -> [s]), (x, y) -> "
+            f"CASE WHEN x[-1] = '{a}' AND y[1] = '{b}' "
+            f"THEN list_append(x[1:len(x)-1], '{a}{b}') "
+            f"ELSE list_append(x, y[1]) END) END)"
+        )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(words, w ->
+             array_to_string({expr}, '_')), ' ') AS encoded
+    FROM docs
+    """
+
+
+@q("bpe_encode_fixed_rules", _bpe_oracle_sql(_BPE_RULES))
+def bpe_encode_fixed_rules(spark, sf_dir):
+    """BPE tokenizer APPLY, expression path: the 8 fixed merge rules
+    unrolled into chained aggregate folds (operators.bpe.bpe_encode_expr)
+    — whole-stage codegen, zero UDFs, and the DuckDB oracle reproduces
+    every fold via list_reduce, certifying the merge semantics
+    (left-to-right, non-overlapping, rank order) bit-for-bit.
+
+    The scale path for real vocabularies (10k+ merges) is the
+    Arrow-batched operators.bpe.bpe_encode UDF, tested equal to this
+    expression form; fitting is operators.bpe.fit_bpe (distributed
+    merge loop over the word-frequency table).
+
+    100 TB shape: one scan, one projection; no joins, no shuffles."""
+    from graph_db_spark.operators.bpe import bpe_encode_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_encode_expr(F.col("text"), _BPE_RULES).alias("encoded")
+    )

@@ -310,6 +310,46 @@ def test_ann_recall_regression_sf01(spark):
     assert got <= want  # precision 1.0: exact cosine verifies every candidate
 
 
+def test_bpe_fit_and_encode_paths_agree(spark, sf_dir):
+    """(1) fit_bpe learns the classic merges on the textbook corpus.
+    (2) The Arrow-batched UDF encoder produces EXACTLY the expression-path
+    (chained-fold) segmentation on fixture docs under the learned rules —
+    the rank-order-equivalence claim, tested. (3) Tokens round-trip: the
+    concatenation of a word's tokens is the word."""
+    from graph_db_spark.operators.bpe import bpe_encode, bpe_encode_expr, fit_bpe
+
+    toy = spark.createDataFrame(
+        [(1, "low low low low low lower lower newest newest")], "doc_id LONG, text STRING"
+    )
+    merges = fit_bpe(toy, n_merges=4)
+    # 'lo' (7 weighted), then 'low' (7), then ties resolve
+    # deterministically on the pair itself
+    assert merges[0] == ("l", "o") and merges[1] == ("lo", "w")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40).cache()
+    rules = fit_bpe(docs, n_merges=12)
+    assert len(rules) == 12
+    expr_out = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", bpe_encode_expr(F.col("text"), rules).alias("e")
+        ).collect()
+    }
+    udf_out = {
+        r["id"]: r["tokens"] for r in bpe_encode(docs, rules).collect()
+    }
+    assert set(expr_out) == set(udf_out)
+    for did, enc in expr_out.items():
+        flat_expr = [t for w in enc.split(" ") for t in w.split("_") if w]
+        assert flat_expr == udf_out[did], f"doc {did} segmentation diverged"
+    # round-trip: joining each word's tokens restores the word
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, enc in expr_out.items():
+        rebuilt = [w.replace("_", "") for w in enc.split(" ") if w]
+        assert rebuilt == texts[did].lower().split()
+    docs.unpersist()
+
+
 def test_stream_dedup_near_and_rowlocal_signature(spark, sf_dir, tmp_path):
     """(1) The row-local higher-order-function MinHash signature is
     bit-identical to the batch groupBy form (MIN is duplicate-insensitive,
