@@ -177,6 +177,7 @@ def main() -> None:
         # round-5: streaming-dedup batch twin + BPE tokenizer apply
         "dedup_minhash_signature_groups",
         "bpe_encode_fixed_rules",
+        "ann_ivf_kmeans_topk",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

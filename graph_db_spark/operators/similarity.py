@@ -253,21 +253,25 @@ def ivf_cosine_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: coarse-quantize the corpus into centroid cells (centroids =
-    the n_centroids lowest-id vectors — deterministic, no k-means RNG;
-    at scale you'd train real centroids offline and broadcast them the same
-    way), assign corpus vectors to their nearest cell, probe each query's
-    n_probe nearest cells, exact cosine only within probed cells.
+    """IVF ANN: coarse-quantize the corpus into centroid cells, assign
+    corpus vectors to their nearest cell, probe each query's n_probe
+    nearest cells, exact cosine only within probed cells.
+
+    *centroids* (id_col, vec_col) supplies trained cells — e.g. from the
+    distributed ``kmeans_fit`` below; the default keeps the deterministic
+    no-RNG placeholder (the n_centroids lowest-id vectors).
 
     Scale shape: the centroid table is tiny and broadcast everywhere; the
     corpus shuffles once on cell id (its partitioning key on disk in a real
     deployment, making the probe join partition-pruned); per-query work is
     |cell| not |corpus|.
     """
-    centroids = corpus.select(F.col(id_col), F.col(vec_col)).filter(
-        F.col(id_col) < n_centroids
-    )
+    if centroids is None:
+        centroids = corpus.select(F.col(id_col), F.col(vec_col)).filter(
+            F.col(id_col) < n_centroids
+        )
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col("id").alias("nid"), "cell"
     )
@@ -296,3 +300,75 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cos", "rank")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Distributed Lloyd's k-means → (vec_id = cell, embedding = centroid),
+    the trained-centroid source for ``ivf_cosine_topk``.
+
+    Deterministic and cross-engine exact (no RNG, no FP drift):
+    - init = the k lowest-id vectors (k-means++ would add RNG; at scale
+      you'd seed from a hash-sample instead);
+    - assignment distance is a sequential left-to-right fold over the
+      zipped arrays — the same double result on any engine;
+    - new centroids are per-(cell, dim) means computed with DECIMAL sums
+      (exact, order-independent — a double sum would differ across
+      partitionings), divided by the exact member count and rounded.
+
+    Scale shape per iteration: centroids broadcast into the assignment
+    (one corpus scan, no shuffle), then ONE shuffle of fixed-width
+    (cell, dim, x) triples for the map-side-combinable mean agg. Empty
+    cells keep their previous centroid (standard Lloyd's fallback)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cent = v.filter(F.col("id") < k).select(
+        F.col("id").alias("cell"), F.col("v").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iters):
+        w = W.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("d", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell", "v")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "dim",
+                F.round(F.col("sx").cast("double") / F.col("n"), round_digits).alias("val"),
+            )
+        )
+        new_cent = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("ps"))
+            .select("cell", F.transform("ps", lambda p: p["val"]).alias("c"))
+        )
+        # empty cells keep their previous centroid
+        cent = (
+            cent.alias("o")
+            .join(new_cent.alias("n"), "cell", "left")
+            .select("cell", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
+        )
+    return cent.select(F.col("cell").alias(id_col), F.col("c").alias(vec_col))

@@ -4709,3 +4709,84 @@ def bpe_encode_fixed_rules(spark, sf_dir):
     return d.select(
         "doc_id", bpe_encode_expr(F.col("text"), _BPE_RULES).alias("encoded")
     )
+
+
+def _kmeans_iter_sql(n: int, p: int) -> str:
+    """One Lloyd's iteration as CTEs: assign (sequential-fold distances —
+    identical doubles on any engine), decimal-exact per-(cell,dim) means,
+    empty cells keep the previous centroid. Twin of
+    operators.similarity.kmeans_fit."""
+    return f"""
+    a{n} AS (SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(range(len(e.v)), i ->
+                   (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC, c.cell ASC) AS rn
+        FROM e, c{p} c) WHERE rn = 1),
+    m{n} AS (SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM a{n}),
+    g{n} AS (SELECT cell, dim,
+                    round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS val
+             FROM m{n} GROUP BY cell, dim),
+    c{n} AS (SELECT o.cell, coalesce(nn.c, o.c) AS c
+             FROM c{p} o LEFT JOIN
+               (SELECT cell, list(val ORDER BY dim) AS c FROM g{n} GROUP BY cell) nn
+               ON o.cell = nn.cell)"""
+
+
+@q(
+    "ann_ivf_kmeans_topk",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    "c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"
+    + _kmeans_iter_sql(1, 0)
+    + ","
+    + _kmeans_iter_sql(2, 1)
+    + """,
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    ca AS (
+      SELECT vec_id AS nid, cell FROM (
+        SELECT n.vec_id, cent.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n CROSS JOIN cent) WHERE r = 1),
+    qa AS (
+      SELECT vec_id AS qid, cell FROM (
+        SELECT n.vec_id, cent.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n CROSS JOIN cent WHERE n.vec_id < 5) WHERE r <= 2),
+    scored AS (
+      SELECT DISTINCT qa.qid, ca.nid,
+             round(list_dot_product(cn.v, qn.v) / (cn.nrm * qn.nrm), 6) AS cos
+      FROM qa JOIN ca USING (cell)
+      JOIN n cn ON cn.vec_id = ca.nid
+      JOIN n qn ON qn.vec_id = qa.qid
+      WHERE ca.nid <> qa.qid)
+    SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN over TRAINED cells: distributed Lloyd's k-means (k=8,
+    2 iterations — operators.similarity.kmeans_fit: broadcast assignment,
+    one fixed-width shuffle per iteration, decimal-exact means) supplies
+    the coarse quantizer that ann_ivf_topk stubs with lowest-id vectors;
+    then the standard 2-probe cell search. The oracle re-derives the SAME
+    centroids bit-for-bit (sequential-fold distances + decimal sums), so
+    a hash-match certifies the whole fit+probe pipeline cross-engine.
+
+    100 TB shape: fit state is (cell, dim) triples — fixed width; the
+    trained centroid table broadcasts into assignment and probing; the
+    corpus shuffles once per fit iteration and once on cell id for the
+    probe join."""
+    from graph_db_spark.operators.similarity import ivf_cosine_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=8, n_iters=2)
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=2, centroids=cent
+    )

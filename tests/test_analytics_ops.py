@@ -310,6 +310,46 @@ def test_ann_recall_regression_sf01(spark):
     assert got <= want  # precision 1.0: exact cosine verifies every candidate
 
 
+def test_kmeans_fit_monotone_sse(spark, sf_dir):
+    """Lloyd's iterations never increase within-cluster SSE, and the fit
+    is deterministic (decimal-exact means): two runs yield identical
+    centroids."""
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+    def sse(cent):
+        v = emb.select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        c = cent.select(F.col("embedding").alias("c"))
+        d = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            v.crossJoin(F.broadcast(c))
+            .select(d.alias("d"), F.col("v"))
+            .groupBy("v")
+            .agg(F.min("d").alias("dmin"))
+            .agg(F.sum("dmin").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    c0 = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    c1 = kmeans_fit(emb, k=8, n_iters=1)
+    c2 = kmeans_fit(emb, k=8, n_iters=2)
+    s0, s1, s2 = sse(c0), sse(c1), sse(c2)
+    assert s1 <= s0 and s2 <= s1
+    again = {r["vec_id"]: r["embedding"] for r in kmeans_fit(emb, k=8, n_iters=2).collect()}
+    first = {r["vec_id"]: r["embedding"] for r in c2.collect()}
+    assert again == first
+    emb.unpersist()
+
+
 def test_bpe_fit_and_encode_paths_agree(spark, sf_dir):
     """(1) fit_bpe learns the classic merges on the textbook corpus.
     (2) The Arrow-batched UDF encoder produces EXACTLY the expression-path
