@@ -4634,22 +4634,31 @@ def q21_waiting_suppliers(spark, sf_dir):
     """,
 )
 def dedup_minhash_signature_groups(spark, sf_dir):
-    """Row-local MinHash signature dedup groups: (sig, kept_id,
-    n_members) — the batch twin of the streaming near-dup suppressor
-    (streaming.apply.stream_dedup_near), proving the per-row
-    higher-order-function signature (no aggregation, no shuffle until the
-    final fixed-width groupBy) is bit-identical cross-engine. Signature
-    equality is the high-precision near-dup tier: all 8 minima agree ⇒
-    shingle-set Jaccard ≈ 1.
+    """MinHash signature dedup groups: (sig, kept_id, n_members) — the
+    batch twin of the streaming near-dup suppressor
+    (streaming.apply.stream_dedup_near). Signature equality is the
+    high-precision near-dup tier: all 8 minima agree ⇒ shingle-set
+    Jaccard ≈ 1.
 
-    100 TB shape: the only shuffle carries (sig 260 B, doc_id) — never
-    text; the groupBy is map-side combinable; short docs (no shingles)
-    are excluded here and pass through unsuppressed in the stream."""
+    Computed via the explode + map-side-combinable MIN-agg form
+    (whole-stage codegen); the stream instead uses the ROW-LOCAL fold
+    (operators.dedup.row_minhash_signature — required inside a streaming
+    projection, interpreted HOF eval so ~4× the batch cost), and
+    test_stream_dedup_near_and_rowlocal_signature pins the two forms
+    bit-identical, so this oracle certifies both.
+
+    100 TB shape: shuffles carry (doc_id, token-hash) then (sig 263 B,
+    doc_id) — never text; both aggs map-side combinable; short docs (no
+    shingles) are excluded here and pass through unsuppressed in the
+    stream."""
     d = _t(spark, sf_dir, "documents")
-    sig = D.row_minhash_signature(F.col("text"), n_hashes=8, k=3)
+    tok = D.shingles(d, "doc_id", "text", 3)
+    sigs = D.minhash_signatures(tok, 8)
     return (
-        d.select("doc_id", sig.alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        sigs.select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws("|", *[F.col(f"h{i}") for i in range(8)]).alias("sig"),
+        )
         .groupBy("sig")
         .agg(F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("n_members"))
     )
@@ -4702,12 +4711,44 @@ def bpe_encode_fixed_rules(spark, sf_dir):
     expression form; fitting is operators.bpe.fit_bpe (distributed
     merge loop over the word-frequency table).
 
-    100 TB shape: one scan, one projection; no joins, no shuffles."""
-    from graph_db_spark.operators.bpe import bpe_encode_expr
+    100 TB shape: encode the word VOCABULARY once (folds run over the
+    distinct-word table — Zipf-bounded, not corpus-sized) and broadcast
+    the mapping back onto exploded (doc, pos, word) triples; re-assembly
+    is one map-side-combinable sorted-collect per doc. Direct per-row
+    encoding (bpe_encode_expr, kept for single-doc use and the
+    path-equality test) re-folds every word OCCURRENCE — measured 7×
+    slower at bench scale."""
+    from graph_db_spark.functions.text import ws_tokens
+    from graph_db_spark.operators.bpe import encode_word_expr
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", bpe_encode_expr(F.col("text"), _BPE_RULES).alias("encoded")
+    words = d.select(
+        "doc_id",
+        F.posexplode_outer(ws_tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    vocab = (
+        words.select("w")
+        .filter(F.col("w").isNotNull())
+        .distinct()
+        .select(
+            "w",
+            F.concat_ws("_", encode_word_expr(F.col("w"), _BPE_RULES)).alias("enc"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("enc")))
+                    ),
+                    lambda p: p["enc"],
+                ),
+            ).alias("encoded")
+        )
     )
 
 

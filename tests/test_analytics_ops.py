@@ -310,6 +310,40 @@ def test_ann_recall_regression_sf01(spark):
     assert got <= want  # precision 1.0: exact cosine verifies every candidate
 
 
+def test_bpe_merge_fold_property(spark):
+    """Property: the SQL fold (merge_pair) implements exactly the
+    left-to-right non-overlapping merge a pure-Python reference does —
+    exercised over adversarial alphabets ('a','b','ab' as symbols, rules
+    like (a,a) on runs) where overlap handling differs between naive
+    implementations."""
+    import itertools
+
+    from graph_db_spark.operators.bpe import merge_pair
+
+    def py_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    alphabet = ["a", "b", "ab"]
+    cases = [list(t) for n in range(0, 5) for t in itertools.product(alphabet, repeat=n)]
+    rules = [("a", "a"), ("a", "b"), ("b", "a"), ("ab", "a"), ("a", "ab")]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i LONG, syms ARRAY<STRING>")
+    for a, b in rules:
+        got = {
+            r["i"]: r["m"]
+            for r in df.select("i", merge_pair(F.col("syms"), a, b).alias("m")).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == py_merge(c, a, b), (c, a, b, got[i])
+
+
 def test_kmeans_fit_monotone_sse(spark, sf_dir):
     """Lloyd's iterations never increase within-cluster SSE, and the fit
     is deterministic (decimal-exact means): two runs yield identical
