@@ -195,13 +195,21 @@ def bpe_encode(
         cache[word] = syms
         return syms
 
+    import re
+
+    # Java's \s (ws_tokens) is ASCII-only; Python str.split()/re default
+    # \s is Unicode-aware — pin ASCII semantics so both apply paths
+    # tokenize identically on non-ASCII whitespace too.
+    ws = re.compile(r"\s+", re.ASCII)
+
     @pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         cache: dict = {}
         return texts.map(
             lambda t: [
                 tok
-                for w in (t or "").lower().split()
+                for w in ws.split((t or "").lower())
+                if w
                 for tok in encode_word(w, cache)
             ]
         )

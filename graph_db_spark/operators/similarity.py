@@ -314,8 +314,8 @@ def kmeans_fit(
     the trained-centroid source for ``ivf_cosine_topk``.
 
     Deterministic and cross-engine exact (no RNG, no FP drift):
-    - init = the k lowest-id vectors (k-means++ would add RNG; at scale
-      you'd seed from a hash-sample instead);
+    - init = the vectors with id < k (k-means++ would add RNG; at scale
+      you'd seed from a deterministic hash-sample instead);
     - assignment distance is a sequential left-to-right fold over the
       zipped arrays — the same double result on any engine;
     - new centroids are per-(cell, dim) means computed with DECIMAL sums
