@@ -48,33 +48,47 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def quality_expr(text):
+    """The quality formula as a ROW-LOCAL column expression (length band
+    + type-token ratio − punctuation excess, deterministic arithmetic) —
+    usable inside a streaming projection; ``quality_score`` is its batch
+    DataFrame wrapper and the oracle target."""
+    toks = F.filter(F.split(text, WS), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + (F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))) * 0.4
+        - F.least(n_punct / F.greatest(F.length(text), F.lit(1)), F.lit(0.1)),
+        6,
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0,1]: length band + type-token ratio −
     punctuation excess. Deterministic integer/decimal arithmetic so the
     oracle reproduces it exactly."""
-    s = token_stats(df, id_col, text_col)
-    return s.select(
-        F.col(id_col),
-        F.round(
-            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
-            + (F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))) * 0.4
-            - F.least(F.col("n_punct") / F.greatest(F.col("n_chars_measured"), F.lit(1)), F.lit(0.1)),
-            6,
-        ).alias("quality"),
-    )
+    return df.select(F.col(id_col), quality_expr(F.col(text_col)).alias("quality"))
+
+
+def langid_struct(text):
+    """Marker-token language ID as a ROW-LOCAL column expression:
+    STRUCT(score, lang) of the argmax language (tie-break: higher count,
+    then language code via array_max's struct ordering)."""
+    toks = F.filter(F.split(F.lower(text), WS), lambda t: t != "")
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
+    return F.array_max(F.array(*scores))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-token language ID: per language, count tokens in its marker
     list; argmax with deterministic tie-break (higher count, then language
     code). Returns (id, pred_lang, score)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS), lambda t: t != "")
-    scores = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(m) for m in markers])
-        cnt = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        scores.append(F.struct(cnt.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
+    best = langid_struct(F.col(text_col))
     return df.select(
         F.col(id_col),
         best["lang"].alias("pred_lang"),

@@ -188,6 +188,53 @@ def stream_dedup_near(
     )
 
 
+def stream_curated_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    watermark: str = "6 hours",
+) -> DataFrame:
+    """Composed ingestion-time curation — the streaming twin of the batch
+    ``pipeline_training_corpus``: quality gate → language gate → near-dup
+    suppression, in that order, all inside one streaming projection.
+
+    Every stage is a ROW-LOCAL expression (operators.text.quality_expr /
+    langid_struct, operators.dedup.row_minhash_signature), so the only
+    stateful operator is the final watermark-bounded signature dedup —
+    at 100 TB the pipeline is a scan + filter per micro-batch plus dedup
+    state bounded by the watermark horizon. Returns the surviving
+    documents with their curation columns
+    (doc_id, ts, quality, pred_lang, sig, text)."""
+    import os
+
+    from graph_db_spark.operators.dedup import row_minhash_signature
+    from graph_db_spark.operators.text import langid_struct, quality_expr
+
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(docs_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_dir))
+        docs_dir = os.path.dirname(docs_dir)
+    docs = reader.parquet(docs_dir)
+    sig = row_minhash_signature(F.col("text"), n_hashes, shingle_k)
+    return (
+        docs.withColumn("quality", quality_expr(F.col("text")))
+        .withColumn("pred_lang", langid_struct(F.col("text"))["lang"])
+        .filter((F.col("quality") >= min_quality) & (F.col("pred_lang") == lang))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+        .withColumn(
+            "sig",
+            F.coalesce(sig, F.concat(F.lit("__nosig__"), F.col("doc_id").cast("string"))),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["sig"])
+        .select("doc_id", "ts", "quality", "pred_lang", "sig", "text")
+    )
+
+
 def stream_click_error_join(
     spark: SparkSession,
     events_dir: str,

@@ -310,6 +310,61 @@ def test_ann_recall_regression_sf01(spark):
     assert got <= want  # precision 1.0: exact cosine verifies every candidate
 
 
+def test_stream_curated_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """The composed streaming curation (quality gate -> language gate ->
+    near-dup suppression) admits exactly the batch-computed signature
+    set: planted signature-identical copies collapse, sub-threshold and
+    wrong-language docs never enter dedup state."""
+    from graph_db_spark.operators.dedup import row_minhash_signature
+    from graph_db_spark.operators.text import langid_struct, quality_expr
+    from graph_db_spark.streaming.apply import stream_curated_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    src = str(tmp_path / "curated_stream")
+    docs.write.parquet(src)
+    docs.withColumn("doc_id", F.col("doc_id") + 10000).write.mode("append").parquet(src)
+
+    out = stream_curated_ingest(spark, src, min_quality=0.5, lang="en")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sig, quality, pred_lang FROM curated_out").collect()
+    finally:
+        q.stop()
+
+    batch = (
+        docs.withColumn("quality", quality_expr(F.col("text")))
+        .withColumn("pred_lang", langid_struct(F.col("text"))["lang"])
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .withColumn(
+            "sig",
+            F.coalesce(
+                row_minhash_signature(F.col("text"), 8, 3),
+                F.concat(F.lit("__nosig__"), F.col("doc_id").cast("string")),
+            ),
+        )
+        .select("sig")
+        .distinct()
+        .collect()
+    )
+    want_sigs = {r["sig"] for r in batch}
+    assert want_sigs, "filter admitted nothing — fixture drifted"
+    got_sigs = {r["sig"] for r in got}
+    # nosig fallback keys differ per copy (doc-unique) — compare real sigs
+    # exactly, and fallback-key count separately
+    real = {s for s in want_sigs if not s.startswith("__nosig__")}
+    got_real = {s for s in got_sigs if not s.startswith("__nosig__")}
+    assert got_real == real
+    assert len(got) == len(got_sigs)  # one survivor per key
+    assert all(r["quality"] >= 0.5 and r["pred_lang"] == "en" for r in got)
+    docs.unpersist()
+
+
 def test_bpe_merge_fold_property(spark):
     """Property: the SQL fold (merge_pair) implements exactly the
     left-to-right non-overlapping merge a pure-Python reference does —
