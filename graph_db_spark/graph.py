@@ -418,6 +418,13 @@ class GraphSnapshot:
         finally:
             edges.unpersist()
 
+    # Above this many visited ids the BFS stops broadcasting the visited/
+    # frontier frames and falls back to shuffle joins: 8M longs ≈ 100 MB
+    # serialized — past typical executor broadcast budgets, and far below
+    # Spark's 8 GB broadcast hard limit so the switch happens while the
+    # broadcast path is still safe.
+    BFS_BROADCAST_MAX_IDS = 8_000_000
+
     def _reachable_on(
         self,
         edges: DataFrame,
@@ -428,23 +435,29 @@ class GraphSnapshot:
         """BFS loop over a caller-persisted narrow (src, dst) frame.
 
         With ``broadcast_frontier`` (default) the frontier and visited
-        frames — bounded by the reachable-node count, i.e. a few MB of
-        longs even on million-node graphs — are broadcast, so each level
-        is ONE shuffle (the distinct over newly-found dsts): the cached
-        edge list is scanned in place (BroadcastHashJoin inner + LeftAnti,
-        no exchange on the fat side), and the anti-join runs BEFORE the
-        distinct so already-visited dsts never enter the shuffle. For
-        graphs whose per-level frontier outgrows executor broadcast
-        budgets (~100 MB of ids), pass ``broadcast_frontier=False`` to
-        fall back to shuffle joins and let AQE plan each level."""
+        frames — bounded by the reachable-node count — are broadcast, so
+        each level is ONE shuffle (the distinct over newly-found dsts):
+        the cached edge list is scanned in place (BroadcastHashJoin inner
+        + LeftAnti, no exchange on the fat side), and the anti-join runs
+        BEFORE the distinct so already-visited dsts never enter the
+        shuffle. The broadcast is SIZE-GUARDED, not unconditional: the
+        loop counts the (already-materialized) frontier each level — a
+        near-free job on a checkpointed frame, replacing isEmpty — and
+        once the visited set passes BFS_BROADCAST_MAX_IDS it degrades to
+        shuffle joins + AQE mid-traversal, so a 100M-node reachable set
+        completes instead of failing on the broadcast limit.
+        ``broadcast_frontier=False`` disables the broadcast path from the
+        first level."""
         spark = self.spark
         from graph_db_spark.pregel import release
 
-        hint = F.broadcast if broadcast_frontier else (lambda df: df)
+        plain = lambda df: df  # noqa: E731
+        hint = F.broadcast if broadcast_frontier else plain
         frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
             eager=True
         )
         visited = frontier
+        n_visited = 1
         for _ in range(max_iters):
             nxt = (
                 edges.join(hint(frontier.withColumnRenamed("id", "src")), "src")
@@ -453,9 +466,13 @@ class GraphSnapshot:
                 .distinct()
                 .localCheckpoint(eager=True)  # materialize + cut lineage
             )
-            if nxt.isEmpty():
+            n_new = nxt.count()
+            if n_new == 0:
                 release(nxt)
                 break
+            n_visited += n_new
+            if n_visited > self.BFS_BROADCAST_MAX_IDS:
+                hint = plain
             new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             # superseded generation: the new checkpoint owns its own
             # blocks, so last round's visited/frontier frames are dead
@@ -481,7 +498,9 @@ class GraphSnapshot:
         try:
             reach = self._reachable_on(edges, ROOT_ID, 1000, broadcast_frontier)
             n_nodes = reach.count()
-            hint = F.broadcast if broadcast_frontier else (lambda df: df)
+            # same size guard as the BFS loop: the known count decides
+            use_bcast = broadcast_frontier and n_nodes <= self.BFS_BROADCAST_MAX_IDS
+            hint = F.broadcast if use_bcast else (lambda df: df)
             reach_src = hint(reach.withColumnRenamed("id", "src"))
             n_edges = edges.join(reach_src, "src", "left_semi").count()
             n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
@@ -873,6 +892,7 @@ class GraphSession:
         self._next_seq = next_seq
         self._next_tx = next_tx
         self._lazy_commits = 0
+        self._general_pending = False  # a general commit awaits truncation
         self.storage = storage  # optional EventLogStorage (persistence layer)
         # node-id → kind, maintained from committed events (+ lazy point
         # lookups) so insert commits can build index-emission input
@@ -965,22 +985,29 @@ class GraphSession:
                 if e["op"] == OP_SET_VALUE:
                     self._kind_cache[e["node_id"]] = e["kind"]
             self._lazy_commits += 1
+            if not insert_only:
+                self._general_pending = True
             # Insert-path commits checkpoint their own branches eagerly
             # (apply_insert_batch), so the snapshot is a shallow union of
             # checkpoint scans — the periodic full materialize is then pure
             # compaction and only needs to run when the stack's partition
             # count (≈ one per commit) approaches the coalesce guard.
-            # General (apply_events) commits still materialize every Nth:
-            # their window/anti-join trees deepen the plan for every later
-            # query until truncated.
+            # General (apply_events) commits materialize every Nth: their
+            # window/anti-join trees deepen the plan for every later query
+            # until truncated. The threshold must reflect whether ANY
+            # general commit is pending since the last materialize — not
+            # just the current commit's shape — or a general tree created
+            # by commit k survives un-truncated under a later stream of
+            # insert-only commits (round-5 review finding).
             threshold = (
-                2 * self.spark.sparkContext.defaultParallelism
-                if insert_only
-                else self.MATERIALIZE_EVERY
+                self.MATERIALIZE_EVERY
+                if self._general_pending
+                else 2 * self.spark.sparkContext.defaultParallelism
             )
             if materialize and self._lazy_commits >= threshold:
                 self.snapshot = new_snap.materialize()
                 self._lazy_commits = 0
+                self._general_pending = False
             else:
                 self.snapshot = new_snap
             if self.storage is not None:

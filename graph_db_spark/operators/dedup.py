@@ -91,9 +91,8 @@ def row_minhash_signature(text, n_hashes: int = 8, k: int = 3):
     # per-hash array_min calls would each re-evaluate the (expensive)
     # shingle expression — Catalyst does not CSE across higher-order-
     # function arguments, and 9 references measured ~15x slower at bench
-    # scale. 'g' sorts above every md5 hex char, so it is the identity for
-    # MIN; a no-shingle doc (sh NULL) propagates NULL through aggregate
-    # and array_join without needing a second reference to sh.
+    # scale. 'g' sorts above every md5 hex char, so it is the identity
+    # for MIN.
     mins = F.aggregate(
         sh,
         F.array_repeat(F.lit("g"), n_hashes),
@@ -103,7 +102,11 @@ def row_minhash_signature(text, n_hashes: int = 8, k: int = 3):
             lambda m, i: F.least(m, F.md5(F.concat(i.cast("string"), F.lit("|"), t))),
         ),
     )
-    return F.array_join(mins, "|")
+    # shingle_array returns an EMPTY array (not NULL) for <k-token docs,
+    # so the fold passes the 'g' sentinel through untouched — nullif maps
+    # that one impossible-for-real-docs value (md5 hex < 'g' always) back
+    # to the documented NULL without re-referencing the expensive fold.
+    return F.nullif(F.array_join(mins, "|"), F.lit("|".join(["g"] * n_hashes)))
 
 
 def lsh_candidate_pairs(

@@ -37,12 +37,18 @@ class RemoteTx:
         self._s = session
         self._write = write
 
+    @staticmethod
+    def _raise_error(r: dict) -> None:
+        """Uniform ERROR-frame decoding — the same taxonomy whether the
+        error is the first reply or arrives mid-chunk-stream."""
+        if r.get("code") == "corrupt":
+            raise P.CorruptRequest(r.get("error", ""))
+        raise RuntimeError(r.get("error", "remote operation failed"))
+
     def _act(self, op: str, **kw) -> dict:
         r = self._s._request({"t": P.ACTION, "op": op, **kw})
         if r.get("t") == P.ERROR:
-            if r.get("code") == "corrupt":
-                raise P.CorruptRequest(r.get("error", ""))
-            raise RuntimeError(r.get("error", "remote operation failed"))
+            self._raise_error(r)
         return r
 
     def get_root(self) -> int:
@@ -66,7 +72,7 @@ class RemoteTx:
             refs.extend(r["refs"])
             r = self._s._read_reply()
             if r.get("t") == P.ERROR:
-                raise RuntimeError(r.get("error", "remote operation failed"))
+                self._raise_error(r)
         refs.extend(r.get("refs", []))
         return refs
 

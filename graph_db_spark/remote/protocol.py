@@ -20,7 +20,11 @@ from __future__ import annotations
 import json
 import socket
 
-PROTOCOL_VERSION = 1
+# v2: GET_TARGETS replies stream NODE_LIST_CHUNK frames before the
+# terminal NODE_LIST (a wire-format change — a v1 client would read the
+# first chunk as the whole answer and desync on the unread frames, which
+# is exactly what the handshake exists to reject).
+PROTOCOL_VERSION = 2
 
 # -- request kinds ----------------------------------------------------------
 START = "start"

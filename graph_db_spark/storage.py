@@ -259,6 +259,9 @@ class EventLogStorage:
             (
                 df.repartition(self.index_buckets, "src")  # one file per bucket
                 .write.mode("errorifexists")
+                .format("parquet")  # never spark.sql.sources.default — the
+                # reader table is declared USING PARQUET and vertices/edges
+                # are explicit .parquet() writes
                 .bucketBy(self.index_buckets, "src")
                 .sortBy("src")
                 .option("path", path)
@@ -289,7 +292,14 @@ class EventLogStorage:
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in edge_index_schema().fields
         )
-        name = "graphdb_ei_r_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        # Key the catalog name on (path, bucket count, column set), not
+        # path alone: a long-lived session that re-creates a store at the
+        # same path with a different bucket count would otherwise hit the
+        # IF NOT EXISTS no-op and read a stale spec — Spark trusts the
+        # catalog's bucket count and elides the exchange, silently
+        # mis-joining (round-5 review finding).
+        ident = f"{os.path.abspath(path)}|{n}|{cols}"
+        name = "graphdb_ei_r_" + hashlib.md5(ident.encode()).hexdigest()[:12]
         try:
             self.spark.sql(
                 f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "

@@ -141,6 +141,35 @@ def stream_dedup_exact(
     return ev.dropDuplicatesWithinWatermark(key_cols)
 
 
+def _doc_stream_with_sig(
+    spark: SparkSession, docs_dir: str, n_hashes: int, shingle_k: int
+) -> DataFrame:
+    """Streaming read of the driver's documents table plus the two
+    synthesized curation columns shared by every doc-stream operator:
+    ``ts`` (deterministic event time from doc_id — the fixture has no
+    ingest timestamp; production ingests use their arrival column) and
+    ``sig`` (row-local MinHash signature, doc-unique ``__nosig__``
+    fallback for shingle-less docs so they are never suppressed)."""
+    import os
+
+    from graph_db_spark.operators.dedup import row_minhash_signature
+
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(docs_dir):
+        # FileStreamSource needs a directory; glob-filter to the one file.
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_dir))
+        docs_dir = os.path.dirname(docs_dir)
+    docs = reader.parquet(docs_dir)
+    sig = row_minhash_signature(F.col("text"), n_hashes, shingle_k)
+    return docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    ).withColumn(
+        "sig",
+        F.coalesce(sig, F.concat(F.lit("__nosig__"), F.col("doc_id").cast("string"))),
+    )
+
+
 def stream_dedup_near(
     spark: SparkSession,
     docs_dir: str,
@@ -166,26 +195,8 @@ def stream_dedup_near(
     key falls back to the doc id). Event time is synthesized
     deterministically from doc_id (the fixture carries no ingest
     timestamp; a production ingest uses its arrival time column)."""
-    import os
-
-    from graph_db_spark.operators.dedup import row_minhash_signature
-
-    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
-    reader = spark.readStream.schema(schema)
-    if os.path.isfile(docs_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(docs_dir))
-        docs_dir = os.path.dirname(docs_dir)
-    docs = reader.parquet(docs_dir)
-    sig = row_minhash_signature(F.col("text"), n_hashes, shingle_k)
-    return (
-        docs.withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
-        .withColumn(
-            "sig",
-            F.coalesce(sig, F.concat(F.lit("__nosig__"), F.col("doc_id").cast("string"))),
-        )
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["sig"])
-    )
+    docs = _doc_stream_with_sig(spark, docs_dir, n_hashes, shingle_k)
+    return docs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["sig"])
 
 
 def stream_curated_ingest(
@@ -208,27 +219,13 @@ def stream_curated_ingest(
     state bounded by the watermark horizon. Returns the surviving
     documents with their curation columns
     (doc_id, ts, quality, pred_lang, sig, text)."""
-    import os
-
-    from graph_db_spark.operators.dedup import row_minhash_signature
     from graph_db_spark.operators.text import langid_struct, quality_expr
 
-    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
-    reader = spark.readStream.schema(schema)
-    if os.path.isfile(docs_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(docs_dir))
-        docs_dir = os.path.dirname(docs_dir)
-    docs = reader.parquet(docs_dir)
-    sig = row_minhash_signature(F.col("text"), n_hashes, shingle_k)
+    docs = _doc_stream_with_sig(spark, docs_dir, n_hashes, shingle_k)
     return (
         docs.withColumn("quality", quality_expr(F.col("text")))
         .withColumn("pred_lang", langid_struct(F.col("text"))["lang"])
         .filter((F.col("quality") >= min_quality) & (F.col("pred_lang") == lang))
-        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
-        .withColumn(
-            "sig",
-            F.coalesce(sig, F.concat(F.lit("__nosig__"), F.col("doc_id").cast("string"))),
-        )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["sig"])
         .select("doc_id", "ts", "quality", "pred_lang", "sig", "text")

@@ -508,11 +508,24 @@ def test_stream_dedup_near_and_rowlocal_signature(spark, sf_dir, tmp_path):
     }
     assert rowlocal == packed_batch
 
+    # short (<3-token) docs emit no shingles -> sig must be NULL, never a
+    # shared sentinel (a sentinel would collapse ALL distinct short docs
+    # into one survivor — the round-5 review's confirmed bug)
+    shorts = spark.createDataFrame(
+        [(9001, "hi", "en", "srcx", 2), (9002, "ok", "en", "srcx", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    assert [
+        r["s"]
+        for r in shorts.select(row_minhash_signature(F.col("text"), 8, 3).alias("s")).collect()
+    ] == [None, None]
+
     src = str(tmp_path / "docs_stream")
     docs.write.parquet(src)
     # copies: same text => same signature; ts offset +10000s stays inside
     # the 6h watermark, so the suppressor must drop every copy
     docs.withColumn("doc_id", F.col("doc_id") + 10000).write.mode("append").parquet(src)
+    shorts.write.mode("append").parquet(src)
     out = stream_dedup_near(spark, src, watermark="6 hours")
     q = (
         out.writeStream.outputMode("append")
@@ -529,7 +542,8 @@ def test_stream_dedup_near_and_rowlocal_signature(spark, sf_dir, tmp_path):
     # docs whose 8 minima all agree, which collapse too
     n_sig = len(set(packed_batch.values()))
     n_short = n_docs - len(packed_batch)  # no-shingle docs are never suppressed
-    assert n == n_sig + 2 * n_short
+    # + 2: the planted short docs BOTH survive (doc-unique fallback keys)
+    assert n == n_sig + 2 * n_short + 2
     docs.unpersist()
 
 

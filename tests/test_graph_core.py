@@ -272,3 +272,34 @@ def test_emission_copartition_equals_broadcast(spark, sf_dir):
     bc = emit_edge_index(g.edges, g.vertices, tpch_graph_schema(), broadcast_vertices=True)
     assert co.exceptAll(bc).isEmpty() and bc.exceptAll(co).isEmpty()
     assert bc.count() > 0
+
+
+def test_general_commit_materializes_under_insert_stream(session):
+    """A general (non-insert) commit's deep apply_events tree must be
+    truncated within MATERIALIZE_EVERY commits even when every LATER
+    commit is insert-only — the threshold reflects what is pending since
+    the last materialize, not the current commit's shape (round-5 review
+    finding: the general tree otherwise survived ~2*parallelism
+    commits)."""
+    a = session.write(lambda tx: _insert_artist(tx, "A", 1))
+    # general commit: set_value on the existing node -> not insert_only
+    session.write(lambda tx: tx.set_value(a, "Artist", name="A2", uid=1))
+    assert session._general_pending
+    start_lazy = session._lazy_commits
+    materialized_at = None
+    for i in range(session.MATERIALIZE_EVERY + 1):
+        session.write(lambda tx, i=i: _insert_artist(tx, f"B{i}", 100 + i))
+        if session._lazy_commits == 0:
+            materialized_at = i
+            break
+    assert materialized_at is not None, "never materialized under insert stream"
+    assert start_lazy + materialized_at + 1 <= session.MATERIALIZE_EVERY + 1
+    assert not session._general_pending
+    # and the data survived the compaction
+    names = {
+        r["name"]
+        for r in session.read(
+            lambda s: s.get_values(s.get_targets(ROOT_ID, "Catalogue_Artist"))
+        ).collect()
+    }
+    assert "A2" in names and "B0" in names

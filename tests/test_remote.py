@@ -190,11 +190,13 @@ def test_concurrent_reads_overlap_write_waits(server):
 
     order = []
     gate = threading.Event()
+    read_started = threading.Event()
 
     def slow_read():
         with _connect(server) as db:
             def prog(tx):
                 order.append("read_start")
+                read_started.set()
                 gate.wait(5)
                 return len(tx.get_targets(tx.get_root(), "Catalogue_Artist"))
 
@@ -212,7 +214,9 @@ def test_concurrent_reads_overlap_write_waits(server):
 
     r = threading.Thread(target=slow_read)
     r.start()
-    time.sleep(0.3)  # let the read open its tx
+    # wait for the read tx to actually open — a fixed sleep is flaky when
+    # co-tenant load delays the first Spark job past it
+    assert read_started.wait(30), "read tx never opened"
     w = threading.Thread(target=writer)
     w.start()
     time.sleep(0.3)
