@@ -178,6 +178,8 @@ def main() -> None:
         "dedup_minhash_signature_groups",
         "bpe_encode_fixed_rules",
         "ann_ivf_kmeans_topk",
+        "mix_sources_temperature",
+        "doc_feature_hash_embed",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -4831,3 +4831,152 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return ivf_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=2, centroids=cent
     )
+
+
+@q(
+    "mix_sources_temperature",
+    f"""
+    WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(CAST(power(n_docs, 0.7) AS DECIMAL(28,12))) AS DOUBLE) AS z,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+      FROM counts),
+    rates AS (
+      SELECT c.source, c.n_docs,
+             CAST(round(least(
+               CAST(power(c.n_docs, 0.7) AS DOUBLE) / t.z * (0.5 * t.n_total) / c.n_docs,
+               1.0) * 10000) AS BIGINT) AS rate_bp
+      FROM counts c, tot t),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {_hex_int_sql("md5(d.source || ':' || CAST(d.doc_id AS VARCHAR))", 8)} % 10000
+            < r.rate_bp
+      GROUP BY d.source)
+    SELECT r.source, r.n_docs, r.rate_bp,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    """,
+)
+def mix_sources_temperature(spark, sf_dir):
+    """Temperature-based source rebalancing (the multilingual-corpus
+    T=1/0.7 upsampling rule): per-source sampling weight ∝ n^0.7, scaled
+    to a 50%-of-corpus target, capped at 1, ROUNDED TO BASIS POINTS so
+    the deterministic md5 gate compares integers (no float-boundary
+    flake); small sources keep a larger share than their raw proportion.
+    Returns (source, n_docs, rate_bp, n_kept).
+
+    100 TB shape: source stats are a tiny agg (exact decimal sum of the
+    pow terms — a double sum would vary with partial-sum order);
+    the broadcast rate table gates rows at the scan, no shuffle of the
+    corpus; the kept-count agg is map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(0.7)).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    rates = (
+        counts.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.least(
+                    F.pow("n_docs", F.lit(0.7)).cast("double")
+                    / F.col("z")
+                    * (F.lit(0.5) * F.col("n_total"))
+                    / F.col("n_docs"),
+                    F.lit(1.0),
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("rate_bp"),
+        )
+    )
+    gate = (
+        _hex_int(
+            F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))), 8
+        )
+        % 10000
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .filter(gate < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_bp",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@q(
+    "doc_feature_hash_embed",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+      WHERE t.tok <> ''),
+    tc AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token),
+    comp AS (
+      SELECT doc_id,
+             {_hex_int_sql("md5('i|' || token)", 4)} % 64 AS dim,
+             CAST(sum((1 - 2 * ({_hex_int_sql("md5('s|' || token)", 1)} % 2)) * n)
+                  AS BIGINT) AS v
+      FROM tc GROUP BY 1, 2),
+    nz AS (SELECT doc_id, dim, v FROM comp WHERE v <> 0),
+    nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM nz GROUP BY doc_id)
+    SELECT z.doc_id, z.dim, round(z.v / n.nrm, 6) AS val
+    FROM nz z JOIN nrm n ON z.doc_id = n.doc_id
+    """,
+)
+def doc_feature_hash_embed(spark, sf_dir):
+    """Feature-hashing document embeddings (the hashing trick): every
+    token maps to one of 64 dimensions by md5, with an md5-derived ±1
+    sign to keep collisions unbiased (Weinberger et al. 2009); component
+    values are exact signed integer counts, L2-normalized at the end —
+    the norm is the sqrt of an exact integer sum, so the result is
+    bit-identical on any engine and any partitioning. Gives a
+    model-free embedding for every document, feeding the ANN / near-dup
+    operators when no trained encoder is available. Sparse output
+    (doc_id, dim, val), zero components omitted.
+
+    100 TB shape: two map-side-combinable aggs keyed (doc, token) then
+    (doc, dim) — fixed-width rows, never text after the first explode;
+    no UDFs anywhere."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sign = 1 - 2 * (_hex_int(F.md5(F.concat(F.lit("s|"), F.col("token"))), 1) % 2)
+    comp = (
+        tc.select(
+            "doc_id",
+            (_hex_int(F.md5(F.concat(F.lit("i|"), F.col("token"))), 4) % 64).alias("dim"),
+            (sign * F.col("n")).alias("sv"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sv").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    nrm = comp.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v")).cast("double")).alias("nrm")
+    )
+    return comp.join(nrm, "doc_id").select(
+        "doc_id", "dim", F.round(F.col("v") / F.col("nrm"), 6).alias("val")
+    )

@@ -292,3 +292,48 @@ def test_reloaded_edge_index_bucketed_no_index_shuffle(spark, tmp_path):
         assert hits.count() == 200
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_reload_not_stale_after_recreate(spark, tmp_path):
+    """Re-creating a store at the SAME path with a DIFFERENT bucket count
+    must not reuse the previous catalog spec (round-5 review finding:
+    the reader table was keyed on path alone, so CREATE TABLE IF NOT
+    EXISTS no-op'd and Spark trusted a stale CLUSTERED BY — wrong-bucket
+    joins return wrong rows, silently)."""
+    import shutil
+
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSession, GraphSnapshot
+    from graph_db_spark.model import ROOT_ID
+    from graph_db_spark.storage import EventLogStorage
+
+    path = str(tmp_path / "restore")
+
+    def build(n_buckets, n_artists):
+        store = EventLogStorage(spark, path, catalogue_schema(), index_buckets=n_buckets)
+        s = GraphSession(GraphSnapshot.empty(spark, catalogue_schema()), storage=store)
+
+        def prog(tx):
+            for i in range(n_artists):
+                a = tx.new_node("Artist", name=f"artist {i}", uid=i)
+                tx.add_target(ROOT_ID, a)
+
+        s.write(prog)
+        store.checkpoint(s)
+        return store
+
+    store = build(32, 50)
+    first = store.load(lambda sp, sch: GraphSnapshot.empty(sp, sch))
+    assert first.snapshot.get_targets(ROOT_ID, "Catalogue_Artist").count() == 50
+    store.close()
+
+    shutil.rmtree(path)
+    store2 = build(8, 70)
+    second = store2.load(lambda sp, sch: GraphSnapshot.empty(sp, sch))
+    # a stale 32-bucket spec over 8-bucket files would mis-join here
+    assert second.snapshot.get_targets(ROOT_ID, "Catalogue_Artist").count() == 70
+    assert (
+        second.snapshot.get_targets(ROOT_ID, "Catalogue_Artist_Name", "artist 69").count()
+        == 1
+    )
+    store2.close()
