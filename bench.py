@@ -180,6 +180,7 @@ def main() -> None:
         "ann_ivf_kmeans_topk",
         "mix_sources_temperature",
         "doc_feature_hash_embed",
+        "graph_landmark_distances",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -500,3 +500,55 @@ def personalized_pagerank(
         e.unpersist()
         v.unpersist()
         base.unpersist()
+
+
+def tagged_bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_iters: int = 1000, directed: bool = True
+) -> DataFrame:
+    """Independent BFS per tag in ONE loop → (id, tag, level).
+
+    *sources* is (id, tag): each tag's walk starts at its own seed set,
+    and the visited/frontier state is keyed (id, tag) — k landmark walks
+    cost one frontier join per LEVEL total, not per landmark (the
+    landmark-distance-oracle build primitive). Same per-level discipline
+    as bfs_levels: anti-join one materialized visited frame, checkpoint,
+    release superseded blocks."""
+    from functools import reduce
+
+    e = _src_partitioned(
+        edges.select("src", "dst") if directed else undirected(edges)
+    ).persist()
+    try:
+        frontier = (
+            sources.select("id", "tag")
+            .distinct()
+            .select("id", "tag", F.lit(0).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        levels = [frontier]
+        visited = frontier.select("id", "tag")
+        for level in range(1, max_iters + 1):
+            nxt = (
+                e.join(frontier.select(F.col("id").alias("src"), "tag"), "src")
+                .select(F.col("dst").alias("id"), "tag")
+                .distinct()
+                .join(visited, ["id", "tag"], "left_anti")
+                .select("id", "tag", F.lit(level).alias("level"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                release(nxt)
+                break
+            levels.append(nxt)
+            new_visited = visited.unionByName(nxt.select("id", "tag")).localCheckpoint(
+                eager=True
+            )
+            if level > 1:
+                release(visited)
+            visited = new_visited
+            frontier = nxt
+        if len(levels) > 1:
+            release(visited)
+        return reduce(lambda a, b: a.unionByName(b), levels)
+    finally:
+        e.unpersist()

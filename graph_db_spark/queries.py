@@ -4980,3 +4980,44 @@ def doc_feature_hash_embed(spark, sf_dir):
     return comp.join(nrm, "doc_id").select(
         "doc_id", "dim", F.round(F.col("v") / F.col("nrm"), 6).alias("val")
     )
+
+
+@q(
+    "graph_landmark_distances",
+    """
+    WITH RECURSIVE nodes AS (SELECT p_partkey AS id FROM part),
+    de AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM nodes a JOIN nodes b ON b.id = a.id + 1 OR b.id = a.id + 7),
+    edges AS (SELECT src, dst FROM de UNION ALL SELECT dst, src FROM de),
+    paths(tag, id, hops) AS (
+      SELECT CAST(lm AS BIGINT), CAST(lm AS BIGINT), 0
+      FROM (VALUES (1), (50), (100)) t(lm)
+      UNION ALL
+      SELECT p.tag, e.dst, p.hops + 1
+      FROM paths p JOIN edges e ON e.src = p.id WHERE p.hops < 6)
+    SELECT id, tag AS landmark, CAST(min(hops) AS INT) AS dist
+    FROM paths GROUP BY id, tag
+    """,
+)
+def graph_landmark_distances(spark, sf_dir):
+    """Landmark distance oracle (the classic shortest-path-estimation
+    index: est(u,v) ≈ min over landmarks of d(u,l) + d(l,v)): hop
+    distances from 3 landmark nodes over the undirected part-chain
+    graph, built by pregel.tagged_bfs_levels — ONE BFS loop whose state
+    is keyed (id, landmark), so k landmark walks cost one frontier join
+    per level total instead of k separate traversals. Hop-bounded at 6
+    to equal the oracle's bounded recursive CTE.
+
+    100 TB shape: state rows are fixed-width (id, tag, level) triples
+    hash-partitioned by the join key; at scale you'd pick ~16-64
+    landmarks by degree and the same single loop builds the whole index
+    in O(diameter) rounds."""
+    from graph_db_spark.pregel import tagged_bfs_levels
+
+    nodes, edges = _part_chain_graph(spark, sf_dir)
+    landmarks = spark.createDataFrame([(1,), (50,), (100,)], "id LONG").select(
+        "id", F.col("id").alias("tag")
+    )
+    out = tagged_bfs_levels(edges, landmarks, max_iters=6, directed=False)
+    return out.select("id", F.col("tag").alias("landmark"), F.col("level").alias("dist"))
