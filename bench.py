@@ -181,6 +181,7 @@ def main() -> None:
         "mix_sources_temperature",
         "doc_feature_hash_embed",
         "graph_landmark_distances",
+        "doc_similar_feature_hash",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

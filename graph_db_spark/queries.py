@@ -5021,3 +5021,69 @@ def graph_landmark_distances(spark, sf_dir):
     )
     out = tagged_bfs_levels(edges, landmarks, max_iters=6, directed=False)
     return out.select("id", F.col("tag").alias("landmark"), F.col("level").alias("dist"))
+
+
+@q(
+    "doc_similar_feature_hash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+      WHERE t.tok <> ''),
+    tc AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token),
+    comp AS (
+      SELECT doc_id,
+             {_hex_int_sql("md5('i|' || token)", 4)} % 64 AS dim,
+             CAST(sum((1 - 2 * ({_hex_int_sql("md5('s|' || token)", 1)} % 2)) * n)
+                  AS BIGINT) AS v
+      FROM tc GROUP BY 1, 2),
+    nz AS (SELECT doc_id, dim, v FROM comp WHERE v <> 0),
+    nrm AS (SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM nz GROUP BY doc_id),
+    unit AS (
+      SELECT z.doc_id, z.dim, round(z.v / n.nrm, 6) AS val
+      FROM nz z JOIN nrm n ON z.doc_id = n.doc_id),
+    scored AS (
+      SELECT q.doc_id AS qid, c.doc_id AS nid, round(sum(q.val * c.val), 6) AS cos
+      FROM unit q JOIN unit c ON q.dim = c.dim AND c.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+      GROUP BY 1, 2)
+    SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def doc_similar_feature_hash(spark, sf_dir):
+    """Model-free similar-document search: cosine top-5 over the
+    feature-hashing embeddings (doc_feature_hash_embed) — unit vectors,
+    so cosine = the sparse dot product, computed as an equi-join on the
+    64 hash dimensions (query side broadcast) + a map-side-combinable
+    sum per (query, candidate). Composes the hashing-trick embedding
+    with the ANN ranking shape: near-dup/similarity retrieval with no
+    trained encoder anywhere.
+
+    100 TB shape: the corpus-side sparse components are fixed-width
+    (doc, dim, val) triples; only rows sharing a dimension with a query
+    vector are touched, the (qid, nid) partial sums combine map-side,
+    and the top-k is a bounded window per query."""
+    from graph_db_spark.functions.text import ws_tokens  # noqa: F401 (parity)
+
+    unit = doc_feature_hash_embed(spark, sf_dir)
+    qv = unit.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), "dim", F.col("val").alias("qval")
+    )
+    cv = unit.select(F.col("doc_id").alias("nid"), "dim", F.col("val").alias("cval"))
+    scored = (
+        cv.join(F.broadcast(qv), "dim")
+        .filter(F.col("nid") != F.col("qid"))
+        .groupBy("qid", "nid")
+        .agg(F.round(F.sum(F.col("qval") * F.col("cval")), 6).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "cos", "rank")
+    )
