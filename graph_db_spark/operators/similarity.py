@@ -237,6 +237,17 @@ def ivf_assign(
     scored = v.crossJoin(F.broadcast(c)).withColumn(
         "ccos", F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("__norm") * F.col("cnorm")), 6)
     )
+    if n_probe == 1:
+        # Corpus-sized assignment: min over a (−cos, cell) struct is
+        # map-side combinable — the N×k scored rows collapse to ≤N per
+        # partition before the exchange, and there is no sort. Struct
+        # comparison is lexicographic, so ties on cos break on cell asc
+        # (same order as the window below — oracle-stable).
+        return (
+            scored.groupBy("id")
+            .agg(F.min(F.struct((-F.col("ccos")).alias("negcos"), F.col("cell"))).alias("m"))
+            .select("id", F.col("m.cell").alias("cell"), F.lit(1).alias("cell_rank"))
+        )
     w = W.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
@@ -339,13 +350,19 @@ def kmeans_fit(
         lambda acc, x: acc + x,
     )
     for _ in range(n_iters):
-        w = W.partitionBy("id").orderBy(F.col("d").asc(), F.col("cell").asc())
+        # Nearest-centroid pick via a min-struct aggregation instead of a
+        # row_number window: map-side partial combine collapses the N×k
+        # scored rows to ≤N per upstream partition BEFORE the exchange and
+        # drops the full sort a window would need. (d, cell) is unique per
+        # id, so lexicographic struct-min reproduces exactly the old
+        # orderBy(d asc, cell asc) tie-break; v rides along in the struct
+        # (it never influences the comparison).
         assigned = (
             v.crossJoin(F.broadcast(cent))
             .withColumn("d", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cell", "v")
+            .groupBy("id")
+            .agg(F.min(F.struct(F.col("d"), F.col("cell"), F.col("v"))).alias("m"))
+            .select(F.col("m.cell").alias("cell"), F.col("m.v").alias("v"))
         )
         means = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))

@@ -25,7 +25,25 @@ loop holds at most one generation of blocks, not all of them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
+
+
+def _checkpoint_observed(df: DataFrame, **metrics) -> tuple[DataFrame, dict]:
+    """Eager-localCheckpoint *df* with CollectMetrics attached, returning
+    (checkpointed frame, metric values).
+
+    The per-round convergence signal of an iterative loop (did any label
+    change? is the frontier empty? how many edges survived?) is an
+    aggregate of the very frame the round already materializes. Computing
+    it as a separate ``count()``/join job doubles the round's job count;
+    ``observe`` rides the checkpoint action itself, so the signal is FREE —
+    the executors fold the metric while writing the checkpoint blocks.
+    Metrics are exact (full-data aggregates through the SQL engine), not
+    sampled."""
+    obs = Observation()
+    out = df.observe(obs, *[expr.alias(name) for name, expr in metrics.items()])
+    out = out.localCheckpoint(eager=True)
+    return out, obs.get
 
 
 def release(df: DataFrame) -> None:
@@ -94,15 +112,17 @@ def bfs_levels(
         levels = [frontier]
         visited_ids = frontier.select("id")
         for level in range(1, max_iters + 1):
-            nxt = (
+            # frontier size observed free on the checkpoint action —
+            # replaces the per-level isEmpty() job.
+            nxt, nsig = _checkpoint_observed(
                 e.join(frontier.select(F.col("id").alias("src")), "src")
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(visited_ids, "id", "left_anti")
-                .select("id", F.lit(level).alias("level"))
-                .localCheckpoint(eager=True)
+                .select("id", F.lit(level).alias("level")),
+                n=F.count(F.lit(1)),
             )
-            if nxt.isEmpty():
+            if not (nsig["n"] or 0):
                 release(nxt)
                 break
             levels.append(nxt)
@@ -143,26 +163,32 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # Old and new label sit side by side in the update join, so the
+        # changed-count is an aggregate of the frame this round checkpoints
+        # anyway — observed for free on the checkpoint action (previously a
+        # separate labels⋈new_labels comparison job per round).
+        updated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+            updated.observe(
+                obs,
+                F.sum((F.col("component") != F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
             )
+            .select("id", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = obs.get["changed"]
         release(labels)
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     e.unpersist()
     return labels
@@ -189,12 +215,18 @@ def connected_components_star(
     stable state is a star per component rooted at its min id.
     """
     ids = vertices.select(F.col("id").cast("long").alias("id")).distinct()
-    e = (
+    # hash-sum as DECIMAL: exact, order-independent, and immune to the
+    # ANSI-mode long-overflow a bigint sum of xxhash64 values hits.
+    _sig = dict(
+        n=F.count(F.lit(1)),
+        h=F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+    )
+    e, esig = _checkpoint_observed(
         edges.select(F.col("src").cast("long").alias("a"), F.col("dst").cast("long").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        **_sig,
     )
     rounds = 0
     for _ in range(max_iters):
@@ -226,19 +258,29 @@ def connected_components_star(
             .select(F.col("v").alias("x"), "m")
             .unionByName(msmall.select(F.col("u").alias("x"), "m"))
         )
-        e2 = (
+        e2, e2sig = _checkpoint_observed(
             small.filter(F.col("x") != F.col("m"))
             .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            **_sig,
         )
-        changed = (
-            e2.exceptAll(e).unionByName(e.exceptAll(e2)).limit(1).count()
-        )
+        # Convergence = edge-set fixpoint. The (count, xxhash64-sum)
+        # signature rides the checkpoint action (free); a signature
+        # mismatch PROVES change, so the round continues with zero extra
+        # jobs — previously this was two exceptAll shuffles every round.
+        # Signatures matching doesn't prove equality (hash-sum collision),
+        # so only then pay one exact semi-join: distinct sets of equal
+        # size are equal iff one is contained in the other.
+        if (e2sig["n"] or 0) == (esig["n"] or 0) and e2sig["h"] == esig["h"]:
+            changed = (
+                e2sig["n"] or 0
+            ) != e2.join(e, ["u", "v"], "left_semi").count()
+        else:
+            changed = True
         release(e)
         release(e1)
-        e = e2
-        if changed == 0:
+        e, esig = e2, e2sig
+        if not changed:
             break
     # Stable stars: (u > v) edges point members at their component root.
     labels = (
@@ -267,11 +309,20 @@ def shortest_paths(
     e = _src_partitioned(
         edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
     ).persist()
-    dist = (
+    # Monotone convergence signature, observed free on each round's
+    # checkpoint: per-id dist only ever decreases and ids are only ever
+    # added, so (count, Σdist) is unchanged iff the whole frame is
+    # unchanged. The sum is a DECIMAL cast — exact and summation-order
+    # independent, where a double sum could wobble an ULP between rounds
+    # and stall termination. Replaces the old new⋈old comparison job.
+    _sig = dict(
+        n=F.count(F.lit(1)), s=F.sum(F.col("dist").cast("decimal(38,15)"))
+    )
+    dist, dsig = _checkpoint_observed(
         sources.select(F.col("id"), F.lit(0.0).alias("dist"))
         .groupBy("id")
-        .agg(F.min("dist").alias("dist"))
-        .localCheckpoint(eager=True)
+        .agg(F.min("dist").alias("dist")),
+        **_sig,
     )
     try:
         for _ in range(max_iters):
@@ -279,24 +330,16 @@ def shortest_paths(
                 e.join(dist.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
             )
-            new_dist = (
+            new_dist, nsig = _checkpoint_observed(
                 dist.unionByName(relaxed)
                 .groupBy("id")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
-            )
-            improved = (
-                new_dist.alias("n")
-                .join(dist.alias("o"), "id", "left")
-                .filter(
-                    F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-                )
-                .limit(1)
-                .count()
+                .agg(F.min("dist").alias("dist")),
+                **_sig,
             )
             release(dist)
-            dist = new_dist
-            if improved == 0:
+            dist, improved = new_dist, nsig != dsig
+            dsig = nsig
+            if not improved:
                 break
         return dist
     finally:
@@ -372,27 +415,26 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int
     whole-graph pass there); included for parity with GraphX-style
     analytics suites.
     """
-    e = (
-        undirected(edges)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e, esig = _checkpoint_observed(
+        undirected(edges).filter(F.col("src") != F.col("dst")).distinct(),
+        n=F.count(F.lit(1)),
     )
     rounds = 0
-    n_edges = e.count()
+    n_edges = esig["n"] or 0
     for _ in range(max_iters):
         deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
         survivors = deg.filter(F.col("degree") >= k)
-        new_e = (
+        new_e, nsig = _checkpoint_observed(
             e.join(survivors.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi"),
+            n=F.count(F.lit(1)),
         )
         release(e)
         e = new_e
         rounds += 1
-        # converged iff no edge was dropped (edge count is monotone ↓)
-        n_new = e.count()
+        # converged iff no edge was dropped (edge count is monotone ↓);
+        # the count is observed free on the checkpoint action.
+        n_new = nsig["n"] or 0
         if n_new == n_edges:
             break
         n_edges = n_new
@@ -528,15 +570,15 @@ def tagged_bfs_levels(
         levels = [frontier]
         visited = frontier.select("id", "tag")
         for level in range(1, max_iters + 1):
-            nxt = (
+            nxt, nsig = _checkpoint_observed(
                 e.join(frontier.select(F.col("id").alias("src"), "tag"), "src")
                 .select(F.col("dst").alias("id"), "tag")
                 .distinct()
                 .join(visited, ["id", "tag"], "left_anti")
-                .select("id", "tag", F.lit(level).alias("level"))
-                .localCheckpoint(eager=True)
+                .select("id", "tag", F.lit(level).alias("level")),
+                n=F.count(F.lit(1)),
             )
-            if nxt.isEmpty():
+            if not (nsig["n"] or 0):
                 release(nxt)
                 break
             levels.append(nxt)
