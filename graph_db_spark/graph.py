@@ -449,7 +449,7 @@ class GraphSnapshot:
         ``broadcast_frontier=False`` disables the broadcast path from the
         first level."""
         spark = self.spark
-        from graph_db_spark.pregel import release
+        from graph_db_spark.pregel import _checkpoint_observed, release
 
         plain = lambda df: df  # noqa: E731
         hint = F.broadcast if broadcast_frontier else plain
@@ -459,14 +459,16 @@ class GraphSnapshot:
         visited = frontier
         n_visited = 1
         for _ in range(max_iters):
-            nxt = (
+            # level size observed free on the checkpoint action (replaces
+            # the per-level count job on the materialized frame)
+            nxt, nsig = _checkpoint_observed(
                 edges.join(hint(frontier.withColumnRenamed("id", "src")), "src")
                 .select(F.col("dst").alias("id"))
                 .join(hint(visited), "id", "left_anti")
-                .distinct()
-                .localCheckpoint(eager=True)  # materialize + cut lineage
+                .distinct(),
+                n=F.count(F.lit(1)),
             )
-            n_new = nxt.count()
+            n_new = nsig["n"] or 0
             if n_new == 0:
                 release(nxt)
                 break

@@ -274,6 +274,46 @@ def test_emission_copartition_equals_broadcast(spark, sf_dir):
     assert bc.count() > 0
 
 
+def test_bfs_broadcast_degrade_path_matches(spark, sf_dir, monkeypatch):
+    """The size-guarded broadcast→shuffle degrade inside the BFS
+    (graph.py BFS_BROADCAST_MAX_IDS) is the branch that exists precisely
+    for the 100× scale-up — force it to trip on the small fixture and
+    assert all three strategies agree:
+
+    1. default broadcast path (guard never trips at this scale),
+    2. mid-traversal degrade (guard lowered to 100 ids → the loop switches
+       to shuffle joins after the first level, and get_stats' semi-joins
+       take the no-broadcast hint too),
+    3. broadcast disabled from level 0 (broadcast_frontier=False).
+    """
+    from graph_db_spark.catalogue import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    base = g.get_stats()
+    assert base.nodes > 100  # the lowered guard below really does trip
+
+    monkeypatch.setattr(GraphSnapshot, "BFS_BROADCAST_MAX_IDS", 100)
+    degraded = g.get_stats()
+    assert degraded.as_tuple() == base.as_tuple()
+
+    no_bcast = g.get_stats(broadcast_frontier=False)
+    assert no_bcast.as_tuple() == base.as_tuple()
+
+
+def test_reachable_degrade_path_matches(spark, sf_dir, monkeypatch):
+    """Same three-way agreement for the raw reachable() frontier walk:
+    identical (id) sets, not just identical counts."""
+    from graph_db_spark.catalogue import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    base = g.reachable()
+    monkeypatch.setattr(GraphSnapshot, "BFS_BROADCAST_MAX_IDS", 100)
+    degraded = g.reachable()
+    shuffled = g.reachable(broadcast_frontier=False)
+    assert degraded.exceptAll(base).unionByName(base.exceptAll(degraded)).isEmpty()
+    assert shuffled.exceptAll(base).unionByName(base.exceptAll(shuffled)).isEmpty()
+
+
 def test_general_commit_materializes_under_insert_stream(session):
     """A general (non-insert) commit's deep apply_events tree must be
     truncated within MATERIALIZE_EVERY commits even when every LATER
