@@ -115,6 +115,33 @@ def main() -> None:
         timed("graph_5hop", five_hop, repeats=2)
         timed("graph_stats_bfs", lambda: g.get_stats(), repeats=2)
 
+    # -- steady-state persisted-snapshot route ------------------------------
+    # The deployment shape: checkpoint the snapshot once (src-bucketed
+    # edge_index), then traversals run against the published tables with no
+    # build stage in the plan. graph_persist_checkpoint is the one-time
+    # write cost; graph_3hop_persisted is the hop latency WITHOUT the build.
+    from graph_db_spark.catalogue import tpch_graph_persisted
+
+    pholder: dict[str, object] = {}
+
+    def persist_ckpt():
+        pholder["gp"] = tpch_graph_persisted(spark, sf_dir, rebuild=True)
+
+    timed("graph_persist_checkpoint", persist_ckpt, repeats=1)
+    gp = pholder.get("gp")
+    if gp is not None:
+        def three_hop_persisted():
+            f = gp.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
+            for tag in ("Region_Nation", "Nation_Customer"):
+                f = gp.get_targets(f, tag)
+            force(gp.get_values(f).select("id", "name"))
+
+        try:
+            three_hop_persisted()  # warmup: codegen against persisted layout
+        except Exception:  # noqa: BLE001
+            pass
+        timed("graph_3hop_persisted", three_hop_persisted, repeats=2)
+
     # -- relational + LLM headline queries ---------------------------------
     headline = [
         "q1_pricing_summary",

@@ -192,3 +192,55 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
         .unionByName(e(lineitem, OFFSETS["Order"], "l_orderkey", OFFSETS["Part"], "l_partkey"))
     )
     return GraphSnapshot.from_tables(vertices, edges, tpch_graph_schema(), broadcast_vertices=True)
+
+
+def tpch_graph_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    rebuild: bool = False,
+) -> GraphSnapshot:
+    """Steady-state route: the graph loaded from a persisted, src-bucketed
+    snapshot store — the deployment shape, matching the reference's
+    always-resident graph (Graph.hs:27-34).
+
+    ``tpch_graph`` rebuilds vertices/edges/edge_index from the base
+    parquet on every call — correct, but every registered traversal then
+    carries the whole build stage (~18 exchanges) in front of its 2-3
+    broadcast hops. A deployed store instead checkpoints the snapshot
+    ONCE (``EventLogStorage.checkpoint`` writes edge_index bucketed by
+    ``src`` — the traversal join key), and every later session loads the
+    published tables: hop joins read pre-bucketed files with NO exchange
+    on the index side and no build stage at all. At 100 TB this is the
+    difference between re-deriving trillions of index rows per query and
+    scanning only the buckets the frontier hashes into.
+
+    First call (or ``rebuild=True``) builds + checkpoints; subsequent
+    calls just load. The store keys on (sf basename, schema hash) so a
+    fixture or model change can't serve a stale snapshot.
+    """
+    import os
+
+    from graph_db_spark.graph import GraphSession
+    from graph_db_spark.storage import EventLogStorage, schema_hash
+
+    schema = tpch_graph_schema()
+    if root is None:
+        root = os.environ.get(
+            "SPARK_GRAFT_SNAPSHOT_ROOT",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "spark-warehouse",
+                "tpch_snapshots",
+            ),
+        )
+    store_path = os.path.join(
+        root,
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{schema_hash(schema)[:8]}",
+    )
+    store = EventLogStorage(spark, store_path, schema)
+    versions = store._ckpt_versions()
+    if rebuild or not versions:
+        store.checkpoint(GraphSession(tpch_graph(spark, sf_dir)))
+        versions = store._ckpt_versions()
+    return store.load_version(versions[-1], replay=False)

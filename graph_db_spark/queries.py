@@ -555,6 +555,37 @@ def graph_3hop_customers_in_region(spark, sf_dir):
 
 
 @q(
+    "graph_3hop_persisted_snapshot",
+    f"""
+    SELECT CAST({_CUSTOMER} + c_custkey AS BIGINT) AS id, c_name AS name
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def graph_3hop_persisted_snapshot(spark, sf_dir):
+    """The same 3-hop traversal as ``graph_3hop_customers_in_region`` but
+    via the STEADY-STATE route: the graph is loaded from a persisted,
+    src-bucketed snapshot store (built + checkpointed once on first call)
+    instead of being re-derived from base parquet per query — the
+    deployment shape matching the reference's always-resident graph
+    (Graph.hs:27-34). The traversal plan carries no build-stage exchanges
+    and no shuffle on the edge_index side (asserted in
+    tests/test_plans_sources.py)."""
+    from graph_db_spark.catalogue import tpch_graph_persisted
+
+    g = tpch_graph_persisted(spark, sf_dir)
+    custs = g.get_targets(
+        g.get_targets(
+            g.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE"), "Region_Nation"
+        ),
+        "Nation_Customer",
+    )
+    return g.get_values(custs).select("id", "name")
+
+
+@q(
     "graph_5hop_parts_for_region",
     f"""
     SELECT DISTINCT CAST({_PART} + p_partkey AS BIGINT) AS id, p_name AS name

@@ -337,3 +337,45 @@ def test_bucketed_reload_not_stale_after_recreate(spark, tmp_path):
         == 1
     )
     store2.close()
+
+
+def test_persisted_tpch_snapshot_traversal_steady_state(spark, sf_dir, tmp_path):
+    """The steady-state graph-query route (tpch_graph_persisted): loaded
+    from a persisted src-bucketed snapshot store, a traversal's plan has
+    NO build stage (no Union re-deriving vertices/edges/index from base
+    parquet) and no exchange over the index side — and returns exactly
+    the cold-build route's rows. At 100x the build stage is ~18 exchanges
+    over every base table in front of every registered hop query."""
+    from graph_db_spark.catalogue import tpch_graph, tpch_graph_persisted
+    from graph_db_spark.model import ROOT_ID
+
+    g = tpch_graph_persisted(spark, sf_dir, root=str(tmp_path / "snaps"))
+
+    # -- single hop, broadcast disabled: the index scan itself must read
+    # its bucket layout with no Exchange above it (only the frontier
+    # shuffles into the index's partitioning)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frontier = g.vertices.select("id").limit(10**9)  # opaque: no broadcast
+        hop = g.edge_index.join(frontier.withColumnRenamed("id", "src"), "src")
+        plan = hop._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") <= 2, plan  # frontier side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # -- full 3-hop traversal under defaults: no build-stage Union, and
+    # identical rows to the fresh-build route
+    def three_hop(snap):
+        f = snap.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
+        for tag in ("Region_Nation", "Nation_Customer"):
+            f = snap.get_targets(f, tag)
+        return snap.get_values(f).select("id", "name")
+
+    out = three_hop(g)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    expected = three_hop(tpch_graph(spark, sf_dir))
+    assert out.exceptAll(expected).unionByName(expected.exceptAll(out)).isEmpty()
+    assert out.count() > 0
