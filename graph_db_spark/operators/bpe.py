@@ -91,31 +91,91 @@ def bpe_encode_expr(
     )
 
 
+def _fit_bpe_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-local BPE fit over an already-aggregated (word, freq) table.
+
+    Bit-identical to the distributed loop: the same overlapping
+    adjacent-pair count (weighted by word frequency), the same argmax
+    tie-break (count desc, then pair asc — Python code-point order equals
+    Spark's UTF8 binary order because UTF-8 is order-preserving), and the
+    same left-to-right non-overlapping merge fold as ``merge_pair``."""
+    state = [(list(w), n) for w, n in word_freqs]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in state:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((a, b))
+        new_state = []
+        for syms, n in state:
+            acc: list[str] = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            new_state.append((acc, n))
+        state = new_state
+    return merges
+
+
+# Word-frequency tables at or under this row count are pulled to the
+# driver and fitted locally in ONE Spark job total; larger vocabularies
+# keep the distributed per-merge loop. 200k (word, count) rows ≈ a few MB
+# — trivially driver-safe, while a real web-scale corpus (hundreds of
+# millions of distinct "words" before merging) stays on the cluster.
+FIT_LOCAL_MAX_WORDS = 200_000
+
+
 def fit_bpe(
     df: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
+    local_max_words: int = FIT_LOCAL_MAX_WORDS,
 ) -> list[tuple[str, str]]:
-    """Learn *n_merges* BPE merge rules from a corpus, distributed.
+    """Learn *n_merges* BPE merge rules from a corpus.
 
-    State is the word-frequency table with each word as a symbol array —
-    vocabulary-sized, NOT corpus-sized. Per step: adjacent-pair counts
-    (one explode + map-side-combinable sum, weighted by word frequency),
-    the argmax pair (deterministic tie-break on the pair itself) comes to
-    the driver as ONE row, and the fold rewrites the arrays. Lineage is
-    truncated per step with localCheckpoint and superseded blocks are
-    released (same discipline as the Pregel loops)."""
+    The corpus always collapses to a word-frequency table distributed
+    (one explode + map-side-combinable count — vocabulary-sized state,
+    NOT corpus-sized). What happens next is threshold-switched:
+
+    - vocabulary ≤ *local_max_words*: the table comes to the driver ONCE
+      and the merge loop runs locally — n_merges costs one Spark job
+      total instead of one per merge (a real 30k-merge vocabulary would
+      otherwise be 30k sequential jobs at ~0.3 s floor each);
+    - larger: the distributed loop — per step one map-side-combinable
+      pair count, the argmax pair to the driver as ONE row, one fold
+      rewriting the symbol arrays. Lineage truncated per step with
+      localCheckpoint, superseded blocks released (Pregel discipline).
+
+    Both paths produce IDENTICAL merges (equality-tested at
+    n_merges=64): same pair counts, same argmax tie-break, same
+    left-to-right non-overlapping merge fold."""
     from graph_db_spark.pregel import release
     from graph_db_spark.session import spread_small_input
 
     d = spread_small_input(df)
-    state = (
+    wf = (
         d.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(char_symbols(F.col("word")).alias("syms"), "n")
-        .localCheckpoint(eager=True)
     )
+    if local_max_words > 0:
+        # limit-probe: one job; if the whole vocabulary came back, fit
+        # locally — otherwise fall through to the distributed loop.
+        head = wf.limit(local_max_words + 1).collect()
+        if len(head) <= local_max_words:
+            return _fit_bpe_local([(r["word"], r["n"]) for r in head], n_merges)
+    state = wf.select(
+        char_symbols(F.col("word")).alias("syms"), "n"
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):

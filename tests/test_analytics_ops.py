@@ -479,6 +479,29 @@ def test_bpe_fit_and_encode_paths_agree(spark, sf_dir):
     docs.unpersist()
 
 
+def test_bpe_fit_local_and_distributed_paths_equal(spark, sf_dir):
+    """The threshold-switched fit: the driver-local merge loop (vocab
+    under FIT_LOCAL_MAX_WORDS → one Spark job total) must learn EXACTLY
+    the merges of the distributed per-merge loop, at a depth (64) where
+    any tie-break or merge-fold divergence would compound and surface."""
+    import time
+
+    from graph_db_spark.operators.bpe import fit_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    t0 = time.time()
+    local = fit_bpe(docs, n_merges=64)  # default: local path (small vocab)
+    t_local = time.time() - t0
+    t0 = time.time()
+    dist = fit_bpe(docs, n_merges=64, local_max_words=0)  # forced distributed
+    t_dist = time.time() - t0
+    assert local == dist
+    assert len(local) == 64
+    # the whole point: local fit amortizes n_merges jobs into one
+    assert t_local < t_dist
+    docs.unpersist()
+
+
 def test_stream_dedup_near_and_rowlocal_signature(spark, sf_dir, tmp_path):
     """(1) The row-local higher-order-function MinHash signature is
     bit-identical to the batch groupBy form (MIN is duplicate-insensitive,
