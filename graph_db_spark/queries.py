@@ -4413,16 +4413,16 @@ def q8_nation_market_share(spark, sf_dir):
     """
     WITH pv AS (
       SELECT l_partkey AS p_partkey,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS part_value
+             sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4)))) AS pvd
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY l_partkey)
-    SELECT p_partkey, round(part_value, 2) AS part_value
+    SELECT p_partkey, round(CAST(pvd AS DOUBLE), 2) AS part_value
     FROM pv
-    WHERE part_value > (SELECT 0.001 * sum(part_value) FROM pv)
+    WHERE CAST(pvd AS DECIMAL(30,8)) * 1000 > (SELECT sum(pvd) FROM pv)
     """,
 )
 def q11_important_inventory(spark, sf_dir):
@@ -4431,6 +4431,13 @@ def q11_important_inventory(spark, sf_dir):
     subquery-as-threshold pattern. Adapted: shipped value from NATION_3's
     suppliers stands in for partsupp supplycost×availqty (no partsupp
     table).
+
+    The threshold comparison stays DECIMAL end to end, and the 0.001
+    fraction is applied as an EXACT integer multiply on the other side
+    (pvd*1000 > total) — no float sum (partition-order-dependent), no
+    decimal division (engine-specific result scale/rounding), so a value
+    at the boundary can never flip between Spark partitionings or vs the
+    oracle. DOUBLE appears only in the final projection.
 
     100 TB shape: one shuffle per branch for the per-part agg; the 1-row
     threshold broadcasts back as a filter (never a window over an
@@ -4446,16 +4453,14 @@ def q11_important_inventory(spark, sf_dir):
         .join(F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"))), "s_nationkey")
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("part_value")
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("pvd")
         )
     )
-    total = pv.agg((F.lit(0.001) * F.sum("part_value")).alias("threshold"))
+    total = pv.agg(F.sum("pvd").alias("threshold"))
     return (
         pv.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("p_partkey", F.round("part_value", 2).alias("part_value"))
+        .filter(F.col("pvd").cast("decimal(30,8)") * F.lit(1000) > F.col("threshold"))
+        .select("p_partkey", F.round(F.col("pvd").cast("double"), 2).alias("part_value"))
     )
 
 

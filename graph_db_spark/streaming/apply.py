@@ -175,7 +175,7 @@ def stream_dedup_near(
     docs_dir: str,
     n_hashes: int = 8,
     shingle_k: int = 3,
-    watermark: str = "1 hour",
+    watermark: str = "6 hours",
 ) -> DataFrame:
     """Streaming NEAR-duplicate suppression — the ingestion-time twin of
     the batch MinHash dedup family: each arriving document gets a
@@ -194,7 +194,16 @@ def stream_dedup_near(
     Documents too short to emit shingles pass through unsuppressed (their
     key falls back to the doc id). Event time is synthesized
     deterministically from doc_id (the fixture carries no ingest
-    timestamp; a production ingest uses its arrival time column)."""
+    timestamp; a production ingest uses its arrival time column).
+
+    Watermark default (6 hours) is aligned with ``stream_curated_ingest``
+    and chosen against the synthesized event time: docs are 1 second
+    apart by doc_id, so the horizon covers a ~21,600-doc-id gap —
+    signature-identical docs further apart than the horizon are OUTSIDE
+    each other's dedup window by design (watermark-bounded state is the
+    contract that keeps 100 TB ingest state in memory, not a defect).
+    Size the watermark to the duplicate-lag distribution of the real
+    ingest."""
     docs = _doc_stream_with_sig(spark, docs_dir, n_hashes, shingle_k)
     return docs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["sig"])
 

@@ -264,11 +264,15 @@ def test_ann_recall_regression_sf01(spark):
     `embedding_near_dup_pairs`), so a future n_tables/n_planes tweak can't
     silently degrade retrieval while still benching fast.
 
-    Floors vs measured (deterministic md5 planes, round-5): LSH top-k
-    0.80, IVF 0.86, planted near-dup 1.000 (2,000/2,000 pairs; the
-    ((1-(1-θ/π)^p))^t miss bound at cos ≥ 0.99 is < 1e-6). Floors leave
-    slack for fixture regeneration with a different seed, not for
-    parameter degradation."""
+    Measured (deterministic md5 planes, round-5): LSH top-k 0.80, IVF
+    0.86, planted near-dup 1.000 (2,000/2,000 pairs; the
+    ((1-(1-θ/π)^p))^t miss bound at cos ≥ 0.99 is < 1e-6). The ASSERTED
+    floors are 0.70 (LSH) and 0.75 (IVF): the slack below the measured
+    values covers fixture regeneration with a different seed — a
+    parameter degradation (fewer tables/planes, broken signature) drops
+    recall far below either floor."""
+    import os
+
     from graph_db_spark.operators.similarity import (
         cosine_topk,
         exact_near_dup_pairs,
@@ -277,7 +281,11 @@ def test_ann_recall_regression_sf01(spark):
         lsh_near_dup_pairs,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    bench_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    path = f"{bench_sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"bench-scale fixture missing: {path}")
+    emb = spark.read.parquet(path)
     q = emb.filter(F.col("vec_id") < 20)
     exact = {(r.qid, r.nid) for r in cosine_topk(emb, q, 5).collect()}
     lsh = {
