@@ -10,6 +10,7 @@ set-oriented ``apply_events`` used by batch commits.
 
 from graph_db_spark.streaming.apply import (
     stream_apply_wal,
+    stream_apply_wal_durable,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -18,6 +19,7 @@ from graph_db_spark.streaming.stateful import stateful_user_sessions
 
 __all__ = [
     "stream_apply_wal",
+    "stream_apply_wal_durable",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",

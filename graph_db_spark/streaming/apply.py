@@ -61,6 +61,105 @@ def stream_apply_wal(
     return writer.start()
 
 
+def _latest_epoch(snapshot_root: str) -> int:
+    import os
+
+    if not os.path.isdir(snapshot_root):
+        return -1
+    return max(
+        (int(d.split("-")[1]) for d in os.listdir(snapshot_root) if d.startswith("epoch-")),
+        default=-1,
+    )
+
+
+def stream_apply_wal_durable(
+    spark: SparkSession,
+    wal_dir: str,
+    snapshot_root: str,
+    schema,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    on_epoch_applied=None,
+):
+    """Crash-safe streaming WAL apply: ``stream_apply_wal`` with the
+    evolved snapshot PERSISTED per micro-batch, so a SIGKILL mid-batch
+    loses nothing — the reference's stubbed crash-interruption property
+    (executables/APITests.hs:70), streaming edition.
+
+    Exactly-once effect from an at-least-once sink, the standard
+    foreachBatch recipe:
+
+    - each epoch's resulting snapshot is written to a staging dir and
+      published by ONE atomic rename to ``snapshot_root/epoch-N`` BEFORE
+      the stream commits the epoch — a crash at any point leaves either
+      the previous published snapshot or the complete new one;
+    - on restart Structured Streaming re-delivers the uncommitted epoch
+      (same id, same deterministic file-source batch); the sink sees
+      ``epoch <= latest published`` and SKIPS it — re-apply can't double
+      the effects;
+    - startup resumes from the latest published epoch's tables (or the
+      empty graph), and older epoch dirs are pruned after each publish
+      so disk holds ~one generation.
+
+    *on_epoch_applied* (epoch:int -> None) fires after each publish —
+    observability, and the crash-injection hook for the kill test.
+    Returns the StreamingQuery.
+    """
+    import os
+    import shutil
+
+    stream_reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        stream_reader = stream_reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = stream_reader.parquet(wal_dir)
+
+    os.makedirs(snapshot_root, exist_ok=True)
+    start_epoch = _latest_epoch(snapshot_root)
+    if start_epoch >= 0:
+        base = os.path.join(snapshot_root, f"epoch-{start_epoch}")
+        snap = GraphSnapshot(
+            spark.read.parquet(os.path.join(base, "vertices")),
+            spark.read.parquet(os.path.join(base, "edges")),
+            spark.read.parquet(os.path.join(base, "edge_index")),
+            schema,
+        )
+    else:
+        snap = GraphSnapshot.empty(spark, schema)
+    state = StreamingGraphState(snap)
+    state.last_published = start_epoch
+
+    def apply_batch(batch_df: DataFrame, epoch: int) -> None:
+        if epoch <= state.last_published:
+            return  # re-delivered after a crash-after-publish: already applied
+        if not batch_df.isEmpty():
+            state.snapshot = state.snapshot.apply_events(batch_df).materialize()
+        tmp = os.path.join(snapshot_root, f".tmp-{epoch}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        state.snapshot.vertices.write.parquet(os.path.join(tmp, "vertices"))
+        state.snapshot.edges.write.parquet(os.path.join(tmp, "edges"))
+        state.snapshot.edge_index.write.parquet(os.path.join(tmp, "edge_index"))
+        os.replace(tmp, os.path.join(snapshot_root, f"epoch-{epoch}"))  # atomic publish
+        prev, state.last_published = state.last_published, epoch
+        state.batches_applied += 1
+        if prev >= 0:
+            shutil.rmtree(os.path.join(snapshot_root, f"epoch-{prev}"), ignore_errors=True)
+        if on_epoch_applied is not None:
+            on_epoch_applied(epoch)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q._graphdb_state = state  # expose for tests/callers
+    return q
+
+
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming read of the driver's events table (ns timestamps read as
     LONG, converted to μs timestamps for event-time semantics)."""

@@ -492,3 +492,103 @@ def test_async_wal_backpressure(store):
     while len(started) < 3 and time.time() < deadline:
         time.sleep(0.05)
     assert started == [1, 2, 3]  # FIFO order preserved through backpressure
+
+
+_STREAM_CRASH_RUNNER = r"""
+import os, signal, sys
+sys.path.insert(0, {repo!r})
+from graph_db_spark.session import get_spark
+from graph_db_spark.catalogue import catalogue_schema
+from graph_db_spark.streaming import stream_apply_wal_durable
+
+spark = get_spark(app_name="stream_crasher", cpus="4", shuffle_partitions=4)
+
+def boom(epoch):
+    print("APPLIED {{}}".format(epoch), flush=True)
+    if epoch >= 1:
+        os.kill(os.getpid(), signal.SIGKILL)  # die mid-stream, after publish,
+        # BEFORE Structured Streaming commits the epoch
+
+q = stream_apply_wal_durable(
+    spark, {wal!r}, {snaps!r}, catalogue_schema(), {ckpt!r},
+    available_now=True, max_files_per_trigger=1, on_epoch_applied=boom,
+)
+q.awaitTermination(120)
+print("DONE", flush=True)
+"""
+
+
+def test_stream_crash_recovery_equals_sequential_replay(spark, tmp_path):
+    """Streaming edition of the crash-interruption property
+    (APITests.hs:70): SIGKILL the durable WAL-stream applier mid-run —
+    after an epoch's snapshot publish but BEFORE the stream commits the
+    epoch — then restart from the same checkpoint + snapshot dirs. The
+    re-delivered epoch must be skipped (no double apply), the remaining
+    epochs applied, and the final snapshot must equal sequential batch
+    replay of the whole WAL."""
+    import signal
+    import subprocess
+
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.streaming import stream_apply_wal_durable
+    from graph_db_spark.streaming.apply import _latest_epoch
+
+    # -- write a WAL: 6 commits, one batch file each
+    path = os.path.join(str(tmp_path), "store")
+    st = EventLogStorage(spark, path, catalogue_schema())
+    s = st.load(_fresh)
+    for i in range(6):
+        s.write(
+            lambda tx, i=i: tx.add_target(
+                ROOT_ID, tx.new_node("Artist", name=f"W{i}", uid=i)
+            )
+        )
+    st.flush()
+    expected = s.read(lambda g: g.get_stats()).as_tuple()
+
+    wal = st._log_dir(0)
+    snaps = os.path.join(str(tmp_path), "snaps")
+    ckpt = os.path.join(str(tmp_path), "stream_ckpt")
+
+    # -- crash run: separate process, killed inside foreachBatch at epoch 1
+    script = _STREAM_CRASH_RUNNER.format(
+        repo=os.path.dirname(os.path.dirname(__file__)), wal=wal, snaps=snaps, ckpt=ckpt
+    )
+    proc = subprocess.Popen(
+        ["python", "-c", script], stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+    )
+    applied = []
+    try:
+        for line in proc.stdout:
+            if line.startswith("APPLIED"):
+                applied.append(int(line.split()[1]))
+            if line.startswith("DONE"):
+                break
+    finally:
+        proc.wait(timeout=120)
+    assert proc.returncode == -signal.SIGKILL, "runner was supposed to die by SIGKILL"
+    assert applied and max(applied) >= 1, "no epoch published before the kill"
+    crash_epoch = _latest_epoch(snaps)
+    assert crash_epoch >= 1  # the publish survived the kill
+
+    # -- restart in-process from the same dirs; must finish the stream
+    q = stream_apply_wal_durable(
+        spark, wal, snaps, catalogue_schema(), ckpt,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    state = q._graphdb_state
+    # the re-delivered epoch was skipped, later epochs applied
+    assert state.last_published > crash_epoch
+    assert state.snapshot.get_stats().as_tuple() == expected
+    # and the published on-disk snapshot agrees (a THIRD process could load it)
+    final = os.path.join(snaps, f"epoch-{state.last_published}")
+    from graph_db_spark.graph import GraphSnapshot
+
+    reloaded = GraphSnapshot(
+        spark.read.parquet(os.path.join(final, "vertices")),
+        spark.read.parquet(os.path.join(final, "edges")),
+        spark.read.parquet(os.path.join(final, "edge_index")),
+        catalogue_schema(),
+    )
+    assert reloaded.get_stats().as_tuple() == expected
