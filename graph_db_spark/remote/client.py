@@ -51,6 +51,20 @@ class RemoteTx:
             self._raise_error(r)
         return r
 
+    def _act_unit(self, op: str, **kw) -> None:
+        """A result-less (UNIT-reply) op. With ``pipeline > 1`` on the
+        session it is SENT without waiting for its reply — the reply is
+        consumed, in order, at the next result-bearing op, at the
+        pipeline cap, or at Finish. Same frames on the wire (full
+        compatibility with a per-op server, Client.hs:71-117); only the
+        client's wait pattern changes, so N mutations cost ~1 round-trip
+        instead of N. A buffered op's ERROR surfaces at that drain point
+        (still inside the transaction, which aborts as usual)."""
+        if self._write and self._s._pipeline > 1:
+            self._s._send_pipelined({"t": P.ACTION, "op": op, **kw})
+        else:
+            self._act(op, **kw)
+
     def get_root(self) -> int:
         return self._act(P.GET_ROOT)["ref"]
 
@@ -61,7 +75,7 @@ class RemoteTx:
         return self._act(P.GET_VALUE, ref=ref)["value"]
 
     def set_value(self, ref: int, kind: str, **payload) -> None:
-        self._act(P.SET_VALUE, ref=ref, kind=kind, value=payload)
+        self._act_unit(P.SET_VALUE, ref=ref, kind=kind, value=payload)
 
     def get_targets(self, ref: int, idx_tag: str, idx_key=None) -> list[int]:
         # The server streams large fan-outs: zero or more NODE_LIST_CHUNK
@@ -77,13 +91,13 @@ class RemoteTx:
         return refs
 
     def add_target(self, src: int, dst: int) -> None:
-        self._act(P.ADD_TARGET, src=src, dst=dst)
+        self._act_unit(P.ADD_TARGET, src=src, dst=dst)
 
     def remove_target(self, src: int, dst: int) -> None:
-        self._act(P.REMOVE_TARGET, src=src, dst=dst)
+        self._act_unit(P.REMOVE_TARGET, src=src, dst=dst)
 
     def remove(self, ref: int) -> None:
-        self._act(P.REMOVE, ref=ref)
+        self._act_unit(P.REMOVE, ref=ref)
 
     def get_stats(self) -> tuple[int, int, int]:
         return tuple(self._act(P.GET_STATS)["stats"])
@@ -101,9 +115,16 @@ class RemoteGraphSession:
         credentials=None,
         model_version: int = 0,
         timeout: float = 600.0,
+        pipeline: int = 1,
     ):
+        """*pipeline*: max result-less write ops in flight before the
+        client waits for their (ordered) replies — OLTP latency batching
+        with unchanged wire frames. 1 = classic per-op round-trips."""
         if (socket_path is None) == (port is None):
             raise ValueError("exactly one of socket_path / port required")
+        self._pipeline = max(1, int(pipeline))
+        self._pending = 0
+        self._batched_ops = 0  # observability: ops that skipped a sync wait
         try:
             if socket_path is not None:
                 self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -132,7 +153,31 @@ class RemoteGraphSession:
 
     # -- plumbing ----------------------------------------------------------
 
+    def _send_pipelined(self, msg: dict) -> None:
+        """Send without waiting; replies are drained in order at the cap
+        or before the next synchronous request."""
+        P.send_msg(self._sock, msg)
+        self._pending += 1
+        self._batched_ops += 1
+        if self._pending >= self._pipeline:
+            self._drain_pending()
+
+    def _drain_pending(self) -> None:
+        """Consume every outstanding pipelined reply (ordered — the
+        server answers one connection sequentially). The FIRST buffered
+        ERROR is raised after the stream is fully consumed, so the
+        connection is never left mid-stream."""
+        err = None
+        while self._pending:
+            r = self._read_reply()
+            self._pending -= 1
+            if r.get("t") == P.ERROR and err is None:
+                err = r
+        if err is not None:
+            RemoteTx._raise_error(err)
+
     def _request(self, msg: dict) -> dict:
+        self._drain_pending()
         P.send_msg(self._sock, msg)
         return self._read_reply()
 

@@ -393,3 +393,65 @@ def test_server_local_write_routes_through_lock(server):
         db.write(lambda tx: _insert_artist(tx, "remote", 11))
     n = server.read(lambda snap: snap.get_stats().as_tuple())
     assert n[0] == 3  # root + 2 artists
+
+
+def test_pipelined_client_equivalence_and_batching(server):
+    """pipeline=N coalesces result-less write ops (add/remove/set) into
+    in-flight batches with UNCHANGED wire frames (Client.hs:71-117 per-op
+    protocol): the committed state must equal the per-op client's, the
+    batching must actually engage, and a buffered op's ERROR must still
+    abort the transaction at its drain point."""
+    # per-op client: 30 artists, then unlink one
+    with _connect(server) as db:
+        def prog(tx):
+            root = tx.get_root()
+            refs = []
+            for i in range(30):
+                a = tx.new_node("Artist", name=f"P{i}", uid=i)
+                tx.add_target(root, a)
+                refs.append(a)
+            tx.remove_target(root, refs[7])
+            return None
+        db.write(prog)
+        baseline = db.read(lambda tx: tx.get_stats())
+        assert db._batched_ops == 0  # pipeline=1 never buffers
+
+    # pipelined client runs the IDENTICAL program on a fresh region of
+    # the graph; the stats delta must match the per-op client's delta
+    with _connect(server, pipeline=16) as db2:
+        def prog2(tx):
+            root = tx.get_root()
+            refs = []
+            for i in range(30):
+                a = tx.new_node("Artist", name=f"Q{i}", uid=100 + i)
+                tx.add_target(root, a)
+                refs.append(a)
+            tx.remove_target(root, refs[7])
+            return None
+        db2.write(prog2)
+        after = db2.read(lambda tx: tx.get_stats())
+        assert db2._batched_ops >= 31  # 30 add_target + 1 remove_target buffered
+        # identical delta: +29 reachable nodes (one unlinked), +29 live edges
+        assert after[0] - baseline[0] == 29
+        assert after[1] - baseline[1] == 29
+
+    # visible to a third, per-op connection (wire compatibility end-to-end)
+    with _connect(server) as db3:
+        def count_q(tx):
+            root = tx.get_root()
+            return len(tx.get_targets(root, "Catalogue_Artist_SearchTerm", "Q5"))
+        assert db3.read(count_q) == 1
+
+    # a buffered bad op aborts the tx at drain time, and the session
+    # survives per the write-abort contract (connection dropped)
+    with _connect(server, pipeline=16) as db4:
+        def bad(tx):
+            tx.add_target(10**9, 10**9 + 1)  # refs never handed out
+            # force the drain inside the tx: a result-bearing op follows
+            return tx.get_stats()
+        with pytest.raises(Exception):
+            db4.write(bad)
+
+    # state unchanged by the aborted tx
+    with _connect(server) as db5:
+        assert db5.read(lambda tx: tx.get_stats()) == after
