@@ -69,7 +69,44 @@ def _real_decode(media_type: str, payload: bytes) -> dict:
     )
 
 
+def _pil_decode(media_type: str, payload: bytes) -> dict:
+    """Real image decode via PIL (registered only when importable).
+    Non-image media and undecodable payloads fall back to the digest
+    path, so a mixed/dirty corpus never fails the batch."""
+    digest = hashlib.md5(payload or b"").hexdigest()
+    out = {"digest": digest, "width": None, "height": None, "duration_ms": None}
+    if media_type == "image" and payload:
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                out["width"], out["height"] = im.size
+        except Exception:  # undecodable bytes: keep the digest-only row
+            pass
+    return out
+
+
 DECODERS = {"fake": _fake_decode, "real": _real_decode}
+
+
+def _register_available_codecs() -> None:
+    """Self-upgrading registry: probe for real codec libraries at import
+    and swap them in under 'real' (keeping the raiser's slot semantics
+    when absent) plus an explicit per-library key. The multimodal suite
+    upgrades itself the moment the environment gains the dependency —
+    no code change, and the digest path remains the universal fallback."""
+    try:
+        import PIL  # noqa: F401
+
+        DECODERS["pil"] = _pil_decode
+        DECODERS["real"] = _pil_decode
+    except ImportError:
+        pass
+
+
+_register_available_codecs()
 
 
 def extract_features(assets: DataFrame, decoder: str = "fake", dim: int = 8) -> DataFrame:
@@ -139,26 +176,39 @@ def resize_images(
     resized payload + final dims. The fake codec "resizes" by stamping the
     target dims and re-digesting payload+dims (deterministic, shape-true:
     binary in → binary out, same Arrow batch contract the real PIL/ffmpeg
-    implementation would use); the real path raises until a codec is
-    registered."""
-    if decoder == "real":
+    implementation would use); the real path resizes through PIL when the
+    registry picked it up at import, and raises (clearly marked) when no
+    codec is registered."""
+    use_pil = decoder == "real" and DECODERS["real"] is not _real_decode
+    if decoder == "real" and not use_pil:
         _real_decode("image", b"")  # raises NotImplementedError, clearly marked
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_pil:
+            import io
+
+            from PIL import Image
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 if r.media_type != "image":
                     continue
                 payload = bytes(r.payload) if r.payload is not None else b""
-                stamp = f"|resized:{width}x{height}".encode()
+                if use_pil:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format=im.format or "PNG")
+                        out_payload = buf.getvalue()
+                else:
+                    # fake codec: stamp target dims, re-digest (shape-true)
+                    out_payload = payload + f"|resized:{width}x{height}".encode()
                 rows.append(
                     {
                         "asset_id": r.asset_id,
                         "width": width,
                         "height": height,
-                        "payload": payload + stamp,
-                        "digest": hashlib.md5(payload + stamp).hexdigest(),
+                        "payload": out_payload,
+                        "digest": hashlib.md5(out_payload).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -83,11 +83,50 @@ def test_multimodal_features_and_frames(spark):
     assert len(per_asset[1]) == 1
 
 
-def test_real_decoder_is_stubbed(spark):
-    from graph_db_spark.operators.multimodal import DECODERS
+def test_real_decoder_registry(spark):
+    """The 'real' slot self-upgrades at import: PIL absent → the clearly
+    marked raiser; PIL present → genuine decode (and the PIL test below
+    un-skips)."""
+    from graph_db_spark.operators.multimodal import DECODERS, _real_decode
 
-    with pytest.raises(NotImplementedError):
-        DECODERS["real"]("image", b"\x89PNG")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert DECODERS["real"] is not _real_decode
+        assert "pil" in DECODERS
+    else:
+        assert DECODERS["real"] is _real_decode
+        with pytest.raises(NotImplementedError):
+            DECODERS["real"]("image", b"\x89PNG")
+
+
+def test_pil_decode_and_resize_real_images(spark):
+    """Conditional (skips without PIL): real decode reports true image
+    dims and real resize round-trips through the same mapInPandas
+    contract as the fake path."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from graph_db_spark.operators.multimodal import extract_features, resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (320, 200)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), {"src": "test"})],
+        "asset_id LONG, media_type STRING, payload BINARY, meta MAP<STRING,STRING>",
+    )
+    feat = extract_features(assets, decoder="real").collect()[0]
+    assert (feat["width"], feat["height"]) == (320, 200)
+    out = resize_images(assets, width=64, height=48, decoder="real").collect()[0]
+    with Image.open(io.BytesIO(bytes(out["payload"]))) as im:
+        assert im.size == (64, 48)
 
 
 def test_stream_tumbling_counts(spark, sf_dir):
@@ -611,8 +650,12 @@ def test_resize_images_plumbing(spark):
     assert {r["asset_id"] for r in out} == {0, 3, 6}
     assert all(r["width"] == 128 and r["height"] == 96 for r in out)
     assert all(r["payload"].endswith(b"|resized:128x96") for r in out)
-    with _pytest.raises(NotImplementedError):
-        resize_images(assets, decoder="real")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # no registered codec: the real path must raise, clearly marked
+        with _pytest.raises(NotImplementedError):
+            resize_images(assets, decoder="real")
 
 
 def test_stream_session_windows(spark, sf_dir):
