@@ -1,0 +1,224 @@
+"""Scale-stress suite: measure the iterative/bucketed flagships at a base
+scale S and at 10×S, in-engine, and check for super-linear blowup.
+
+Everything the per-round bench measures runs at sf0.1 (5k docs, 2k
+vectors, ~600k lineitem); this suite is the evidence that the plans
+"designed for 100×" actually degrade ~linearly through the first 10×:
+
+- ``bfs_stats``   — GraphSnapshot.get_stats() (the reference's flagship,
+                    Graph.hs:82-118) on a synthetic layered DAG:
+                    0.5M → 5M nodes, 1.4M → 13.7M edges, depth 8.
+- ``cc_star``     — large-star/small-star connected components on the
+                    same graphs.
+- ``dedup_minhash`` — MinHash+LSH near-dup pairs on a generated corpus
+                    (50k → 500k docs, ~1% planted near-dup twins, the
+                    rest pairwise-distinct so candidate volume scales
+                    with the corpus, not quadratically).
+- ``ann_ivf_kmeans`` — distributed k-means fit (k=8, 2 Lloyd rounds) +
+                    IVF top-k probe on expanded fixture embeddings
+                    (20k → 200k vectors, dim 64).
+
+Corpus/vector generation is deterministic column arithmetic (md5 of
+(seed, position)) — no RNG state, no driver loops; the 10× frames are
+built by the same expressions with a bigger range/expansion factor.
+
+Shuffle volume per op is read from the Spark UI REST API (total shuffle
+write bytes across the op's stages) — the scale-out cost driver.
+
+Usage: python tools/scale_stress.py [--fast]   (--fast = 1/10 sizes, smoke)
+Prints one JSON line; paste the table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graph_db_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle write bytes across all completed stages so far."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages", timeout=10) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def layered_graph(spark, width: int, layers: int, fanout: int = 3):
+    """Deterministic layered DAG: root(0) → layer0(all) and each node of
+    layer l → *fanout* children in layer l+1 (hash-spread). Returns
+    (vertices, edges) with |V| = 1 + layers*width."""
+    root_edges = spark.range(width).select(
+        F.lit(0).cast("long").alias("src"), (1 + F.col("id")).alias("dst")
+    )
+    inner = (
+        spark.range((layers - 1) * width)
+        .select(
+            (F.col("id") / width).cast("long").alias("l"),
+            (F.col("id") % width).alias("i"),
+        )
+        .select(
+            (1 + F.col("l") * width + F.col("i")).alias("src"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(fanout - 1)),
+                    lambda j: 1
+                    + (F.col("l") + 1) * width
+                    + (F.col("i") * 31 + j * 17 + F.col("l")) % width,
+                )
+            ).alias("dst"),
+        )
+    )
+    edges = root_edges.unionByName(inner)
+    vertices = spark.range(1 + layers * width).select(F.col("id"))
+    return vertices, edges
+
+
+def synthetic_docs(spark, n_docs: int, n_tokens: int = 80):
+    """n_docs documents of *n_tokens* md5-derived tokens; ids ≡ 1 (mod
+    100) are a planted near-dup twin of id-1 (one token differs)."""
+    is_twin = (F.col("id") % 100 == 1).cast("long")
+    seed = F.col("id") - is_twin
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_tokens)),
+            lambda p: F.substring(
+                F.md5(
+                    F.concat(
+                        seed.cast("string"),
+                        F.lit(":"),
+                        # the twin's token 3 differs — everything else matches
+                        F.when((p == 3) & (is_twin == 1), F.lit("X")).otherwise(
+                            p.cast("string")
+                        ),
+                    )
+                ),
+                1,
+                6,
+            ),
+        ),
+    )
+    return spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def expanded_embeddings(spark, sf_dir: str, factor: int):
+    """Fixture embeddings × *factor* with deterministic per-copy
+    perturbation (distinct ids, slightly rotated vectors)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    k = spark.range(factor).select(F.col("id").alias("k"))
+    return e.crossJoin(k).select(
+        (F.col("vec_id") + F.col("k") * 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + ((F.col("vec_id") * 7 + F.col("k") * 13 + d) % 11 - 5).cast("double") * 0.01,
+        ).alias("embedding"),
+    )
+
+
+def main() -> None:
+    fast = "--fast" in sys.argv
+    div = 10 if fast else 1
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale_stress", cpus=cpus, extra_conf={"spark.ui.enabled": "true"}
+    )
+
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+    from graph_db_spark.operators import dedup as D
+    from graph_db_spark.operators.similarity import ivf_cosine_topk, kmeans_fit
+    from graph_db_spark.pregel import connected_components_star
+
+    results: dict[str, dict] = {}
+
+    def run(op: str, scale: str, fn):
+        sw0 = shuffle_write_bytes(spark)
+        t0 = time.time()
+        out = fn()
+        dt = round(time.time() - t0, 2)
+        sw1 = shuffle_write_bytes(spark)
+        mb = round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 and sw1 >= 0 else None
+        results.setdefault(op, {})[scale] = {"sec": dt, "shuffle_write_mb": mb, **out}
+        print(f"[stress] {op} @{scale}: {dt}s shuffle={mb}MB {out}", file=sys.stderr, flush=True)
+
+    # -- graph ops on the layered DAG --------------------------------------
+    for scale, width in (("1x", 62_500 // div), ("10x", 625_000 // div)):
+        v, e = layered_graph(spark, width=width, layers=8)
+        ei = e.select(
+            "src", F.lit("T").alias("idx_tag"), F.lit(None).cast("string").alias("idx_key"), "dst"
+        )
+        snap = GraphSnapshot(
+            v.select("id", F.lit("N").alias("kind")), e, ei, catalogue_schema()
+        )
+        run(
+            "bfs_stats",
+            scale,
+            lambda s=snap: {"stats": list(s.get_stats().as_tuple())},
+        )
+        run(
+            "cc_star",
+            scale,
+            lambda vv=v, ee=e: (lambda lr: {"components": lr[0].filter(F.col("component") == 0).count(), "rounds": lr[1]})(
+                connected_components_star(vv, ee)
+            ),
+        )
+
+    # -- MinHash+LSH dedup on the generated corpus -------------------------
+    for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+        docs = synthetic_docs(spark, n)
+        run(
+            "dedup_minhash",
+            scale,
+            lambda d=docs: {
+                "pairs": D.minhash_near_dup_pairs(
+                    d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3
+                ).count()
+            },
+        )
+
+    # -- k-means fit + IVF probe on expanded embeddings --------------------
+    for scale, factor in (("1x", max(10 // div, 1)), ("10x", max(100 // div, 2))):
+        # spread to cluster parallelism: the fixture is one parquet file,
+        # and a real corpus arrives in thousands of splits
+        emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
+        emb.count()
+
+        def ann(e=emb):
+            cents = kmeans_fit(e, k=8, n_iters=2)
+            q = e.filter(F.col("vec_id") < 20)
+            topk = ivf_cosine_topk(e, q, k=5, centroids=cents, n_probe=2)
+            return {"topk_rows": topk.count()}
+
+        run("ann_ivf_kmeans", scale, ann)
+        emb.unpersist()
+
+    # -- scaling verdict ---------------------------------------------------
+    for op, d in results.items():
+        if "1x" in d and "10x" in d and d["1x"]["sec"] > 0:
+            d["ratio_10x"] = round(d["10x"]["sec"] / d["1x"]["sec"], 2)
+            d["superlinear_blowup"] = d["ratio_10x"] > 20  # >2× over linear
+
+    print(json.dumps({"metric": "scale_stress", "fast": fast, "cpus": int(cpus), "ops": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
