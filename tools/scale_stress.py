@@ -173,6 +173,21 @@ def main() -> None:
             scale,
             lambda s=snap: {"stats": list(s.get_stats().as_tuple())},
         )
+        if scale == "10x":
+            # force the broadcast→shuffle degrade MID-TRAVERSAL at real
+            # size (the default 8M guard can't trip below 8M reachable
+            # ids): lower the guard so the walk switches to shuffle
+            # joins after the first ~1M visited, and the stats must not
+            # change. This is the 100×-scale branch, measured.
+            def degraded(s=snap):
+                prev = type(s).BFS_BROADCAST_MAX_IDS
+                type(s).BFS_BROADCAST_MAX_IDS = 1_000_000
+                try:
+                    return {"stats": list(s.get_stats().as_tuple())}
+                finally:
+                    type(s).BFS_BROADCAST_MAX_IDS = prev
+
+            run("bfs_stats_degraded", scale, degraded)
         run(
             "cc_star",
             scale,
