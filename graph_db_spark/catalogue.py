@@ -241,6 +241,26 @@ def tpch_graph_persisted(
     store = EventLogStorage(spark, store_path, schema)
     versions = store._ckpt_versions()
     if rebuild or not versions:
-        store.checkpoint(GraphSession(tpch_graph(spark, sf_dir)))
+        # writer lock: two sessions racing to build the same snapshot
+        # would collide in the checkpoint staging dir; the loser waits for
+        # the winner's publish and loads it instead of rebuilding.
+        import time
+
+        from graph_db_spark.storage import StorageLockedError
+
+        try:
+            store.acquire()
+        except StorageLockedError:
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                versions = store._ckpt_versions()
+                if versions:
+                    return store.load_version(versions[-1], replay=False)
+                time.sleep(1)
+            raise
+        try:
+            store.checkpoint(GraphSession(tpch_graph(spark, sf_dir)))
+        finally:
+            store.release()
         versions = store._ckpt_versions()
     return store.load_version(versions[-1], replay=False)

@@ -379,3 +379,29 @@ def test_persisted_tpch_snapshot_traversal_steady_state(spark, sf_dir, tmp_path)
     expected = three_hop(tpch_graph(spark, sf_dir))
     assert out.exceptAll(expected).unionByName(expected.exceptAll(out)).isEmpty()
     assert out.count() > 0
+
+
+def test_persisted_snapshot_concurrent_builder_waits(spark, sf_dir, tmp_path):
+    """Two sessions racing to build the same snapshot store must not
+    collide in the staging dir: the loser of the writer lock loads the
+    winner's published checkpoint instead of rebuilding."""
+    import os
+
+    from graph_db_spark.catalogue import tpch_graph_persisted
+    from graph_db_spark.model import ROOT_ID
+
+    root = str(tmp_path / "snaps")
+    g = tpch_graph_persisted(spark, sf_dir, root=root)
+    store_dir = next(
+        os.path.join(root, d) for d in os.listdir(root) if not d.startswith(".")
+    )
+    # another builder "holds" the lock; a published version already exists
+    lock = os.path.join(store_dir, ".lock")
+    open(lock, "w").close()
+    try:
+        g2 = tpch_graph_persisted(spark, sf_dir, root=root, rebuild=True)
+        n1 = g.get_targets(ROOT_ID, "Catalogue_Region").count()
+        n2 = g2.get_targets(ROOT_ID, "Catalogue_Region").count()
+        assert n1 == n2 > 0
+    finally:
+        os.remove(lock)
