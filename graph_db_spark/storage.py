@@ -157,12 +157,31 @@ class EventLogStorage:
     def persist_events(self, events: DataFrame, first_seq: int | None = None) -> None:
         """Synchronous append of one committed event batch to the current
         log generation. *first_seq* names the batch file; the caller (who
-        staged the events driver-side) passes it to avoid a Spark job."""
+        staged the events driver-side) passes it to avoid a Spark job.
+
+        Orphan tolerance: a SIGKILLed writer's JVM outlives its Python
+        driver by seconds and can recreate a half-written batch dir AFTER
+        recovery swept it (observed in the crash-interruption test). An
+        existing target WITHOUT the _SUCCESS commit marker is by
+        definition such an orphan — under the single-writer lock nothing
+        live can be mid-write here — so clobber it and retry once. An
+        existing target WITH _SUCCESS is a genuine seq collision (a
+        second writer violating the lock contract) and stays a loud
+        error."""
         gen = max(self._ckpt_versions(), default=0)
         if first_seq is None:
             first_seq = events.agg(F.min("seq")).collect()[0][0]
         out = os.path.join(self._log_dir(gen), f"batch-{first_seq:012d}.parquet")
-        events.coalesce(1).write.mode("errorifexists").parquet(out)
+        for attempt in (0, 1):
+            try:
+                events.coalesce(1).write.mode("errorifexists").parquet(out)
+                return
+            except Exception:
+                committed = os.path.exists(os.path.join(out, "_SUCCESS"))
+                if attempt == 0 and os.path.isdir(out) and not committed:
+                    shutil.rmtree(out, ignore_errors=True)
+                    continue
+                raise
 
     def persist_events_async(self, events: DataFrame, first_seq: int | None = None) -> None:
         """Enqueue the append on the storage's single I/O worker and return
@@ -428,20 +447,35 @@ class EventLogStorage:
         """Remove batch dirs a killed writer left without the _SUCCESS
         commit marker. Recovery must clear them: the recovered session's
         seq counter is derived from committed batches only, so its next
-        append would otherwise collide with the orphaned path. Safe under
-        the single-writer lock — nothing else can be mid-write here."""
-        for d in os.listdir(self._log_root):
-            gen_dir = os.path.join(self._log_root, d)
-            if not os.path.isdir(gen_dir):
-                continue
-            for b in os.listdir(gen_dir):
-                full = os.path.join(gen_dir, b)
-                if (
-                    b.startswith("batch-")
-                    and os.path.isdir(full)
-                    and not os.path.exists(os.path.join(full, "_SUCCESS"))
-                ):
-                    shutil.rmtree(full)
+        append would otherwise collide with the orphaned path.
+
+        Zombie drain: SIGKILLing a writer kills its Python driver but its
+        JVM child lingers for seconds and may RE-create the in-flight
+        batch dir (task commits land after the first sweep). When a pass
+        swept something, wait briefly and re-sweep until a pass finds
+        nothing — by then the zombie has either aborted (junk swept) or
+        committed (_SUCCESS present: the batch becomes a real durable
+        commit and the subsequent replay correctly includes it)."""
+        import time
+
+        for attempt in range(5):
+            swept = 0
+            for d in os.listdir(self._log_root):
+                gen_dir = os.path.join(self._log_root, d)
+                if not os.path.isdir(gen_dir):
+                    continue
+                for b in os.listdir(gen_dir):
+                    full = os.path.join(gen_dir, b)
+                    if (
+                        b.startswith("batch-")
+                        and os.path.isdir(full)
+                        and not os.path.exists(os.path.join(full, "_SUCCESS"))
+                    ):
+                        shutil.rmtree(full, ignore_errors=True)
+                        swept += 1
+            if not swept:
+                return
+            time.sleep(0.5 * (attempt + 1))
 
     def _log_batches_from(self, gen_start: int) -> list[str]:
         """Every log batch in generation >= *gen_start*, ordered by

@@ -412,28 +412,40 @@ def test_crash_between_commits(store, spark, tmp_path):
 
     path = os.path.join(str(tmp_path), "store")
     script = _CRASH_WRITER.format(repo=os.path.dirname(os.path.dirname(__file__)), path=path, n=30)
-    proc = subprocess.Popen(
-        ["python", "-c", script], stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
-    )
-    flushed = -1
-    try:
-        # read until a few commits are durable, then SIGKILL with a short
-        # delay so the kill lands mid-commit often
-        for line in proc.stdout:
-            if line.startswith("COMMIT"):
-                flushed = int(line.split()[1])
-                if flushed >= 3:
-                    time.sleep(0.37)  # land inside commit ~4/5's work
+    # keep the writer's stderr for post-mortem: a kill-timing-dependent
+    # failure in the PARENT (load/recovery) is only diagnosable with the
+    # subprocess's last Spark lines in hand.
+    err_path = os.path.join(str(tmp_path), "crash_writer.stderr")
+    with open(err_path, "w") as err_f:
+        proc = subprocess.Popen(
+            ["python", "-c", script], stdout=subprocess.PIPE, stderr=err_f, text=True
+        )
+        flushed = -1
+        try:
+            # read until a few commits are durable, then SIGKILL with a
+            # short delay so the kill lands mid-commit often
+            for line in proc.stdout:
+                if line.startswith("COMMIT"):
+                    flushed = int(line.split()[1])
+                    if flushed >= 3:
+                        time.sleep(0.37)  # land inside commit ~4/5's work
+                        break
+                if line.startswith("DONE"):  # writer outran us — valid run
                     break
-            if line.startswith("DONE"):  # writer outran us — still a valid run
-                break
-        proc.send_signal(signal.SIGKILL)
-    finally:
-        proc.wait(timeout=60)
+            proc.send_signal(signal.SIGKILL)
+        finally:
+            proc.wait(timeout=60)
     assert flushed >= 3, "writer made no progress before the kill — fixture broken"
 
     crashed_store = EventLogStorage(spark, path, catalogue_schema())
-    s2 = crashed_store.load(_fresh)
+    try:
+        s2 = crashed_store.load(_fresh)
+    except Exception as exc:
+        tail = open(err_path).read()[-3000:]
+        raise AssertionError(
+            f"recovery load failed after SIGKILL at COMMIT {flushed}: {exc}\n"
+            f"--- crash writer stderr tail ---\n{tail}"
+        ) from exc
     nodes, edges, index = s2.read(lambda g: g.get_stats()).as_tuple()
     c = nodes - 1  # commits recovered: each adds exactly one Artist node
     assert c >= flushed + 1, f"flushed commit lost: recovered {c}, saw COMMIT {flushed}"
