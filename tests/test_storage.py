@@ -582,6 +582,12 @@ def test_stream_crash_recovery_equals_sequential_replay(spark, tmp_path):
     assert applied and max(applied) >= 1, "no epoch published before the kill"
     crash_epoch = _latest_epoch(snaps)
     assert crash_epoch >= 1  # the publish survived the kill
+    # the killed runner's JVM child outlives its Python driver by a few
+    # seconds (see test_crash_between_commits post-mortem) — let it die
+    # before restarting against the same checkpoint dir
+    import time
+
+    time.sleep(4)
 
     # -- restart in-process from the same dirs; must finish the stream
     q = stream_apply_wal_durable(
