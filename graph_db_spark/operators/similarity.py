@@ -242,9 +242,14 @@ def ivf_assign(
         # map-side combinable — the N×k scored rows collapse to ≤N per
         # partition before the exchange, and there is no sort. Struct
         # comparison is lexicographic, so ties on cos break on cell asc
-        # (same order as the window below — oracle-stable).
+        # (same order as the window below — oracle-stable). NULL cosines
+        # (zero-norm/degenerate centroid → div-by-zero → NULL) are
+        # filtered FIRST: struct-min sorts NULL fields before values,
+        # where the window's desc ordering puts them last — without the
+        # filter one degenerate centroid would capture every vector.
         return (
-            scored.groupBy("id")
+            scored.filter(F.col("ccos").isNotNull())
+            .groupBy("id")
             .agg(F.min(F.struct((-F.col("ccos")).alias("negcos"), F.col("cell"))).alias("m"))
             .select("id", F.col("m.cell").alias("cell"), F.lit(1).alias("cell_rank"))
         )
@@ -360,6 +365,10 @@ def kmeans_fit(
         assigned = (
             v.crossJoin(F.broadcast(cent))
             .withColumn("d", dist)
+            # NULL distances (ragged vector dims → zip_with null-padding)
+            # must not win: struct-min sorts NULLs first where the old
+            # window's asc ordering put them last.
+            .filter(F.col("d").isNotNull())
             .groupBy("id")
             .agg(F.min(F.struct(F.col("d"), F.col("cell"), F.col("v"))).alias("m"))
             .select(F.col("m.cell").alias("cell"), F.col("m.v").alias("v"))

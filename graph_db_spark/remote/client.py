@@ -213,7 +213,17 @@ class RemoteGraphSession:
                 except Exception:  # connection already broken — give up on it
                     self.close()
             raise
-        r = self._request({"t": P.FINISH})
+        try:
+            r = self._request({"t": P.FINISH})
+        except BaseException:
+            # A buffered pipelined-op ERROR can first surface in the
+            # drain that precedes FINISH. The tx is aborting and FINISH
+            # was never sent — the server still holds the admission, so
+            # drop the connection (discarding staged write state) exactly
+            # like an fn-raised abort; otherwise the write lock stays
+            # held until this object is GC'd.
+            self.close()
+            raise
         if r.get("t") == P.ERROR:
             raise RuntimeError(r.get("error", "commit failed"))
         return result

@@ -106,6 +106,7 @@ def stream_apply_wal_durable(
     observability, and the crash-injection hook for the kill test.
     Returns the StreamingQuery.
     """
+    import json
     import os
     import shutil
 
@@ -119,16 +120,44 @@ def stream_apply_wal_durable(
 
     os.makedirs(snapshot_root, exist_ok=True)
     start_epoch = _latest_epoch(snapshot_root)
-    if start_epoch >= 0:
-        base = os.path.join(snapshot_root, f"epoch-{start_epoch}")
-        snap = GraphSnapshot(
+
+    # Pairing guard: the epoch-skip logic is only sound against the SAME
+    # Spark checkpoint — a fresh/cleared checkpoint dir renumbers batches
+    # from 0, and `epoch <= last_published` would then silently skip real
+    # data. The published snapshots record their stream's query id
+    # (stream.json); a mismatching (or absent) checkpoint identity with
+    # epochs already published is refused loudly.
+    def _ckpt_query_id() -> str | None:
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return json.load(f).get("id")
+        except Exception:
+            return None
+
+    pair_path = os.path.join(snapshot_root, "stream.json")
+    if start_epoch >= 0 and os.path.exists(pair_path):
+        with open(pair_path) as f:
+            recorded = json.load(f).get("query_id")
+        current = _ckpt_query_id()
+        if recorded and current != recorded:
+            raise ValueError(
+                f"snapshot_root {snapshot_root} was published by streaming query "
+                f"{recorded} but checkpoint_dir {checkpoint_dir} belongs to "
+                f"{current or 'a fresh checkpoint'}; epoch numbering would not "
+                "line up (silently skipping data). Keep the checkpoint and "
+                "snapshot dirs paired, or start both fresh."
+            )
+
+    def _load_epoch(epoch: int) -> GraphSnapshot:
+        base = os.path.join(snapshot_root, f"epoch-{epoch}")
+        return GraphSnapshot(
             spark.read.parquet(os.path.join(base, "vertices")),
             spark.read.parquet(os.path.join(base, "edges")),
             spark.read.parquet(os.path.join(base, "edge_index")),
             schema,
         )
-    else:
-        snap = GraphSnapshot.empty(spark, schema)
+
+    snap = _load_epoch(start_epoch) if start_epoch >= 0 else GraphSnapshot.empty(spark, schema)
     state = StreamingGraphState(snap)
     state.last_published = start_epoch
 
@@ -143,8 +172,25 @@ def stream_apply_wal_durable(
         state.snapshot.edges.write.parquet(os.path.join(tmp, "edges"))
         state.snapshot.edge_index.write.parquet(os.path.join(tmp, "edge_index"))
         os.replace(tmp, os.path.join(snapshot_root, f"epoch-{epoch}"))  # atomic publish
+        if not os.path.exists(pair_path):
+            qid = _ckpt_query_id()
+            if qid:
+                with open(pair_path, "w") as f:
+                    json.dump({"query_id": qid}, f)
         prev, state.last_published = state.last_published, epoch
         state.batches_applied += 1
+        # Re-point the live snapshot at the epoch just published BEFORE
+        # pruning its predecessor: an empty micro-batch leaves
+        # state.snapshot lazily reading the PREVIOUS epoch's parquet, and
+        # pruning those files under it would kill the next apply. The
+        # published tables also truncate lineage, so the superseded
+        # materialize blocks can be dropped.
+        from graph_db_spark.pregel import release
+
+        old = state.snapshot
+        state.snapshot = _load_epoch(epoch)
+        for frame in (old.vertices, old.edges, old.edge_index):
+            release(frame)
         if prev >= 0:
             shutil.rmtree(os.path.join(snapshot_root, f"epoch-{prev}"), ignore_errors=True)
         if on_epoch_applied is not None:
