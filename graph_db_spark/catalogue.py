@@ -216,9 +216,16 @@ def tpch_graph_persisted(
     scanning only the buckets the frontier hashes into.
 
     First call (or ``rebuild=True``) builds + checkpoints; subsequent
-    calls just load. The store keys on (sf basename, schema hash) so a
-    fixture or model change can't serve a stale snapshot.
+    calls just load. The store keys on (sf basename, schema hash, data
+    fingerprint) where the fingerprint hashes the ABSOLUTE sf_dir path
+    plus (relpath, mtime_ns, size) of every parquet file under it — so
+    neither a model change, nor two datasets whose directories share a
+    basename, nor a fixture regenerated in place can serve a stale
+    snapshot. (The stat walk is driver-side and costs microseconds per
+    file; at deployment scale the equivalent is the table version /
+    snapshot id of the catalog entry.)
     """
+    import hashlib
     import os
 
     from graph_db_spark.graph import GraphSession
@@ -234,9 +241,21 @@ def tpch_graph_persisted(
                 "tpch_snapshots",
             ),
         )
+    fp = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for dirpath, dirnames, filenames in sorted(os.walk(sf_dir)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, name)
+            st = os.stat(p)
+            fp.update(
+                f"{os.path.relpath(p, sf_dir)}|{st.st_mtime_ns}|{st.st_size}\n".encode()
+            )
     store_path = os.path.join(
         root,
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{schema_hash(schema)[:8]}",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{schema_hash(schema)[:8]}-{fp.hexdigest()[:10]}",
     )
     store = EventLogStorage(spark, store_path, schema)
     versions = store._ckpt_versions()

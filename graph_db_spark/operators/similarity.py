@@ -254,8 +254,13 @@ def ivf_assign(
             .select("id", F.col("m.cell").alias("cell"), F.lit(1).alias("cell_rank"))
         )
     w = W.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    # Same degenerate-input contract as the n_probe==1 branch: a vector
+    # whose cosines are ALL NULL (zero norm) gets no assignment row at
+    # all, rather than a NULL-ranked one (desc puts NULLs last, so an
+    # all-NULL group would still rank its first row).
     return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
+        scored.filter(F.col("ccos").isNotNull())
+        .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= n_probe)
         .select("id", "cell", "cell_rank")
     )
@@ -366,8 +371,10 @@ def kmeans_fit(
             v.crossJoin(F.broadcast(cent))
             .withColumn("d", dist)
             # NULL distances (ragged vector dims → zip_with null-padding)
-            # must not win: struct-min sorts NULLs first where the old
-            # window's asc ordering put them last.
+            # must not win: struct-min sorts NULLs first, and the old
+            # window's asc ordering ALSO put NULLs first (Spark asc is
+            # NULLS FIRST) — so BOTH formulations need this filter to
+            # keep a degenerate row from capturing the assignment.
             .filter(F.col("d").isNotNull())
             .groupBy("id")
             .agg(F.min(F.struct(F.col("d"), F.col("cell"), F.col("v"))).alias("m"))

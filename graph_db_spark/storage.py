@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 
@@ -161,27 +162,48 @@ class EventLogStorage:
 
         Orphan tolerance: a SIGKILLed writer's JVM outlives its Python
         driver by seconds and can recreate a half-written batch dir AFTER
-        recovery swept it (observed in the crash-interruption test). An
-        existing target WITHOUT the _SUCCESS commit marker is by
-        definition such an orphan — under the single-writer lock nothing
-        live can be mid-write here — so clobber it and retry once. An
-        existing target WITH _SUCCESS is a genuine seq collision (a
-        second writer violating the lock contract) and stays a loud
-        error."""
+        recovery swept it (observed in the crash-interruption test). To
+        keep a zombie's late task commits from ever MIXING with this
+        writer's files (a mixed dir would replay phantom events), the
+        batch is written to a UNIQUE staging dir first and then renamed
+        into place atomically: zombie commits can only land in the old
+        target path, never in the staging dir. An existing target WITHOUT
+        the _SUCCESS commit marker is by definition such an orphan —
+        under the single-writer lock nothing live can be mid-write here —
+        so it is removed before the rename; one WITH _SUCCESS is a
+        genuine seq collision (a second writer violating the lock
+        contract) and stays a loud error."""
         gen = max(self._ckpt_versions(), default=0)
         if first_seq is None:
             first_seq = events.agg(F.min("seq")).collect()[0][0]
-        out = os.path.join(self._log_dir(gen), f"batch-{first_seq:012d}.parquet")
-        for attempt in (0, 1):
-            try:
-                events.coalesce(1).write.mode("errorifexists").parquet(out)
-                return
-            except Exception:
-                committed = os.path.exists(os.path.join(out, "_SUCCESS"))
-                if attempt == 0 and os.path.isdir(out) and not committed:
+        log_dir = self._log_dir(gen)
+        out = os.path.join(log_dir, f"batch-{first_seq:012d}.parquet")
+        staging = os.path.join(
+            log_dir, f".staging-{first_seq:012d}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            events.coalesce(1).write.mode("errorifexists").parquet(staging)
+            # Swap into place. A zombie may recreate `out` between our
+            # rmtree and rename (os.rename onto an existing dir raises),
+            # so retry the clobber+rename a few times; the staged data
+            # itself can never be contaminated.
+            for attempt in range(5):
+                if os.path.exists(os.path.join(out, "_SUCCESS")):
+                    raise FileExistsError(
+                        f"committed batch already exists at {out}: seq collision "
+                        "(second writer violating the lock contract?)"
+                    )
+                if os.path.isdir(out):
                     shutil.rmtree(out, ignore_errors=True)
-                    continue
-                raise
+                try:
+                    os.rename(staging, out)
+                    return
+                except OSError:
+                    if attempt == 4:
+                        raise
+                    time.sleep(0.2 * (attempt + 1))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def persist_events_async(self, events: DataFrame, first_seq: int | None = None) -> None:
         """Enqueue the append on the storage's single I/O worker and return
@@ -455,11 +477,14 @@ class EventLogStorage:
         swept something, wait briefly and re-sweep until a pass finds
         nothing — by then the zombie has either aborted (junk swept) or
         committed (_SUCCESS present: the batch becomes a real durable
-        commit and the subsequent replay correctly includes it)."""
-        import time
+        commit and the subsequent replay correctly includes it). If the
+        store is STILL dirty after the final pass (a zombie that keeps
+        recreating for >7 s is pathological — or something other than a
+        Spark writer owns the dir), recovery raises instead of silently
+        proceeding with a seq counter that will collide."""
 
-        for attempt in range(5):
-            swept = 0
+        def orphans() -> list[str]:
+            found = []
             for d in os.listdir(self._log_root):
                 gen_dir = os.path.join(self._log_root, d)
                 if not os.path.isdir(gen_dir):
@@ -471,11 +496,24 @@ class EventLogStorage:
                         and os.path.isdir(full)
                         and not os.path.exists(os.path.join(full, "_SUCCESS"))
                     ):
-                        shutil.rmtree(full, ignore_errors=True)
-                        swept += 1
-            if not swept:
+                        found.append(full)
+            return found
+
+        for attempt in range(5):
+            dirty = orphans()
+            if not dirty:
                 return
+            for full in dirty:
+                shutil.rmtree(full, ignore_errors=True)
             time.sleep(0.5 * (attempt + 1))
+        dirty = orphans()
+        if dirty:
+            raise RuntimeError(
+                f"store at {self.path} still has uncommitted batch dirs after "
+                f"5 recovery sweeps: {dirty}; a writer JVM appears to still be "
+                "alive (or the dirs are not sweepable) — refusing to recover "
+                "over them"
+            )
 
     def _log_batches_from(self, gen_start: int) -> list[str]:
         """Every log batch in generation >= *gen_start*, ordered by

@@ -135,7 +135,20 @@ def stream_apply_wal_durable(
             return None
 
     pair_path = os.path.join(snapshot_root, "stream.json")
-    if start_epoch >= 0 and os.path.exists(pair_path):
+    if start_epoch >= 0:
+        # The pair file is written BEFORE the first epoch publish (see
+        # apply_batch), so published epochs with no stream.json can only
+        # mean the file was deleted or the root was assembled by hand —
+        # the epoch-skip logic would then silently drop real data against
+        # a renumbered checkpoint. Refuse loudly rather than guess.
+        if not os.path.exists(pair_path):
+            raise ValueError(
+                f"snapshot_root {snapshot_root} has published epochs but no "
+                "stream.json pairing record; cannot verify the checkpoint "
+                "identity, and epoch numbering may not line up (silently "
+                "skipping data). Restore the original checkpoint+snapshot "
+                "pair, or start both fresh."
+            )
         with open(pair_path) as f:
             recorded = json.load(f).get("query_id")
         current = _ckpt_query_id()
@@ -166,17 +179,29 @@ def stream_apply_wal_durable(
             return  # re-delivered after a crash-after-publish: already applied
         if not batch_df.isEmpty():
             state.snapshot = state.snapshot.apply_events(batch_df).materialize()
+        # Pair file FIRST, publish second: a crash in between leaves a
+        # stream.json with no epochs (harmless — the startup guard only
+        # fires when epochs exist), and the converse state (epochs
+        # without pairing record) becomes impossible, which is what lets
+        # the startup guard refuse it unconditionally. An unreadable
+        # checkpoint identity here is a hard error, not a skipped write —
+        # skipping would recreate exactly the unguarded state.
+        if not os.path.exists(pair_path):
+            qid = _ckpt_query_id()
+            if not qid:
+                raise RuntimeError(
+                    f"cannot read streaming query id from checkpoint "
+                    f"{checkpoint_dir}/metadata; refusing to publish epoch "
+                    f"{epoch} without a stream.json pairing record"
+                )
+            with open(pair_path, "w") as f:
+                json.dump({"query_id": qid}, f)
         tmp = os.path.join(snapshot_root, f".tmp-{epoch}")
         shutil.rmtree(tmp, ignore_errors=True)
         state.snapshot.vertices.write.parquet(os.path.join(tmp, "vertices"))
         state.snapshot.edges.write.parquet(os.path.join(tmp, "edges"))
         state.snapshot.edge_index.write.parquet(os.path.join(tmp, "edge_index"))
         os.replace(tmp, os.path.join(snapshot_root, f"epoch-{epoch}"))  # atomic publish
-        if not os.path.exists(pair_path):
-            qid = _ckpt_query_id()
-            if qid:
-                with open(pair_path, "w") as f:
-                    json.dump({"query_id": qid}, f)
         prev, state.last_published = state.last_published, epoch
         state.batches_applied += 1
         # Re-point the live snapshot at the epoch just published BEFORE

@@ -531,21 +531,35 @@ def test_bpe_fit_local_and_distributed_paths_equal(spark, sf_dir):
     under FIT_LOCAL_MAX_WORDS → one Spark job total) must learn EXACTLY
     the merges of the distributed per-merge loop, at a depth (64) where
     any tie-break or merge-fold divergence would compound and surface."""
-    import time
-
     from graph_db_spark.operators.bpe import fit_bpe
 
+    sc = spark.sparkContext
+
+    def count_jobs(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
-    t0 = time.time()
-    local = fit_bpe(docs, n_merges=64)  # default: local path (small vocab)
-    t_local = time.time() - t0
-    t0 = time.time()
-    dist = fit_bpe(docs, n_merges=64, local_max_words=0)  # forced distributed
-    t_dist = time.time() - t0
+    # default: local path (small vocab)
+    local, jobs_local = count_jobs("bpe-local", lambda: fit_bpe(docs, n_merges=64))
+    # forced distributed
+    dist, jobs_dist = count_jobs(
+        "bpe-dist", lambda: fit_bpe(docs, n_merges=64, local_max_words=0)
+    )
     assert local == dist
     assert len(local) == 64
-    # the whole point: local fit amortizes n_merges jobs into one
-    assert t_local < t_dist
+    # the whole point: local fit amortizes n_merges jobs into one —
+    # assert the MECHANISM (Spark job count), not wall-clock, which is
+    # flaky under co-tenant load.
+    assert jobs_local < jobs_dist
+    # word-count pull + cache fill + AQE sub-jobs: a handful, not one per
+    # merge — the distributed loop at 64 merges runs >=64 jobs.
+    assert jobs_local <= 8
+    assert jobs_dist >= 64
     docs.unpersist()
 
 
