@@ -381,6 +381,36 @@ def test_persisted_tpch_snapshot_traversal_steady_state(spark, sf_dir, tmp_path)
     assert out.count() > 0
 
 
+def test_persisted_registry_queries_have_no_build_stage(spark, sf_dir, monkeypatch, tmp_path):
+    """Every REGISTERED steady-state twin (graph_*_persisted*) must carry
+    no build stage in its executed plan — no Union re-deriving
+    vertices/edges/index from base parquet — and agree with its
+    cold-build twin row-for-row. This is the deployment contract: the
+    registry, not a bespoke test harness, proves the always-resident
+    graph shape (Graph.hs:27-34) for the whole traversal surface."""
+    from graph_db_spark.queries import REGISTRY
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_ROOT", str(tmp_path / "snaps"))
+    pairs = [
+        ("graph_3hop_persisted_snapshot", "graph_3hop_customers_in_region"),
+        ("graph_5hop_persisted_snapshot", "graph_5hop_parts_for_region"),
+        ("graph_search_term_persisted", "graph_search_term_parts"),
+        ("graph_reverse_sources_persisted", "graph_reverse_sources_of_part"),
+    ]
+    for persisted_name, cold_name in pairs:
+        out = REGISTRY[persisted_name].build(spark, sf_dir)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan, f"{persisted_name}: build stage leaked\n{plan}"
+        cold = REGISTRY[cold_name].build(spark, sf_dir)
+        diff = out.exceptAll(cold).unionByName(cold.exceptAll(out))
+        assert diff.isEmpty(), f"{persisted_name} != {cold_name}"
+    # stats twin: no plan to inspect (driver-side struct), but the BFS
+    # over the persisted tables must reproduce the cold-build counts.
+    st_p = REGISTRY["graph_stats_persisted"].build(spark, sf_dir).collect()
+    st_c = REGISTRY["graph_stats_reachability"].build(spark, sf_dir).collect()
+    assert st_p == st_c
+
+
 def test_persisted_snapshot_concurrent_builder_waits(spark, sf_dir, tmp_path):
     """Two sessions racing to build the same snapshot store must not
     collide in the staging dir: the loser of the writer lock loads the
