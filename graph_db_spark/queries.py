@@ -902,6 +902,62 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @q(
+    "dedup_banded_survivors",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || token)) AS h0, min(md5('1|' || token)) AS h1,
+             min(md5('2|' || token)) AS h2, min(md5('3|' || token)) AS h3,
+             min(md5('4|' || token)) AS h4, min(md5('5|' || token)) AS h5,
+             min(md5('6|' || token)) AS h6, min(md5('7|' || token)) AS h7
+      FROM tok GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    dropped AS (
+      SELECT DISTINCT r.id AS doc_id
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def dedup_banded_survivors(spark, sf_dir):
+    """Pure banded-LSH survivor set (NO Jaccard verification): keep every
+    doc that shares no band key with an earlier (lower-id) doc — exactly
+    the recall tier of the STREAMING banded dedup
+    (streaming.apply.stream_dedup_near_banded), whose per-bucket
+    first-writer-wins claims reproduce this set on the same corpus (the
+    bucket claimant is the bucket's min doc id). Registered as the
+    oracle-paired batch twin of that streaming mode."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(D.shingles(d, "doc_id", "text", 3), n_hashes=8)
+    dropped = (
+        D.lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    return d.select("doc_id").join(dropped, "doc_id", "left_anti")
+
+
+@q(
     "text_stats_documents",
     r"""
     WITH t AS (SELECT doc_id, text,

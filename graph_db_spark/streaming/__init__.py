@@ -11,6 +11,8 @@ set-oriented ``apply_events`` used by batch commits.
 from graph_db_spark.streaming.apply import (
     stream_apply_wal,
     stream_apply_wal_durable,
+    stream_dedup_near,
+    stream_dedup_near_banded,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -23,5 +25,7 @@ __all__ = [
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_session_windows",
+    "stream_dedup_near",
+    "stream_dedup_near_banded",
     "stateful_user_sessions",
 ]

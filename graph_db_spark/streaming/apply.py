@@ -378,6 +378,89 @@ def stream_dedup_near(
     return docs.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["sig"])
 
 
+def _duration_ms(s: str) -> int:
+    """'6 hours' / '90 seconds' / '2 days' → milliseconds."""
+    n, unit = s.split()
+    scale = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(n) * scale
+
+
+def stream_dedup_near_banded(
+    spark: SparkSession,
+    docs_dir: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    watermark: str = "6 hours",
+) -> DataFrame:
+    """Banded streaming near-dup — the ingestion-time twin of the batch
+    LSH candidate join (operators.dedup.lsh_candidate_pairs), with the
+    SAME recall: a document is a near-duplicate iff it shares ANY band
+    key with an earlier document, not only when its full signature
+    repeats (the high-precision tier ``stream_dedup_near`` implements).
+
+    Shape: each arriving doc's row-local signature is split into band
+    keys IDENTICAL to the batch form (md5 over the band's hash slice, so
+    stream and batch bucket bit-for-bit together); the exploded
+    (doc_id, ts, band, bkey) rows flow into a per-bucket first-writer-
+    wins stateful operator (streaming.stateful.stream_bucket_first_writer_hits):
+    the earliest doc claims each bucket, later docs hitting a claimed
+    bucket are emitted as HIT rows. Returned stream = hits; survivors =
+    ingested docs minus distinct hit doc_ids (a hit row per matching
+    band, so consumers dedup on doc_id at the sink — exact duplicates,
+    trivially idempotent).
+
+    Equivalence to batch (tested): claimant of a bucket is the minimum
+    doc in it, so doc b hits iff some a<b shares a band key — exactly
+    the ``b`` side of ``lsh_candidate_pairs``. Docs too short to emit
+    shingles get per-doc-unique bucket keys: they never hit and never
+    suppress. State is (claimant, last-activity) per live bucket, timed
+    out one watermark horizon after last activity — bounded exactly like
+    ``dropDuplicatesWithinWatermark`` key state."""
+    from graph_db_spark.streaming.stateful import stream_bucket_first_writer_hits
+
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
+    docs = _doc_stream_with_sig(spark, docs_dir, n_hashes, shingle_k)
+    parts = F.split(F.col("sig"), r"\|")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.when(
+                    F.size(parts) == n_hashes,
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at(parts, b * rows + i + 1)
+                                for i in range(rows)
+                            ],
+                        )
+                    ),
+                )
+                # shingle-less doc: per-doc-unique bucket — never hits,
+                # never suppresses (sig is the __nosig__<doc_id> fallback)
+                .otherwise(F.md5(F.concat(F.col("sig"), F.lit(f"#{b}")))).alias(
+                    "bkey"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = docs.select("doc_id", "ts", F.explode(band_structs).alias("bb")).select(
+        "doc_id", "ts", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    return stream_bucket_first_writer_hits(exploded, watermark, _duration_ms(watermark))
+
+
 def stream_curated_ingest(
     spark: SparkSession,
     docs_dir: str,

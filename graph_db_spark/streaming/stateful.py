@@ -18,9 +18,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 SESSION_OUTPUT_SCHEMA = StructType(
@@ -90,6 +92,83 @@ def stateful_user_sessions(events: DataFrame, watermark: str = "2 hours") -> Dat
             _session_fn,
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# -- banded near-dup: per-bucket first-writer-wins claims ------------------
+
+BUCKET_HIT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("band", IntegerType()),
+    ]
+)
+
+BUCKET_STATE_SCHEMA = StructType(
+    [
+        StructField("claimant", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _make_bucket_claim_fn(horizon_ms: int):
+    """Build the per-(band, bkey) state transition: the first arrival
+    (min event time, doc_id tie-break — deterministic within a batch)
+    CLAIMS the bucket; every later arrival from a different document is
+    emitted as a hit row. State is one (claimant, last-activity) pair per
+    live bucket and times out ``horizon_ms`` after the bucket's last
+    activity — the same bound dropDuplicatesWithinWatermark puts on its
+    key state, so banded dedup state stays watermark-bounded too."""
+
+    def fn(key: tuple, pdfs: Iterator[Any], state: GroupState) -> Iterator[Any]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band = int(key[0])
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        claimant, last_us = state.get if state.exists else (None, None)
+        hits = []
+        for r in rows.itertuples():
+            did = int(r.doc_id)
+            if claimant is None:
+                claimant = did
+            elif did != claimant:
+                hits.append((did, r.ts, band))
+        max_us = int(rows["ts"].astype("int64").max() // 1000)
+        last_us = max(last_us or 0, max_us)
+        state.update((claimant, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + horizon_ms)
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=[f.name for f in BUCKET_HIT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def stream_bucket_first_writer_hits(
+    exploded: DataFrame, watermark: str, horizon_ms: int
+) -> DataFrame:
+    """Streaming LSH-bucket claims: *exploded* is a streaming frame of
+    (doc_id, ts, band, bkey) band-key rows; the result is the HIT stream —
+    one row per (arriving doc, band) whose bucket an earlier document
+    already claimed within the horizon. A document is a near-duplicate
+    (batch-LSH recall: shares ANY band with an earlier doc) iff it appears
+    at least once in the hit stream."""
+    return (
+        exploded.withWatermark("ts", watermark)
+        .groupBy("band", "bkey")
+        .applyInPandasWithState(
+            _make_bucket_claim_fn(horizon_ms),
+            outputStructType=BUCKET_HIT_SCHEMA,
+            stateStructType=BUCKET_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -1031,3 +1031,61 @@ def test_lsh_dim_mismatch_contract(spark):
         [(100, [1.0, 2.0, 0.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
     )
     assert lsh_cosine_topk(corpus, q_ok, k=3, assert_same_dim=True).count() > 0
+
+
+def test_stream_dedup_near_banded_matches_batch_lsh(spark, sf_dir, tmp_path):
+    """Equality of survivors: the streaming banded near-dup (per-bucket
+    first-writer-wins claims over band keys) drops EXACTLY the docs the
+    batch LSH candidate join drops on the same corpus slice — i.e. the
+    streaming recall tier now matches lsh_candidate_pairs, not just
+    full-signature repeats. Runs across TWO micro-batches so bucket
+    claims must persist in state between batches."""
+    from graph_db_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from graph_db_spark.streaming import stream_dedup_near_banded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    # planted exact copies (share every band with their original) and a
+    # shingle-less short doc (must never hit nor suppress)
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 500
+    )
+    shorts = spark.createDataFrame(
+        [(9001, "hi", "en", "srcx", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    full = docs.unionByName(copies).unionByName(shorts).cache()
+    full.count()
+
+    src = str(tmp_path / "docs_banded")
+    full.filter(F.col("doc_id") < 60).write.parquet(src)
+    q = (
+        stream_dedup_near_banded(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("banded_hits")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        full.filter(F.col("doc_id") >= 60).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        dropped_stream = {
+            r["doc_id"]
+            for r in spark.sql("SELECT DISTINCT doc_id FROM banded_hits").collect()
+        }
+    finally:
+        q.stop()
+
+    sigs = minhash_signatures(shingles(full, "doc_id", "text", 3), n_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    dropped_batch = {r["b"] for r in pairs.select("b").distinct().collect()}
+
+    assert dropped_stream == dropped_batch
+    # the planted copies share every band with a lower-id original
+    assert {500 + i for i in range(5)} <= dropped_stream
+    assert 9001 not in dropped_stream
+    full.unpersist()
