@@ -109,13 +109,33 @@ def row_minhash_signature(text, n_hashes: int = 8, k: int = 3):
     return F.nullif(F.array_join(mins, "|"), F.lit("|".join(["g"] * n_hashes)))
 
 
+# Broadcast the banded signature table in the candidate self-join only
+# below this corpus size. Measured (SCALE_STRESS_r06): with Spark's 64 MB
+# size hint deciding, the broadcast plan was picked yet LOST to the
+# forced-shuffle plan at BOTH 50k docs (35.3 s vs 20.5 s) and 500k docs
+# (191.8 s vs 138.3 s) — replicating a multi-MB signature table to every
+# task beats a fixed-width band-key shuffle only when the corpus is
+# genuinely small. The row-count threshold, not the byte hint, picks the
+# plan; tune per deployment.
+LSH_BROADCAST_MAX_DOCS = 20_000
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_hashes: int = 8, bands: int = 4
+    sigs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join per band → candidate (a, b) pairs.
 
     rows_per_band = n_hashes // bands. The per-band equi-join hashes on the
     band key; at 100 TB this is the scale path (candidates ≪ all pairs).
+
+    *corpus_rows* drives the join strategy: above LSH_BROADCAST_MAX_DOCS
+    the self-join is pinned to the shuffle plan (merge hint) regardless of
+    Spark's byte-size broadcast heuristic — see the constant's measured
+    rationale. None (size unknown) leaves the choice to Spark; callers
+    that know the corpus pass the count (``minhash_near_dup_pairs`` does).
     """
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
@@ -138,6 +158,9 @@ def lsh_candidate_pairs(
     )
     left = banded.select("band", "bkey", F.col("id").alias("a"))
     right = banded.select("band", "bkey", F.col("id").alias("b"))
+    if corpus_rows is not None and corpus_rows > LSH_BROADCAST_MAX_DOCS:
+        left = left.hint("merge")
+        right = right.hint("merge")
     return (
         left.join(right, ["band", "bkey"])
         .filter(F.col("a") < F.col("b"))
@@ -184,10 +207,17 @@ def minhash_near_dup_pairs(
     shingle: int = 3,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline over word k-shingles.
-    Returns (a, b, jaccard)."""
+    Returns (a, b, jaccard).
+
+    The corpus row count (one metadata-cheap count job — parquet answers
+    it from footer stats, generated frames from the range) is passed to
+    ``lsh_candidate_pairs`` so the band self-join strategy is picked from
+    corpus SIZE, not Spark's byte-size broadcast hint (which measured
+    slower past ~tens of thousands of docs — see LSH_BROADCAST_MAX_DOCS)."""
+    n_docs = df.count()
     tok = shingles(df, id_col, text_col, shingle) if shingle > 1 else tokens(df, id_col, text_col)
     sigs = minhash_signatures(tok, n_hashes)
-    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands, corpus_rows=n_docs)
     return jaccard_verify(cands, tok, threshold)
 
 

@@ -435,3 +435,30 @@ def test_persisted_snapshot_concurrent_builder_waits(spark, sf_dir, tmp_path):
         assert n1 == n2 > 0
     finally:
         os.remove(lock)
+
+
+def test_lsh_band_join_strategy_is_stats_driven(spark, sf_dir):
+    """The band self-join strategy must follow the corpus ROW COUNT, not
+    Spark's byte-size broadcast hint: above LSH_BROADCAST_MAX_DOCS the
+    plan is pinned to the shuffle join (the measured winner at 50k and
+    500k docs — SCALE_STRESS_r06), below it Spark may broadcast."""
+    from graph_db_spark.operators.dedup import (
+        LSH_BROADCAST_MAX_DOCS,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(shingles(d, "doc_id", "text", 3), n_hashes=8)
+
+    big = lsh_candidate_pairs(sigs, 8, 4, corpus_rows=LSH_BROADCAST_MAX_DOCS + 1)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big, plan_big
+
+    small = lsh_candidate_pairs(sigs, 8, 4, corpus_rows=100)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+    # identical pairs either way
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))

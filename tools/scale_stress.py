@@ -13,7 +13,14 @@ vectors, ~600k lineitem); this suite is the evidence that the plans
 - ``dedup_minhash`` — MinHash+LSH near-dup pairs on a generated corpus
                     (50k → 500k docs, ~1% planted near-dup twins, the
                     rest pairwise-distinct so candidate volume scales
-                    with the corpus, not quadratically).
+                    with the corpus, not quadratically). Records the
+                    auto-picked band-join strategy, plus the byte-hint
+                    path's timing for comparison (identical pairs).
+- ``pipeline_training_corpus`` / ``pipeline_curated_pack`` — the two
+                    registered composed pipelines end to end on the same
+                    generated corpus (documents-table-only queries).
+- ``landmark_distances`` — tagged multi-source BFS (3 landmarks, one
+                    frontier join per level total) on the layered DAG.
 - ``ann_ivf_kmeans`` — distributed k-means fit (k=8, 2 Lloyd rounds) +
                     IVF top-k probe on expanded fixture embeddings
                     (20k → 200k vectors, dim 64).
@@ -197,15 +204,103 @@ def main() -> None:
         )
 
     # -- MinHash+LSH dedup on the generated corpus -------------------------
+    # minhash_near_dup_pairs now picks the band-join strategy from the
+    # corpus row count (LSH_BROADCAST_MAX_DOCS); record which plan the
+    # auto path chose so the artifact proves it matches the measured
+    # winner (shuffle at both 50k and 500k — r06 numbers).
     for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
         docs = synthetic_docs(spark, n)
+
+        # plan-only peek (no execution): which band-join strategy did the
+        # auto path pick for this corpus size?
+        _cands = D.lsh_candidate_pairs(
+            D.minhash_signatures(D.shingles(docs, "doc_id", "text", 3), 8),
+            8, 4, corpus_rows=n,
+        )
+        _plan = _cands._jdf.queryExecution().executedPlan().toString()
+        strategy = "broadcast" if "BroadcastHashJoin" in _plan else "shuffle"
+
         run(
             "dedup_minhash",
             scale,
-            lambda d=docs: {
+            lambda d=docs, s=strategy: {
                 "pairs": D.minhash_near_dup_pairs(
                     d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3
-                ).count()
+                ).count(),
+                "band_join": s,
+            },
+        )
+
+        # the path Spark's 64 MB byte hint would have picked on its own
+        # (corpus_rows withheld → broadcast at these sizes): must produce
+        # IDENTICAL pairs, and its timing shows what the auto strategy
+        # saves at each scale.
+        def dedup_byte_hint(d=docs):
+            tok = D.shingles(d, "doc_id", "text", 3)
+            cands = D.lsh_candidate_pairs(D.minhash_signatures(tok, 8), 8, 4)
+            plan = cands._jdf.queryExecution().executedPlan().toString()
+            return {
+                "pairs": D.jaccard_verify(cands, tok, 0.7).count(),
+                "band_join": "broadcast" if "BroadcastHashJoin" in plan else "shuffle",
+            }
+
+        run("dedup_minhash_byte_hint_path", scale, dedup_byte_hint)
+
+    # -- composed pipelines at corpus scale --------------------------------
+    # The two most expensive composed bench entries, run against a
+    # synthetic documents table at 50k → 500k docs (both read ONLY the
+    # documents table, so a generated corpus written as documents.parquet
+    # exercises the full registered plans end to end).
+    import shutil
+    import tempfile
+
+    from graph_db_spark.queries import REGISTRY
+
+    for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+        tmp = tempfile.mkdtemp(prefix=f"stress_docs_{scale}_")
+        try:
+            synthetic_docs(spark, n).select(
+                "doc_id",
+                "text",
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string")).alias(
+                    "source"
+                ),
+                F.length("text").cast("long").alias("n_chars"),
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+            run(
+                "pipeline_training_corpus",
+                scale,
+                lambda t=tmp: {
+                    "rows": REGISTRY["pipeline_training_corpus"].build(spark, t).count()
+                },
+            )
+            run(
+                "pipeline_curated_pack",
+                scale,
+                lambda t=tmp: {
+                    "rows": REGISTRY["pipeline_curated_pack"].build(spark, t).count()
+                },
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- landmark-distance index (tagged multi-source BFS) -----------------
+    # graph_landmark_distances' engine op (pregel.tagged_bfs_levels) on
+    # the layered DAG: 3 landmarks, state keyed (id, landmark), one
+    # frontier join per level for ALL landmarks together.
+    from graph_db_spark.pregel import tagged_bfs_levels
+
+    for scale, width in (("1x", 62_500 // div), ("10x", 625_000 // div)):
+        v, e = layered_graph(spark, width=width, layers=8)
+        landmarks = spark.createDataFrame(
+            [(0,), (1 + width // 2,), (1 + 3 * width,)], "id LONG"
+        ).select("id", F.col("id").alias("tag"))
+        run(
+            "landmark_distances",
+            scale,
+            lambda ee=e, lm=landmarks: {
+                "rows": tagged_bfs_levels(ee, lm, max_iters=6, directed=False).count()
             },
         )
 
