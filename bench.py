@@ -148,6 +148,9 @@ def main() -> None:
             pass
         timed("graph_3hop_persisted", three_hop_persisted, repeats=2)
         timed("graph_5hop_persisted", five_hop_persisted, repeats=2)
+        # BFS stats off the persisted tables: the most expensive traversal
+        # minus the build stage (compare graph_stats_bfs above)
+        timed("graph_stats_persisted", lambda: gp.get_stats(), repeats=2)
 
     # -- relational + LLM headline queries ---------------------------------
     headline = [
@@ -327,7 +330,18 @@ def main() -> None:
         out["errors"] = errors
         out["incomplete"] = True
         out["partial_total"] = total
-    print(json.dumps(out))
+    # Full-precision sidecar FIRST: the driver's stdout capture window is
+    # ~2 KB and has truncated the suite JSON before (BENCH_r06 lost the
+    # headline); the committed file survives any capture truncation.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    # stdout: ONE maximally-compact line (2-dp query times, no spaces,
+    # provenance fields left to the sidecar) so the whole object fits a
+    # small capture window.
+    compact = dict(out, queries={k: round(v, 2) for k, v in times.items()})
+    compact.pop("env", None)
+    compact.pop("sentinel_sec", None)
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

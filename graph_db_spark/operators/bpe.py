@@ -133,12 +133,116 @@ def _fit_bpe_local(
 # millions of distinct "words" before merging) stays on the cluster.
 FIT_LOCAL_MAX_WORDS = 200_000
 
+# Max merges accepted per distributed round (see _select_merge_batch).
+FIT_BATCH_CAP = 16
+
+
+def _select_merge_batch(
+    rows: list[tuple[str, str, int]],
+    cap: int,
+    known_tokens: set[str],
+    exact: bool = True,
+) -> list[tuple[str, str]]:
+    """Pick the merges one pair-count table can SAFELY commit in a single
+    round, guaranteed identical to running the sequential argmax loop.
+
+    *rows* is the head of the pair-count table sorted exactly like the
+    sequential argmax (count desc, a asc, b asc); *known_tokens* is the
+    set of multi-char token strings already in the vocabulary (= concats
+    of all merges so far — the initial alphabet is single chars, so every
+    multi-char token string is some earlier merge's concat, exactly
+    trackable on the driver). The batch is the maximal PREFIX of the
+    sorted order in which every pair is non-interacting, trimmed by a
+    strict-count guard. Proof of equality to the sequential loop:
+
+    - Non-interaction within the batch: a later pair may not reuse an
+      earlier accepted pair's operand symbols OR its concat string
+      (operand reuse → occurrences could overlap positionally; concat
+      reuse as an operand → the earlier merge manufactures the later
+      pair's input; equal concats → two rules manufacture the same
+      token string). Under this rule the accepted merges touch disjoint
+      positions, commute, and none of their counts change while the
+      others apply — so applying them chained equals applying each as a
+      sequential argmax step.
+    - Everything NOT accepted is bounded: merging an accepted p=(a,b)
+      only (i) lowers counts of pairs sharing a symbol with p and
+      (ii) creates occurrences of pairs involving the token a+b. When
+      a+b is a BRAND-NEW string (enforced: a+b ∉ known_tokens, and not
+      another accepted concat), such pairs start from count 0 and gain
+      at most the count of the consumed neighbor pair (each new (x, ab)
+      occurrence was an (x, a) occurrence), which is unaccepted and
+      hence ≤ c*, the count of the first candidate after the accepted
+      prefix. If the HEAD pair's concat collides with an existing token
+      string, the batch stops at size 1 (a solo head is trivially the
+      sequential argmax; the collision could otherwise inflate an
+      unaccepted pair past c*).
+    - Strict-count trim: every accepted pair after the head must have
+      count > c*. Then at each simulated sequential step the remaining
+      batch pairs (counts unchanged, > c*) dominate every changed or
+      created pair (≤ c*), and dominate every untouched unaccepted pair
+      (≤ c* by sort order) — so the sequential argmax picks exactly the
+      batch pairs, in batch order, tie-breaks included. Ambiguous tiers
+      are trimmed and re-decided next round: the batch NEVER deviates
+      from the sequential fit, it only degrades toward one-merge rounds
+      (cap=1 ≡ the classic loop).
+
+    The prefix-stop is the MAXIMAL exact rule: once a candidate q
+    conflicts with the batch, every later candidate has count ≤ count(q)
+    while q's own count can survive the batch unchanged — so the
+    sequential loop might pick q first, and nothing after the conflict
+    can be committed this round without risking deviation. Char-level
+    corpora (top pairs share letters heavily) therefore batch modestly
+    in exact mode; ``exact=False`` switches to standard
+    frequency-snapshot batching — skip conflicting candidates and keep
+    accepting non-interacting ones up to *cap*. The greedy batch is
+    still well-defined (mutually non-interacting merges applied to the
+    same snapshot commute), but pair frequencies are not refreshed
+    between in-batch merges, so the learned merge ORDER (and on tied or
+    interacting tiers, the merge set) may deviate from the sequential
+    fit — the classic throughput/fidelity trade of batched BPE
+    trainers."""
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    next_cnt = None
+    for a, b, cnt in rows:
+        if len(accepted) >= cap:
+            if next_cnt is None:
+                next_cnt = cnt
+            break
+        conflict = accepted and (
+            a in used or b in used or (a + b) in used or (a + b) in known_tokens
+        )
+        if conflict:
+            if next_cnt is None:
+                next_cnt = cnt
+            if exact:
+                break
+            continue
+        accepted.append((a, b, cnt))
+        used.update((a, b, a + b))
+        if exact and len(accepted) == 1 and (a + b) in known_tokens:
+            # head collides with an existing token string: solo round
+            break
+    if not exact:
+        return [(a, b) for a, b, _ in accepted]
+    if next_cnt is None:
+        idx = len(accepted)
+        if idx < len(rows):
+            next_cnt = rows[idx][2]
+        else:
+            # prefix consumed every pulled row: the unpulled tail could
+            # tie the last tier, so bound c* by the smallest count seen.
+            next_cnt = accepted[-1][2] if accepted else 0
+    return [(a, b) for i, (a, b, cnt) in enumerate(accepted) if i == 0 or cnt > next_cnt]
+
 
 def fit_bpe(
     df: DataFrame,
     n_merges: int = 32,
     text_col: str = "text",
     local_max_words: int = FIT_LOCAL_MAX_WORDS,
+    batch_cap: int = FIT_BATCH_CAP,
+    batch_mode: str = "exact",
 ) -> list[tuple[str, str]]:
     """Learn *n_merges* BPE merge rules from a corpus.
 
@@ -150,14 +254,24 @@ def fit_bpe(
       and the merge loop runs locally — n_merges costs one Spark job
       total instead of one per merge (a real 30k-merge vocabulary would
       otherwise be 30k sequential jobs at ~0.3 s floor each);
-    - larger: the distributed loop — per step one map-side-combinable
-      pair count, the argmax pair to the driver as ONE row, one fold
-      rewriting the symbol arrays. Lineage truncated per step with
+    - larger: the distributed loop — per ROUND one map-side-combinable
+      pair count whose head comes to the driver, then up to *batch_cap*
+      mutually-non-adjacent merges committed in ONE fold job
+      (_select_merge_batch: the maximal safe prefix, with a strict-count
+      guard proving the batch equals the sequential argmax loop exactly
+      — see its docstring). batch_cap=1 reproduces the classic
+      one-merge-per-job loop. Lineage truncated per round with
       localCheckpoint, superseded blocks released (Pregel discipline).
 
-    Both paths produce IDENTICAL merges (equality-tested at
-    n_merges=64): same pair counts, same argmax tie-break, same
-    left-to-right non-overlapping merge fold."""
+    *batch_mode*: ``"exact"`` (default) commits only provably-safe
+    batches — the result is bit-identical to the sequential argmax loop
+    on EVERY corpus (equality-tested at n_merges=64; char-level corpora
+    batch modestly because top pairs share letters). ``"greedy"`` is
+    standard frequency-snapshot batching: up to *batch_cap* mutually
+    non-interacting pairs per round regardless of tie/count guards —
+    ~batch_cap× fewer rounds for a giant vocabulary, with the documented
+    deviation that merge order (and tied tiers) may differ from the
+    sequential fit."""
     from graph_db_spark.pregel import release
     from graph_db_spark.session import spread_small_input
 
@@ -177,8 +291,9 @@ def fit_bpe(
         char_symbols(F.col("word")).alias("syms"), "n"
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    head_rows = max(64, 4 * batch_cap)
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             pairs = (
                 state.filter(F.size("syms") >= 2)
                 .select(
@@ -194,16 +309,24 @@ def fit_bpe(
                 .groupBy("p")
                 .agg(F.sum("n").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
-                .limit(1)
+                .limit(head_rows)
                 .collect()
             )
             if not pairs:
                 break
-            a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
-            merges.append((a, b))
-            new_state = state.select(
-                merge_pair(F.col("syms"), a, b).alias("syms"), "n"
-            ).localCheckpoint(eager=True)
+            batch = _select_merge_batch(
+                [(r["p"]["a"], r["p"]["b"], r["cnt"]) for r in pairs],
+                min(batch_cap, n_merges - len(merges)),
+                {x + y for x, y in merges},
+                exact=(batch_mode == "exact"),
+            )
+            merges.extend(batch)
+            syms = F.col("syms")
+            for a, b in batch:
+                syms = merge_pair(syms, a, b)
+            new_state = state.select(syms.alias("syms"), "n").localCheckpoint(
+                eager=True
+            )
             release(state)
             state = new_state
         return merges
