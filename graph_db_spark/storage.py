@@ -62,6 +62,76 @@ def schema_hash(schema: GraphSchema) -> str:
     return hashlib.md5(repr(schema).encode()).hexdigest()
 
 
+def write_edge_index_bucketed(spark, df, path: str, n_buckets: int) -> int:
+    """Write an edge_index bucketed by ``src`` (the traversal join key).
+
+    Spark's bucket metadata normally lives in the catalog, so this
+    routes through a throwaway external ``saveAsTable`` (bucket ids are
+    also encoded in the file NAMES, which is what the reader keys on),
+    then drops the catalog entry — external drop keeps the files, and
+    the caller's atomic-rename publish stays intact. Returns the bucket
+    count to record in the caller's metadata (0 = plain parquet
+    fallback). Shared by checkpoint writes (EventLogStorage.checkpoint)
+    and the streaming epoch sink (streaming.apply.stream_apply_wal_durable)."""
+    if n_buckets <= 0:
+        df.write.mode("errorifexists").parquet(path)
+        return 0
+    name = f"graphdb_ei_w_{uuid.uuid4().hex[:10]}"
+    try:
+        (
+            df.repartition(n_buckets, "src")  # one file per bucket
+            .write.mode("errorifexists")
+            .format("parquet")  # never spark.sql.sources.default — the
+            # reader table is declared USING PARQUET and vertices/edges
+            # are explicit .parquet() writes
+            .bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        return n_buckets
+    except Exception:  # no catalog support — plain parquet is always safe
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+        return 0
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def read_edge_index_bucketed(spark, path: str, n_buckets: int):
+    """Read a published edge_index, re-attaching the bucket spec via an
+    external CLUSTERED BY table over the files — a plain
+    ``read.parquet`` would discard the layout and every post-reload
+    traversal join would re-shuffle the index side."""
+    if not n_buckets:
+        return spark.read.parquet(path)
+    from graph_db_spark.graph import edge_index_schema
+
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in edge_index_schema().fields
+    )
+    # Key the catalog name on (path, bucket count, column set), not
+    # path alone: a long-lived session that re-creates a store at the
+    # same path with a different bucket count would otherwise hit the
+    # IF NOT EXISTS no-op and read a stale spec — Spark trusts the
+    # catalog's bucket count and elides the exchange, silently
+    # mis-joining (round-5 review finding).
+    ident = f"{os.path.abspath(path)}|{n_buckets}|{cols}"
+    name = "graphdb_ei_r_" + hashlib.md5(ident.encode()).hexdigest()[:12]
+    try:
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY (src) SORTED BY (src) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return spark.table(name)
+    except Exception:  # noqa: BLE001 — catalog unavailable: plain read
+        return spark.read.parquet(path)
+
+
 class EventLogStorage:
     """Directory-backed WAL + checkpoint store (single writer)."""
 
@@ -284,72 +354,12 @@ class EventLogStorage:
         return version
 
     def _write_edge_index(self, df, path: str) -> int:
-        """Write the index bucketed by ``src`` (the traversal join key).
-
-        Spark's bucket metadata normally lives in the catalog, so this
-        routes through a throwaway external ``saveAsTable`` (bucket ids are
-        also encoded in the file NAMES, which is what the reader keys on),
-        then drops the catalog entry — external drop keeps the files, and
-        the checkpoint's atomic-rename publish stays intact. Returns the
-        bucket count recorded in meta.json (0 = plain parquet fallback)."""
-        if self.index_buckets <= 0:
-            df.write.mode("errorifexists").parquet(path)
-            return 0
-        name = f"graphdb_ei_w_{uuid.uuid4().hex[:10]}"
-        try:
-            (
-                df.repartition(self.index_buckets, "src")  # one file per bucket
-                .write.mode("errorifexists")
-                .format("parquet")  # never spark.sql.sources.default — the
-                # reader table is declared USING PARQUET and vertices/edges
-                # are explicit .parquet() writes
-                .bucketBy(self.index_buckets, "src")
-                .sortBy("src")
-                .option("path", path)
-                .saveAsTable(name)
-            )
-            return self.index_buckets
-        except Exception:  # no catalog support — plain parquet is always safe
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                df.write.mode("overwrite").parquet(path)
-            return 0
-        finally:
-            try:
-                self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-            except Exception:  # noqa: BLE001
-                pass
+        return write_edge_index_bucketed(self.spark, df, path, self.index_buckets)
 
     def _read_edge_index(self, base: str, meta: dict):
-        """Read a checkpoint's edge_index, re-attaching the bucket spec via
-        an external CLUSTERED BY table over the published files — a plain
-        ``read.parquet`` would discard the layout and every post-reload
-        traversal join would re-shuffle the index side."""
-        path = os.path.join(base, "edge_index")
-        n = meta.get("index_buckets") or 0
-        if not n:
-            return self.spark.read.parquet(path)
-        from graph_db_spark.graph import edge_index_schema
-
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in edge_index_schema().fields
+        return read_edge_index_bucketed(
+            self.spark, os.path.join(base, "edge_index"), meta.get("index_buckets") or 0
         )
-        # Key the catalog name on (path, bucket count, column set), not
-        # path alone: a long-lived session that re-creates a store at the
-        # same path with a different bucket count would otherwise hit the
-        # IF NOT EXISTS no-op and read a stale spec — Spark trusts the
-        # catalog's bucket count and elides the exchange, silently
-        # mis-joining (round-5 review finding).
-        ident = f"{os.path.abspath(path)}|{n}|{cols}"
-        name = "graphdb_ei_r_" + hashlib.md5(ident.encode()).hexdigest()[:12]
-        try:
-            self.spark.sql(
-                f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "
-                f"CLUSTERED BY (src) SORTED BY (src) INTO {n} BUCKETS "
-                f"LOCATION '{path}'"
-            )
-            return self.spark.table(name)
-        except Exception:  # noqa: BLE001 — catalog unavailable: plain read
-            return self.spark.read.parquet(path)
 
     def _archive_before(self, version: int) -> None:
         arch = os.path.join(self.path, "archive")

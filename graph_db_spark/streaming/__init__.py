@@ -9,6 +9,7 @@ set-oriented ``apply_events`` used by batch commits.
 """
 
 from graph_db_spark.streaming.apply import (
+    load_published_snapshot,
     stream_apply_wal,
     stream_apply_wal_durable,
     stream_dedup_near,
@@ -27,5 +28,6 @@ __all__ = [
     "stream_session_windows",
     "stream_dedup_near",
     "stream_dedup_near_banded",
+    "load_published_snapshot",
     "stateful_user_sessions",
 ]

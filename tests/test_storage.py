@@ -610,3 +610,79 @@ def test_stream_crash_recovery_equals_sequential_replay(spark, tmp_path):
         catalogue_schema(),
     )
     assert reloaded.get_stats().as_tuple() == expected
+
+
+def test_stream_durable_epochs_serve_bucketed_persisted_route(spark, tmp_path):
+    """Incremental persisted-snapshot maintenance: commits stream through
+    stream_apply_wal_durable with index_buckets>0, and the published
+    epoch IS the steady-state serving store — load_published_snapshot
+    re-attaches the src-bucket layout (hop joins read 'Bucketed: true',
+    no build stage), stats equal sequential replay, and a restart against
+    the same checkpoint+root continues epochs over later commits."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+    from graph_db_spark.model import ROOT_ID
+    from graph_db_spark.storage import EventLogStorage
+    from graph_db_spark.streaming.apply import (
+        load_published_snapshot,
+        stream_apply_wal_durable,
+    )
+
+    store = EventLogStorage(spark, str(tmp_path / "store"), catalogue_schema())
+    s = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+    for i in range(3):
+        s.write(
+            lambda tx, i=i: tx.add_target(
+                ROOT_ID, tx.new_node("Artist", name=f"A{i}", uid=i)
+            )
+        )
+    store.flush()
+
+    snaps, ckpt = str(tmp_path / "snaps"), str(tmp_path / "ckpt")
+    q = stream_apply_wal_durable(
+        spark, store._log_dir(0), snaps, catalogue_schema(), ckpt,
+        available_now=True, index_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    g = load_published_snapshot(spark, snaps, catalogue_schema())
+    assert g.get_stats().as_tuple() == s.read(lambda gg: gg.get_stats()).as_tuple()
+
+    # the served index carries the bucket layout: a frontier hop join
+    # reads bucketed files with no exchange above the index scan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frontier = g.vertices.select(F.col("id").alias("src")).limit(10**9)
+        plan = (
+            g.edge_index.join(frontier, "src")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") <= 2, plan  # frontier side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # a queryable traversal over the served snapshot
+    assert g.get_targets(ROOT_ID, "Catalogue_Artist_Name", "A1").count() == 1
+
+    # restart equivalence: later commits, same checkpoint + snapshot root
+    for i in range(3, 5):
+        s.write(
+            lambda tx, i=i: tx.add_target(
+                ROOT_ID, tx.new_node("Artist", name=f"A{i}", uid=i)
+            )
+        )
+    store.flush()
+    q2 = stream_apply_wal_durable(
+        spark, store._log_dir(0), snaps, catalogue_schema(), ckpt,
+        available_now=True, index_buckets=8,
+    )
+    q2.awaitTermination(120)
+    g2 = load_published_snapshot(spark, snaps, catalogue_schema())
+    assert g2.get_stats().as_tuple() == s.read(lambda gg: gg.get_stats()).as_tuple()
+    assert g2.get_targets(ROOT_ID, "Catalogue_Artist_Name", "A4").count() == 1
