@@ -77,10 +77,9 @@ class RemoteTx:
     def set_value(self, ref: int, kind: str, **payload) -> None:
         self._act_unit(P.SET_VALUE, ref=ref, kind=kind, value=payload)
 
-    def get_targets(self, ref: int, idx_tag: str, idx_key=None) -> list[int]:
+    def _collect_node_list(self, r: dict) -> list[int]:
         # The server streams large fan-outs: zero or more NODE_LIST_CHUNK
         # messages, then the terminal NODE_LIST with the tail.
-        r = self._act(P.GET_TARGETS, ref=ref, idx_tag=idx_tag, idx_key=idx_key)
         refs: list[int] = []
         while r.get("t") == P.NODE_LIST_CHUNK:
             refs.extend(r["refs"])
@@ -89,6 +88,26 @@ class RemoteTx:
                 self._raise_error(r)
         refs.extend(r.get("refs", []))
         return refs
+
+    def get_targets(self, ref: int, idx_tag: str, idx_key=None) -> list[int]:
+        return self._collect_node_list(
+            self._act(P.GET_TARGETS, ref=ref, idx_tag=idx_tag, idx_key=idx_key)
+        )
+
+    def walk(self, ref: int, steps) -> list[int]:
+        """Run a whole get_targets CHAIN server-side in ONE request
+        (protocol WALK, v3): *steps* is an iterable of index tags, or
+        (idx_tag, idx_key) pairs for keyed hops. Returns the final
+        frontier's refs; intermediate frontiers never cross the wire —
+        an N-hop traversal costs one round-trip instead of N, and on the
+        server the chain composes into a single lazy Spark plan. This is
+        the scale-correct client for chained navigation (SURVEY §3:
+        ship the program to the data)."""
+        norm = [
+            {"idx_tag": s} if isinstance(s, str) else {"idx_tag": s[0], "idx_key": s[1]}
+            for s in steps
+        ]
+        return self._collect_node_list(self._act(P.WALK, ref=ref, steps=norm))
 
     def add_target(self, src: int, dst: int) -> None:
         self._act_unit(P.ADD_TARGET, src=src, dst=dst)

@@ -24,7 +24,10 @@ import socket
 # terminal NODE_LIST (a wire-format change — a v1 client would read the
 # first chunk as the whole answer and desync on the unread frames, which
 # is exactly what the handshake exists to reject).
-PROTOCOL_VERSION = 2
+# v3: WALK — a whole get_targets CHAIN in one request (the ship-the-
+# program shape; a v3 client on a v2 server would get CorruptRequest
+# mid-transaction, so the handshake rejects the pairing up front).
+PROTOCOL_VERSION = 3
 
 # -- request kinds ----------------------------------------------------------
 START = "start"
@@ -41,6 +44,13 @@ ADD_TARGET = "add_target"
 REMOVE_TARGET = "remove_target"
 REMOVE = "remove"
 GET_STATS = "get_stats"
+# Chained traversal executed server-side: {"op": "walk", "ref": R,
+# "steps": [{"idx_tag": T, "idx_key": K|null}, ...]} — one request for a
+# whole frontier chain instead of one round-trip per hop. The reply is
+# the FINAL frontier only, streamed like GET_TARGETS; intermediate
+# frontiers never cross the wire (and never materialize on the server —
+# the chain stays one lazy Spark plan).
+WALK = "walk"
 
 # -- response kinds (Protocol.hs:34-41) -------------------------------------
 UNIT = "unit"

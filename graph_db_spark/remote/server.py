@@ -321,6 +321,19 @@ class GraphServer:
             return state
         raise P.CorruptRequest(f"unknown request {t!r}")
 
+    def _stream_node_list(self, conn, st: _TxState, df) -> None:
+        """Stream a frontier in chunks via toLocalIterator: a hub node's
+        fan-out never materializes fully on the server or in one wire
+        message — driver memory is bounded by one Spark partition plus
+        one chunk. orderBy keeps ref allocation deterministic."""
+        chunk: list[int] = []
+        for row in df.orderBy("id").toLocalIterator():
+            chunk.append(st.new_ref(row["id"]))
+            if len(chunk) >= self.chunk_size:
+                P.send_msg(conn, {"t": P.NODE_LIST_CHUNK, "refs": chunk})
+                chunk = []
+        P.send_msg(conn, {"t": P.NODE_LIST, "refs": chunk})
+
     def _action(self, conn, msg: dict, st: _TxState) -> None:
         op = msg.get("op")
         if op in (P.NEW_NODE, P.SET_VALUE, P.ADD_TARGET, P.REMOVE_TARGET, P.REMOVE):
@@ -343,18 +356,21 @@ class GraphServer:
         elif op == P.GET_TARGETS:
             node = st.resolve(msg["ref"])
             df = (st.tx or st.view).get_targets(node, msg["idx_tag"], msg.get("idx_key"))
-            # Stream in chunks via toLocalIterator: a hub node's fan-out
-            # never materializes fully on the server or in one wire
-            # message — driver memory is bounded by one Spark partition
-            # plus one chunk. orderBy replaces the old driver-side sort,
-            # keeping ref allocation deterministic.
-            chunk: list[int] = []
-            for row in df.orderBy("id").toLocalIterator():
-                chunk.append(st.new_ref(row["id"]))
-                if len(chunk) >= self.chunk_size:
-                    P.send_msg(conn, {"t": P.NODE_LIST_CHUNK, "refs": chunk})
-                    chunk = []
-            P.send_msg(conn, {"t": P.NODE_LIST, "refs": chunk})
+            self._stream_node_list(conn, st, df)
+        elif op == P.WALK:
+            # Whole traversal chain server-side (SURVEY §3: ship the
+            # program, not the frontiers): N hops cost ONE round-trip and
+            # ONE Spark job — the chain composes lazily into a single
+            # plan (chained frontier joins), so intermediate frontiers
+            # are never collected anywhere.
+            steps = msg.get("steps") or []
+            if not steps:
+                raise P.CorruptRequest("walk requires at least one step")
+            frontier = st.resolve(msg["ref"])
+            g = st.tx or st.view
+            for step in steps:
+                frontier = g.get_targets(frontier, step["idx_tag"], step.get("idx_key"))
+            self._stream_node_list(conn, st, frontier)
         elif op == P.ADD_TARGET:
             st.tx.add_target(st.resolve(msg["src"]), st.resolve(msg["dst"]))
             P.send_msg(conn, {"t": P.UNIT})

@@ -455,3 +455,70 @@ def test_pipelined_client_equivalence_and_batching(server):
     # state unchanged by the aborted tx
     with _connect(server) as db5:
         assert db5.read(lambda tx: tx.get_stats()) == after
+
+
+def test_walk_chains_server_side_single_round_trip(server):
+    """WALK (protocol v3): a 3-hop traversal chain runs server-side in
+    ONE request — same nodes as the per-hop client loop, which pays one
+    round-trip per frontier node per hop."""
+    with _connect(server) as db:
+        def build(tx):
+            root = tx.get_root()
+            g = tx.new_node("Genre", name="rock", uid=1)
+            tx.add_target(root, g)
+            for i in range(3):
+                s = tx.new_node("Song", name=f"s{i}", uid=10 + i)
+                tx.add_target(g, s)
+                for j in range(2):
+                    a = tx.new_node("Artist", name=f"a{i}{j}", uid=100 + i * 2 + j)
+                    tx.add_target(s, a)
+        db.write(build)
+
+    with _connect(server) as db2:
+        ops = []
+        orig = db2._request
+
+        def counting(msg):
+            if msg.get("t") == "action":
+                ops.append(msg.get("op"))
+            return orig(msg)
+
+        db2._request = counting
+
+        def via_walk(tx):
+            refs = tx.walk(
+                tx.get_root(),
+                [("Catalogue_Genre_Name", "rock"), "Genre_Song", "Song_Artist"],
+            )
+            return sorted(tx.get_value(r)["name"] for r in refs)
+
+        def via_hops(tx):
+            names = set()
+            for g in tx.get_targets(tx.get_root(), "Catalogue_Genre_Name", "rock"):
+                for s in tx.get_targets(g, "Genre_Song"):
+                    for a in tx.get_targets(s, "Song_Artist"):
+                        names.add(tx.get_value(a)["name"])
+            return sorted(names)
+
+        expected = sorted(f"a{i}{j}" for i in range(3) for j in range(2))
+        ops.clear()
+        got_walk = db2.read(via_walk)
+        walk_ops = list(ops)
+        ops.clear()
+        got_hops = db2.read(via_hops)
+        hop_ops = list(ops)
+
+        assert got_walk == got_hops == expected
+        # the mechanism: one WALK replaces the whole get_targets cascade
+        assert walk_ops.count("walk") == 1
+        assert walk_ops.count("get_targets") == 0
+        assert hop_ops.count("get_targets") == 1 + 1 + 3  # root hop + per-frontier hops
+
+    # walk with zero steps is a protocol error, not a silent no-op
+    with _connect(server) as db3:
+        import pytest as _pytest
+
+        from graph_db_spark.remote import protocol as P
+
+        with _pytest.raises((P.CorruptRequest, RuntimeError)):
+            db3.read(lambda tx: tx.walk(tx.get_root(), []))
