@@ -88,22 +88,120 @@ def _pil_decode(media_type: str, payload: bytes) -> dict:
     return out
 
 
+def _soundfile_decode(media_type: str, payload: bytes) -> dict:
+    """Real audio decode via soundfile (registered only when importable):
+    duration from frames/samplerate. Non-audio media and undecodable
+    payloads fall back to the digest path."""
+    digest = hashlib.md5(payload or b"").hexdigest()
+    out = {"digest": digest, "width": None, "height": None, "duration_ms": None}
+    if media_type == "audio" and payload:
+        try:
+            import io
+
+            import soundfile as sf
+
+            info = sf.info(io.BytesIO(payload))
+            out["duration_ms"] = int(info.frames / info.samplerate * 1000)
+        except Exception:  # undecodable bytes: keep the digest-only row
+            pass
+    return out
+
+
+def _ffprobe_decode(media_type: str, payload: bytes) -> dict:
+    """Real video probe via the ffprobe binary (registered only when on
+    PATH): width/height/duration from the first video stream. The payload
+    spools through a temp file (ffprobe wants a seekable input); non-video
+    media and unprobeable payloads fall back to the digest path."""
+    digest = hashlib.md5(payload or b"").hexdigest()
+    out = {"digest": digest, "width": None, "height": None, "duration_ms": None}
+    if media_type == "video" and payload:
+        import json
+        import subprocess
+        import tempfile
+
+        try:
+            with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+                f.write(payload)
+                f.flush()
+                probe = json.loads(
+                    subprocess.run(
+                        [
+                            "ffprobe", "-v", "error", "-print_format", "json",
+                            "-show_streams", "-show_format", f.name,
+                        ],
+                        capture_output=True, timeout=60, check=True,
+                    ).stdout
+                )
+            vstreams = [
+                s for s in probe.get("streams", []) if s.get("codec_type") == "video"
+            ]
+            if vstreams:
+                out["width"] = vstreams[0].get("width")
+                out["height"] = vstreams[0].get("height")
+            dur = probe.get("format", {}).get("duration")
+            if dur is not None:
+                out["duration_ms"] = int(float(dur) * 1000)
+        except Exception:  # unprobeable bytes: keep the digest-only row
+            pass
+    return out
+
+
 DECODERS = {"fake": _fake_decode, "real": _real_decode}
+
+# media_type -> decoder, filled by the probe below; the 'real' slot
+# dispatches through this table.
+TYPE_DECODERS: dict = {}
+
+
+def _compose_real_decoder(type_decoders: dict):
+    """Build the 'real' dispatcher over whatever per-modality decoders the
+    environment provides: a registered modality decodes for real, any
+    other modality degrades to the digest-only row (a mixed corpus never
+    fails the batch because one library is missing)."""
+
+    def real(media_type: str, payload: bytes) -> dict:
+        fn = type_decoders.get(media_type)
+        if fn is not None:
+            return fn(media_type, payload)
+        return {
+            "digest": hashlib.md5(payload or b"").hexdigest(),
+            "width": None,
+            "height": None,
+            "duration_ms": None,
+        }
+
+    return real
 
 
 def _register_available_codecs() -> None:
     """Self-upgrading registry: probe for real codec libraries at import
     and swap them in under 'real' (keeping the raiser's slot semantics
-    when absent) plus an explicit per-library key. The multimodal suite
-    upgrades itself the moment the environment gains the dependency —
-    no code change, and the digest path remains the universal fallback."""
+    when NONE are present) plus an explicit per-library key — PIL for
+    images, soundfile for audio, the ffprobe binary for video. The
+    multimodal suite upgrades itself per modality the moment the
+    environment gains a dependency — no code change, and the digest path
+    remains the universal fallback."""
     try:
         import PIL  # noqa: F401
 
         DECODERS["pil"] = _pil_decode
-        DECODERS["real"] = _pil_decode
+        TYPE_DECODERS["image"] = _pil_decode
     except ImportError:
         pass
+    try:
+        import soundfile  # noqa: F401
+
+        DECODERS["soundfile"] = _soundfile_decode
+        TYPE_DECODERS["audio"] = _soundfile_decode
+    except ImportError:
+        pass
+    import shutil as _sh
+
+    if _sh.which("ffprobe"):
+        DECODERS["ffmpeg"] = _ffprobe_decode
+        TYPE_DECODERS["video"] = _ffprobe_decode
+    if TYPE_DECODERS:
+        DECODERS["real"] = _compose_real_decoder(TYPE_DECODERS)
 
 
 _register_available_codecs()
@@ -179,7 +277,7 @@ def resize_images(
     implementation would use); the real path resizes through PIL when the
     registry picked it up at import, and raises (clearly marked) when no
     codec is registered."""
-    use_pil = decoder == "real" and DECODERS["real"] is not _real_decode
+    use_pil = decoder == "real" and "pil" in DECODERS
     if decoder == "real" and not use_pil:
         _real_decode("image", b"")  # raises NotImplementedError, clearly marked
 

@@ -84,24 +84,85 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_real_decoder_registry(spark):
-    """The 'real' slot self-upgrades at import: PIL absent → the clearly
-    marked raiser; PIL present → genuine decode (and the PIL test below
-    un-skips)."""
-    from graph_db_spark.operators.multimodal import DECODERS, _real_decode
+    """The 'real' slot self-upgrades PER MODALITY at import: with no
+    codec library present it stays the clearly marked raiser; with any
+    present it becomes a dispatcher (PIL→image, soundfile→audio,
+    ffprobe→video) whose unregistered modalities degrade to the digest
+    row."""
+    from graph_db_spark.operators.multimodal import (
+        DECODERS,
+        TYPE_DECODERS,
+        _real_decode,
+    )
 
-    try:
-        import PIL  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if has_pil:
+    if TYPE_DECODERS:
         assert DECODERS["real"] is not _real_decode
-        assert "pil" in DECODERS
+        for mt, key in (("image", "pil"), ("audio", "soundfile"), ("video", "ffmpeg")):
+            assert (mt in TYPE_DECODERS) == (key in DECODERS)
     else:
         assert DECODERS["real"] is _real_decode
         with pytest.raises(NotImplementedError):
             DECODERS["real"]("image", b"\x89PNG")
+
+
+def test_real_decoder_dispatch_contract():
+    """The dispatcher plumbing itself, independent of which libraries the
+    sandbox has: registered modalities route to their decoder, everything
+    else gets the digest-only fallback row."""
+    from graph_db_spark.operators.multimodal import _compose_real_decoder
+
+    calls = []
+
+    def img(mt, payload):
+        calls.append(("img", mt))
+        return {"digest": "d", "width": 3, "height": 4, "duration_ms": None}
+
+    real = _compose_real_decoder({"image": img})
+    assert real("image", b"xx")["width"] == 3
+    out = real("audio", b"xx")  # unregistered modality: digest fallback
+    assert out["width"] is None and out["duration_ms"] is None and out["digest"]
+    assert calls == [("img", "image")]
+
+
+def test_soundfile_decode_real_audio(spark):
+    """Conditional (skips without soundfile): real audio decode reports
+    the true duration through the registry."""
+    pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    from graph_db_spark.operators.multimodal import DECODERS
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(8000, dtype="float32"), 16000, format="WAV")
+    wav = buf.getvalue()
+    out = DECODERS["real"]("audio", wav)
+    assert out["duration_ms"] == 500
+
+
+def test_ffprobe_decode_real_video(spark):
+    """Conditional (skips without ffmpeg/ffprobe): real video probe
+    reports dims + duration through the registry."""
+    import shutil as _sh
+    import subprocess
+    import tempfile
+
+    if not (_sh.which("ffprobe") and _sh.which("ffmpeg")):
+        pytest.skip("ffmpeg/ffprobe not on PATH")
+    from graph_db_spark.operators.multimodal import DECODERS
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        subprocess.run(
+            ["ffmpeg", "-y", "-v", "error", "-f", "lavfi", "-i",
+             "testsrc=duration=1:size=64x48:rate=10", f.name],
+            check=True, capture_output=True, timeout=120,
+        )
+        payload = open(f.name, "rb").read()
+    out = DECODERS["real"]("video", payload)
+    assert (out["width"], out["height"]) == (64, 48)
+    assert out["duration_ms"] and 800 <= out["duration_ms"] <= 1500
 
 
 def test_pil_decode_and_resize_real_images(spark):
