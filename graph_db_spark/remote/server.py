@@ -211,11 +211,25 @@ class GraphServer:
         with self._clients_mu:
             self._clients += 1
             n = self._clients
+        slot_held = True
+
+        def drop_slot() -> None:
+            # Release the capacity slot EXACTLY once. Handshake rejections
+            # call this BEFORE sending the rejection reply: otherwise a
+            # rejected client's slot stays claimed until this thread's
+            # finally runs, and a fast follow-up connect races it into a
+            # spurious ServerIsBusy (observed under load).
+            nonlocal slot_held
+            if slot_held:
+                slot_held = False
+                with self._clients_mu:
+                    self._clients -= 1
+
         state: _TxState | None = None
         try:
             conn.settimeout(self.timeout)
             reader = P.MessageReader(conn)
-            if not self._handshake(conn, reader, n):
+            if not self._handshake(conn, reader, n, drop_slot):
                 return
             while True:
                 try:
@@ -236,25 +250,30 @@ class GraphServer:
         finally:
             if state is not None:
                 self._release(state)
-            with self._clients_mu:
-                self._clients -= 1
+            drop_slot()
             try:
                 conn.close()
             except OSError:
                 pass
 
-    def _handshake(self, conn, reader: P.MessageReader, nth_client: int) -> bool:
+    def _handshake(self, conn, reader: P.MessageReader, nth_client: int, drop_slot) -> bool:
+        """*drop_slot* frees this connection's capacity slot; every
+        rejection path calls it BEFORE replying so the slot is already
+        free by the time the client reacts to the rejection."""
         msg = reader.read()
         if msg is None:
             return False
         if nth_client > self.max_clients:
+            drop_slot()
             P.send_msg(conn, {"t": "handshake", "ok": False, "code": "busy"})
             return False
         if self.port is not None and self.authenticate is not None:
             if not self.authenticate(msg.get("credentials")):
+                drop_slot()
                 P.send_msg(conn, {"t": "handshake", "ok": False, "code": "unauthenticated"})
                 return False
         if msg.get("protocol") != P.PROTOCOL_VERSION or msg.get("model") != self.model_version:
+            drop_slot()
             P.send_msg(
                 conn,
                 {

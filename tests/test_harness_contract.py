@@ -65,4 +65,10 @@ def test_bench_harness_runs_and_emits_json():
     assert out["unit"] == "sec"
     assert out["queries"], "no queries timed"
     assert "errors" not in out, out.get("errors")
-    assert out["env"]["pyspark"]
+    # the stdout line is size-capped for the driver's ~2 KB capture
+    # window; provenance + full-precision timings live in the sidecar
+    assert len(line) < 2000, f"stdout line too big for capture ({len(line)}B)"
+    with open(os.path.join(REPO, "BENCH_local.json")) as f:
+        full = json.load(f)
+    assert full["env"]["pyspark"]
+    assert set(full["queries"]) == set(out["queries"])

@@ -686,3 +686,52 @@ def test_stream_durable_epochs_serve_bucketed_persisted_route(spark, tmp_path):
     g2 = load_published_snapshot(spark, snaps, catalogue_schema())
     assert g2.get_stats().as_tuple() == s.read(lambda gg: gg.get_stats()).as_tuple()
     assert g2.get_targets(ROOT_ID, "Catalogue_Artist_Name", "A4").count() == 1
+
+
+def test_stream_durable_pairing_guard_refuses_unverifiable_roots(spark, tmp_path):
+    """The checkpoint/snapshot pairing guard's refusal paths: published
+    epochs with a MISSING stream.json (deleted / hand-assembled root)
+    and with a mismatched query id against a fresh checkpoint both fail
+    loudly at start — never silently skip epochs against renumbered
+    batches."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+    from graph_db_spark.model import ROOT_ID
+    from graph_db_spark.storage import EventLogStorage
+    from graph_db_spark.streaming.apply import stream_apply_wal_durable
+
+    store = EventLogStorage(spark, str(tmp_path / "store"), catalogue_schema())
+    s = store.load(lambda sp, sc: GraphSnapshot.empty(sp, sc))
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="A", uid=1)))
+    store.flush()
+
+    snaps, ckpt = str(tmp_path / "snaps"), str(tmp_path / "ckpt")
+    q = stream_apply_wal_durable(
+        spark, store._log_dir(0), snaps, catalogue_schema(), ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    pair = os.path.join(snaps, "stream.json")
+    assert os.path.exists(pair)  # written BEFORE the first publish
+
+    # (1) pairing record deleted: refuse, do not guess
+    os.remove(pair)
+    with _pytest.raises(ValueError, match="stream.json"):
+        stream_apply_wal_durable(
+            spark, store._log_dir(0), snaps, catalogue_schema(), ckpt,
+            available_now=True,
+        )
+
+    # (2) record present but belongs to another query + fresh checkpoint:
+    # epoch numbering would not line up
+    with open(pair, "w") as f:
+        json.dump({"query_id": "not-this-checkpoint"}, f)
+    with _pytest.raises(ValueError, match="epoch numbering"):
+        stream_apply_wal_durable(
+            spark, store._log_dir(0), snaps, catalogue_schema(),
+            str(tmp_path / "ckpt_fresh"), available_now=True,
+        )
