@@ -333,14 +333,26 @@ def main() -> None:
     # Full-precision sidecar FIRST: the driver's stdout capture window is
     # ~2 KB and has truncated the suite JSON before (BENCH_r06 lost the
     # headline); the committed file survives any capture truncation.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_OUT redirects it (the harness-contract test runs
+    # bench.py at sf0.001 and must not clobber the committed sf0.1
+    # artifact).
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
     # stdout: ONE maximally-compact line (2-dp query times, no spaces,
     # provenance fields left to the sidecar) so the whole object fits a
-    # small capture window.
+    # small capture window — including on the error path (full error
+    # strings live in the sidecar only).
     compact = dict(out, queries={k: round(v, 2) for k, v in times.items()})
     compact.pop("env", None)
     compact.pop("sentinel_sec", None)
+    if errors:
+        compact["errors"] = {k: v[:60] for k, v in list(errors.items())[:5]}
+        if len(errors) > 5:
+            compact["errors_omitted"] = len(errors) - 5
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 

@@ -242,8 +242,9 @@ def tpch_graph_persisted(
             ),
         )
     fp = hashlib.sha256(os.path.abspath(sf_dir).encode())
-    for dirpath, dirnames, filenames in sorted(os.walk(sf_dir)):
-        dirnames.sort()
+    # sorted() consumes the whole walk up front, making the fingerprint
+    # deterministic by dirpath regardless of filesystem order
+    for dirpath, _dirnames, filenames in sorted(os.walk(sf_dir)):
         for name in sorted(filenames):
             if not name.endswith(".parquet"):
                 continue

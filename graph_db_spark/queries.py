@@ -944,9 +944,11 @@ def dedup_banded_survivors(spark, sf_dir):
     doc that shares no band key with an earlier (lower-id) doc — exactly
     the recall tier of the STREAMING banded dedup
     (streaming.apply.stream_dedup_near_banded), whose per-bucket
-    first-writer-wins claims reproduce this set on the same corpus (the
-    bucket claimant is the bucket's min doc id). Registered as the
-    oracle-paired batch twin of that streaming mode."""
+    first-writer-wins claims reproduce this set whenever arrival order
+    follows doc_id (true for the synthesized event time; on a real
+    ingest the stream keys on arrival order — see its docstring).
+    Registered as the oracle-paired batch twin of that streaming
+    mode."""
     d = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(D.shingles(d, "doc_id", "text", 3), n_hashes=8)
     dropped = (

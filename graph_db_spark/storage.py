@@ -101,11 +101,23 @@ def write_edge_index_bucketed(spark, df, path: str, n_buckets: int) -> int:
             pass
 
 
-def read_edge_index_bucketed(spark, path: str, n_buckets: int):
+def read_edge_index_bucketed(spark, path: str, n_buckets: int, stable_key: str | None = None):
     """Read a published edge_index, re-attaching the bucket spec via an
     external CLUSTERED BY table over the files — a plain
     ``read.parquet`` would discard the layout and every post-reload
-    traversal join would re-shuffle the index side."""
+    traversal join would re-shuffle the index side.
+
+    *stable_key*: identity to key the catalog entry on INSTEAD of the
+    path, for callers that read a SUCCESSION of paths under one root
+    (the streaming epoch store, checkpoint versions). The entry is then
+    dropped and re-created pointing at the new path, so a long-running
+    sink holds ONE catalog table per store instead of leaking one per
+    epoch. Safe for already-loaded readers: ``spark.table`` analyzes
+    eagerly, so a previously returned DataFrame keeps its resolved file
+    index and never re-consults the (re-pointed) catalog entry. The
+    drop+create pair is not atomic — a concurrent loader in the same
+    session can transiently miss the table; it retries via the plain-
+    read fallback, which stays correct (just unbucketed for that load)."""
     if not n_buckets:
         return spark.read.parquet(path)
     from graph_db_spark.graph import edge_index_schema
@@ -113,20 +125,23 @@ def read_edge_index_bucketed(spark, path: str, n_buckets: int):
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in edge_index_schema().fields
     )
-    # Key the catalog name on (path, bucket count, column set), not
+    # Key the catalog name on (identity, bucket count, column set), not
     # path alone: a long-lived session that re-creates a store at the
     # same path with a different bucket count would otherwise hit the
     # IF NOT EXISTS no-op and read a stale spec — Spark trusts the
     # catalog's bucket count and elides the exchange, silently
     # mis-joining (round-5 review finding).
-    ident = f"{os.path.abspath(path)}|{n_buckets}|{cols}"
+    ident = f"{stable_key or os.path.abspath(path)}|{n_buckets}|{cols}"
     name = "graphdb_ei_r_" + hashlib.md5(ident.encode()).hexdigest()[:12]
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY (src) SORTED BY (src) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
     try:
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "
-            f"CLUSTERED BY (src) SORTED BY (src) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{path}'"
-        )
+        if stable_key is not None:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        spark.sql(ddl)
         return spark.table(name)
     except Exception:  # noqa: BLE001 — catalog unavailable: plain read
         return spark.read.parquet(path)
@@ -357,8 +372,13 @@ class EventLogStorage:
         return write_edge_index_bucketed(self.spark, df, path, self.index_buckets)
 
     def _read_edge_index(self, base: str, meta: dict):
+        # stable_key = the store path: successive checkpoint versions
+        # re-point ONE catalog entry instead of leaking one per version
         return read_edge_index_bucketed(
-            self.spark, os.path.join(base, "edge_index"), meta.get("index_buckets") or 0
+            self.spark,
+            os.path.join(base, "edge_index"),
+            meta.get("index_buckets") or 0,
+            stable_key=os.path.abspath(self.path),
         )
 
     def _archive_before(self, version: int) -> None:
@@ -501,9 +521,13 @@ class EventLogStorage:
                     continue
                 for b in os.listdir(gen_dir):
                     full = os.path.join(gen_dir, b)
-                    if (
+                    if not os.path.isdir(full):
+                        continue
+                    # uncommitted batch dirs AND persist_events staging
+                    # dirs a killed writer abandoned before its rename
+                    # (nothing live writes here under the recovery lock)
+                    if b.startswith(".staging-") or (
                         b.startswith("batch-")
-                        and os.path.isdir(full)
                         and not os.path.exists(os.path.join(full, "_SUCCESS"))
                     ):
                         found.append(full)

@@ -90,7 +90,16 @@ def _epoch_snapshot(spark: SparkSession, snapshot_root: str, epoch: int, schema)
     return GraphSnapshot(
         spark.read.parquet(os.path.join(base, "vertices")),
         spark.read.parquet(os.path.join(base, "edges")),
-        read_edge_index_bucketed(spark, os.path.join(base, "edge_index"), n),
+        # stable_key = the snapshot root: each epoch re-points ONE
+        # catalog entry instead of leaking one per epoch for the life of
+        # a long-running sink (spark.table analyzes eagerly, so frames
+        # loaded from earlier epochs keep their resolved file index)
+        read_edge_index_bucketed(
+            spark,
+            os.path.join(base, "edge_index"),
+            n,
+            stable_key=os.path.abspath(snapshot_root),
+        ),
         schema,
     )
 
@@ -103,7 +112,12 @@ def load_published_snapshot(spark: SparkSession, snapshot_root: str, schema) -> 
     incrementally by the WAL stream instead of full checkpoints. This
     closes the loop to the reference's live mutable graph + WAL
     (Persistent.hs:62-117): mutations stream in, readers always see a
-    complete, atomically-published, traversal-optimized snapshot."""
+    complete, atomically-published, traversal-optimized snapshot.
+
+    The returned frames are LAZY readers over the epoch's files; the
+    sink retains keep_epochs generations, so finish (or re-load) within
+    one publish interval of loading — a reader that outlives the
+    retention window can lose its backing files to the prune."""
     epoch = _latest_epoch(snapshot_root)
     if epoch < 0:
         raise FileNotFoundError(f"no published epochs under {snapshot_root}")
@@ -120,6 +134,7 @@ def stream_apply_wal_durable(
     max_files_per_trigger: int | None = None,
     on_epoch_applied=None,
     index_buckets: int = 0,
+    keep_epochs: int = 2,
 ):
     """Crash-safe streaming WAL apply: ``stream_apply_wal`` with the
     evolved snapshot PERSISTED per micro-batch, so a SIGKILL mid-batch
@@ -148,8 +163,12 @@ def stream_apply_wal_durable(
       ``epoch <= latest published`` and SKIPS it — re-apply can't double
       the effects;
     - startup resumes from the latest published epoch's tables (or the
-      empty graph), and older epoch dirs are pruned after each publish
-      so disk holds ~one generation.
+      empty graph), and epoch dirs more than *keep_epochs* behind the
+      newest are pruned after each publish — disk holds ~keep_epochs
+      generations, and concurrent readers of the previous epoch keep
+      their backing files for at least one publish interval (size
+      keep_epochs x the trigger interval above your longest reader
+      query).
 
     *on_epoch_applied* (epoch:int -> None) fires after each publish —
     observability, and the crash-injection hook for the kill test.
@@ -265,8 +284,15 @@ def stream_apply_wal_durable(
         state.snapshot = _load_epoch(epoch)
         for frame in (old.vertices, old.edges, old.edge_index):
             release(frame)
-        if prev >= 0:
-            shutil.rmtree(os.path.join(snapshot_root, f"epoch-{prev}"), ignore_errors=True)
+        # Retention: prune epochs more than keep_epochs behind the one
+        # just published. keep_epochs >= 2 leaves a full publish interval
+        # for concurrent readers (load_published_snapshot returns LAZY
+        # frames over epoch files — pruning the epoch a reader just
+        # loaded would yank its backing parquet mid-query). `prev` covers
+        # the contiguous case; the range sweep catches epochs skipped by
+        # empty batches.
+        for e in range(max(prev - keep_epochs + 1, 0), epoch - keep_epochs + 1):
+            shutil.rmtree(os.path.join(snapshot_root, f"epoch-{e}"), ignore_errors=True)
         if on_epoch_applied is not None:
             on_epoch_applied(epoch)
 
@@ -465,9 +491,17 @@ def stream_dedup_near_banded(
     band, so consumers dedup on doc_id at the sink — exact duplicates,
     trivially idempotent).
 
-    Equivalence to batch (tested): claimant of a bucket is the minimum
-    doc in it, so doc b hits iff some a<b shares a band key — exactly
-    the ``b`` side of ``lsh_candidate_pairs``. Docs too short to emit
+    Equivalence to batch (tested): the claimant of a bucket is its
+    FIRST ARRIVAL (min event time, doc_id tie-break). When arrival
+    order follows doc_id — true here by construction (ts is synthesized
+    from doc_id) — the claimant is the bucket's min doc, so doc b hits
+    iff some a<b shares a band key: exactly the ``b`` side of
+    ``lsh_candidate_pairs``, and the registered batch twin
+    (``dedup_banded_survivors``) reproduces the survivor set. On a
+    production ingest whose arrival order differs from id order,
+    "earlier" means earlier ARRIVAL — the correct streaming semantics;
+    the batch twin then models it only up to the id-vs-arrival
+    permutation. Docs too short to emit
     shingles get per-doc-unique bucket keys: they never hit and never
     suppress. State is (claimant, last-activity) per live bucket, timed
     out one watermark horizon after last activity — bounded exactly like

@@ -46,10 +46,15 @@ def test_bench_harness_runs_and_emits_json():
     """bench.py at sf0.001 must complete and print one parsable JSON line
     with no errors — the exact failure mode that silently killed two
     rounds of benchmarking. ~90 s at sf0.001."""
+    import tempfile
+
+    sidecar = os.path.join(tempfile.mkdtemp(prefix="bench_contract_"), "bench.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
+        # never clobber the committed sf0.1 artifact at the repo root
+        SPARK_GRAFT_BENCH_OUT=sidecar,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -68,7 +73,7 @@ def test_bench_harness_runs_and_emits_json():
     # the stdout line is size-capped for the driver's ~2 KB capture
     # window; provenance + full-precision timings live in the sidecar
     assert len(line) < 2000, f"stdout line too big for capture ({len(line)}B)"
-    with open(os.path.join(REPO, "BENCH_local.json")) as f:
+    with open(sidecar) as f:
         full = json.load(f)
     assert full["env"]["pyspark"]
     assert set(full["queries"]) == set(out["queries"])

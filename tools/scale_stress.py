@@ -212,7 +212,11 @@ def main() -> None:
         docs = synthetic_docs(spark, n)
 
         # plan-only peek (no execution): which band-join strategy did the
-        # auto path pick for this corpus size?
+        # auto path pick for this corpus size? NOTE: this is the INITIAL
+        # plan — binding for the auto path (its merge hint forbids AQE
+        # broadcast conversion), advisory for the un-hinted byte-hint
+        # path below (AQE could re-plan at runtime; the timings + shuffle
+        # bytes are the ground truth there).
         _cands = D.lsh_candidate_pairs(
             D.minhash_signatures(D.shingles(docs, "doc_id", "text", 3), 8),
             8, 4, corpus_rows=n,
