@@ -169,13 +169,23 @@ def _select_merge_batch(
       (ii) creates occurrences of pairs involving the token a+b. When
       a+b is a BRAND-NEW string (enforced: a+b ∉ known_tokens, and not
       another accepted concat), such pairs start from count 0 and gain
-      at most the count of the consumed neighbor pair (each new (x, ab)
-      occurrence was an (x, a) occurrence), which is unaccepted and
-      hence ≤ c*, the count of the first candidate after the accepted
-      prefix. If the HEAD pair's concat collides with an existing token
-      string, the batch stops at size 1 (a solo head is trivially the
-      sequential argmax; the collision could otherwise inflate an
-      unaccepted pair past c*).
+      at most the count of the LINKING pair between adjacent merge
+      sites (each new (x, ab) occurrence was an (x, a) occurrence;
+      (ab, ab) occurrences come from (b, a) links). For a ≠ b those
+      linking pairs share a symbol with p, are therefore unaccepted,
+      and are bounded by c* — the count of the first candidate after
+      the accepted prefix. For a SELF-SYMBOL pair (a == b) the linking
+      pair over a run is p ITSELF ("bbb" → [bb, b] creates (bb, b)
+      with count derived from p's own count, > c*), so a self-symbol
+      pair may only be the LAST member of a batch: at its simulated
+      sequential step every remaining batch pair has already been
+      applied, and the round ends before its creations can preempt
+      anything (found by the hypothesis property test — the
+      counterexample was {"bbb"×2, "aaabbb"×1}). Likewise, if the HEAD
+      pair's concat collides with an existing token string, the batch
+      stops at size 1 (a solo head is trivially the sequential argmax;
+      the collision could otherwise inflate an unaccepted pair past
+      c*).
     - Strict-count trim: every accepted pair after the head must have
       count > c*. Then at each simulated sequential step the remaining
       batch pairs (counts unchanged, > c*) dominate every changed or
@@ -222,6 +232,11 @@ def _select_merge_batch(
         used.update((a, b, a + b))
         if exact and len(accepted) == 1 and (a + b) in known_tokens:
             # head collides with an existing token string: solo round
+            break
+        if exact and a == b:
+            # self-symbol pair: its run-merges create pairs bounded by
+            # its OWN count, not c* — safe only as the batch's last
+            # member (see docstring)
             break
     if not exact:
         return [(a, b) for a, b, _ in accepted]

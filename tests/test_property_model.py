@@ -112,3 +112,70 @@ def test_engine_matches_sequential_model(spark, ops):
         if kind == "Artist":
             assert got_vals[nid] == (kind, name, uid)
     assert snap.edge_index.count() == model.expected_index_count()
+
+
+# -- batched BPE fit: exact-mode equality property ---------------------------
+#
+# The distributed fit's batched rounds claim bit-identical merges to the
+# sequential argmax loop (operators/bpe._select_merge_batch's proof).
+# This drives the SAME selector + the same merge fold through a pure-
+# Python simulation of the batched loop against the reference sequential
+# fit over adversarial corpora (tiny alphabets maximize symbol sharing,
+# tie collisions, and concat/token-string collisions — the exact hazards
+# the selector's guards exist for).
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),  # batch cap
+)
+def test_batched_bpe_selection_equals_sequential(word_freqs, cap):
+    from graph_db_spark.operators.bpe import _fit_bpe_local, _select_merge_batch
+
+    n_merges = 12
+    expected = _fit_bpe_local(list(word_freqs), n_merges)
+
+    # pure-Python simulation of fit_bpe's distributed batched loop:
+    # count pairs -> select a safe batch -> apply the batch's merges
+    state = [(list(w), n) for w, n in word_freqs]
+    merges = []
+    guard = 0
+    while len(merges) < n_merges:
+        guard += 1
+        assert guard <= 200, "batched loop failed to converge"
+        counts = {}
+        for syms, n in state:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        rows = sorted(
+            ((a, b, c) for (a, b), c in counts.items()),
+            key=lambda r: (-r[2], r[0], r[1]),
+        )
+        batch = _select_merge_batch(
+            rows, min(cap, n_merges - len(merges)), {x + y for x, y in merges}
+        )
+        assert batch, "selector must always accept at least the head"
+        merges.extend(batch)
+        for a, b in batch:
+            new_state = []
+            for syms, n in state:
+                acc = []
+                for s in syms:
+                    if acc and acc[-1] == a and s == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(s)
+                new_state.append((acc, n))
+            state = new_state
+
+    assert merges == expected
