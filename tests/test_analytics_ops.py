@@ -1251,3 +1251,65 @@ def test_bpe_greedy_batched_fit_cuts_jobs(spark, sf_dir):
     for did, toks in enc.items():
         assert "".join(toks) == "".join(texts[did].lower().split())
     docs.unpersist()
+
+
+def test_stream_dedup_near_banded_state_expires_with_watermark(spark, sf_dir, tmp_path):
+    """The 100 TB memory claim, empirically: bucket claims age out one
+    watermark horizon after last activity. A copy arriving INSIDE the
+    horizon hits; after the watermark passes the claim's timeout, the
+    same bands are claimable again — a far-future copy does NOT hit
+    (state was dropped, not grown forever)."""
+    from graph_db_spark.streaming import stream_dedup_near_banded
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") == 0
+    )
+    text = base.collect()[0]["text"]
+
+    def doc(doc_id):
+        return spark.createDataFrame(
+            [(doc_id, text, "en", "src", len(text))],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+
+    src = str(tmp_path / "docs_expire")
+    # batch 1: original (t=+0s) and an inside-horizon copy (t=+100s)
+    doc(0).unionByName(doc(100)).write.parquet(src)
+    q = (
+        stream_dedup_near_banded(spark, src, watermark="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("banded_expiry")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: far-future sentinel (t=+40h, DISTINCT text) advances
+        # the watermark to ~+34h, far past the claims' +6h timeout
+        def pusher(doc_id, words):
+            return spark.createDataFrame(
+                [(doc_id, words, "en", "src", len(words))],
+                "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+            )
+
+        pusher(144000, "totally different words " * 10).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: another pusher — doc 0's bucket keys are SILENT this
+        # batch, so their timed-out state is evicted here (timeouts fire
+        # only for keys without data in the batch)
+        pusher(144010, "yet another unrelated sentence " * 10).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        # batch 4: copy of doc 0 at t=+40h+20s — the original claims are
+        # gone, so it claims fresh buckets and must NOT hit
+        doc(144020).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        hits = {
+            r["doc_id"] for r in spark.sql("SELECT doc_id FROM banded_expiry").collect()
+        }
+    finally:
+        q.stop()
+    assert 100 in hits       # inside the horizon: suppressed
+    assert 144020 not in hits  # past the horizon: state dropped, passes
+    assert 0 not in hits and 144000 not in hits and 144010 not in hits
