@@ -289,6 +289,52 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- STREAMING banded near-dup at corpus scale -------------------------
+    # The stateful per-bucket first-writer-wins operator driven through
+    # Structured Streaming over the same generated corpus: wall time,
+    # distinct docs dropped (planted twins ~n/100), and the state-store
+    # row count (4 band buckets per doc in the single availableNow batch
+    # — across batches the watermark timeout bounds it instead).
+    from graph_db_spark.streaming import stream_dedup_near_banded
+
+    for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+        tmp = tempfile.mkdtemp(prefix=f"stress_stream_{scale}_")
+        try:
+            synthetic_docs(spark, n).select(
+                "doc_id",
+                "text",
+                F.lit("en").alias("lang"),
+                F.lit("src").alias("source"),
+                F.length("text").cast("long").alias("n_chars"),
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+
+            def run_stream(t=tmp, sc=scale):
+                q = (
+                    stream_dedup_near_banded(spark, os.path.join(t, "docs"))
+                    .writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(f"stress_bhits_{sc}")
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                    prog = q.lastProgress
+                    state_rows = (
+                        sum(so["numRowsTotal"] for so in prog["stateOperators"])
+                        if prog and prog.get("stateOperators")
+                        else None
+                    )
+                    dropped = spark.sql(
+                        f"SELECT count(DISTINCT doc_id) AS n FROM stress_bhits_{sc}"
+                    ).collect()[0]["n"]
+                finally:
+                    q.stop()
+                return {"dropped": dropped, "state_rows": state_rows}
+
+            run("stream_dedup_banded", scale, run_stream)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     # -- landmark-distance index (tagged multi-source BFS) -----------------
     # graph_landmark_distances' engine op (pregel.tagged_bfs_levels) on
     # the layered DAG: 3 landmarks, state keyed (id, landmark), one
