@@ -952,7 +952,7 @@ def dedup_banded_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(D.shingles(d, "doc_id", "text", 3), n_hashes=8)
     dropped = (
-        D.lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+        D.lsh_candidate_pairs(sigs, n_hashes=8, bands=4, corpus_rows=d.count())
         .select(F.col("b").alias("doc_id"))
         .distinct()
     )
