@@ -291,3 +291,85 @@ def simhash_near_dup_pairs(
         )
     )
     return cand.select("a", "b", hd.alias("hd")).filter(F.col("hd") <= max_hamming)
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication analysis (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring criterion, re-expressed relationally): a token position is
+    DUPLICATED if it lies inside a k-token window whose exact text
+    occurs more than once in the corpus (in another document or again in
+    the same one). Returns per-doc
+    (id, n_tok, dup_tokens, dup_frac) where dup_tokens is the size of
+    the UNION of all duplicated k-gram intervals [pos, pos+k).
+
+    Relational shape instead of the paper's suffix array — same
+    criterion, cluster-friendly plan:
+      1. positioned k-grams: one transform+explode per doc (narrow);
+      2. grams occurring >1 time in the corpus: one count keyed on the
+         gram's md5 (fixed-width shuffle key, map-side combinable) —
+         self-join back on the hash (never the text);
+      3. interval-union coverage per doc: one window over (id, pos) —
+         covered(pos) = (pos+k) - max(pos, latest end seen so far),
+         clamped at 0 (the standard sorted-interval sweep as a window).
+    Three shuffles total, all on fixed-width keys; nothing quadratic,
+    no suffix array to build or hold. Docs shorter than k tokens emit
+    no grams and report zero duplication.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), ws_tokens(F.lower(F.col(text_col))).alias("tk")
+    )
+    idx = F.sequence(F.lit(1), F.size("tk") - (k - 1))
+    grams = toks.select(
+        "id",
+        F.size("tk").alias("n_tok"),
+        F.when(
+            F.size("tk") >= k,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"), F.md5(F.concat_ws(" ", F.slice("tk", i, k))).alias("g")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        .alias("gs"),
+    ).select("id", "n_tok", F.explode("gs").alias("kg"))
+    flat = grams.select("id", "n_tok", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+    dup_grams = (
+        flat.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).select("g")
+    )
+    dup_pos = flat.join(dup_grams, "g").select("id", "n_tok", "pos")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    covered = dup_pos.withColumn(
+        "prev_end", F.max(F.col("pos") + k).over(w)
+    ).withColumn(
+        "cov",
+        F.greatest(
+            F.lit(0),
+            F.col("pos") + k - F.greatest(F.col("pos"), F.coalesce("prev_end", F.col("pos"))),
+        ),
+    )
+    per_doc = covered.groupBy("id", "n_tok").agg(F.sum("cov").alias("dup_tokens"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(toks.select("id", F.size("tk").alias("n_tok")), "id")
+        .join(per_doc.select("id", "dup_tokens"), "id", "left")
+        .select(
+            "id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tok"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

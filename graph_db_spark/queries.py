@@ -960,6 +960,49 @@ def dedup_banded_survivors(spark, sf_dir):
 
 
 @q(
+    "dedup_exact_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i + 1 AS pos,
+             md5(array_to_string(tk[i+1:i+10], ' ')) AS g
+      FROM (SELECT id, tk, unnest(range(len(tk) - 9)) AS i
+            FROM toks WHERE len(tk) >= 10)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+    dp AS (SELECT id, pos FROM grams JOIN dupg USING (g)),
+    cov AS (
+      SELECT id, pos,
+             greatest(0, pos + 10 - greatest(pos, coalesce(
+               max(pos + 10) OVER (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos))) AS cov
+      FROM dp
+    ),
+    per AS (SELECT id, sum(cov) AS dup_tokens FROM cov GROUP BY id)
+    SELECT t.id AS id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) * 1.0 / greatest(len(t.tk), 1), 6) AS dup_frac
+    FROM toks t LEFT JOIN per p USING (id)
+    """,
+)
+def dedup_exact_substring_spans(spark, sf_dir):
+    """Exact-substring duplication (Lee et al. 2022's criterion,
+    relational form — operators.dedup.duplicated_span_coverage): per doc,
+    the fraction of token positions covered by a 10-token window whose
+    exact text occurs more than once in the corpus. The highest-precision
+    tier of the dedup family (byte-identical spans, not similarity), used
+    to cut boilerplate/licenses/repeated headers before training."""
+    d = _t(spark, sf_dir, "documents")
+    return D.duplicated_span_coverage(d, "doc_id", "text", k=10).withColumnRenamed(
+        "id", "doc_id"
+    ).select(F.col("doc_id").alias("id"), "n_tok", "dup_tokens", "dup_frac")
+
+
+@q(
     "text_stats_documents",
     r"""
     WITH t AS (SELECT doc_id, text,

@@ -1313,3 +1313,40 @@ def test_stream_dedup_near_banded_state_expires_with_watermark(spark, sf_dir, tm
     assert 100 in hits       # inside the horizon: suppressed
     assert 144020 not in hits  # past the horizon: state dropped, passes
     assert 0 not in hits and 144000 not in hits and 144010 not in hits
+
+
+def test_duplicated_span_coverage_interval_union(spark):
+    """Exact-substring coverage math on hand-built docs: overlapping
+    duplicated k-gram windows union (not sum); within-doc repeats count;
+    unique docs and sub-k docs report zero."""
+    from graph_db_spark.operators.dedup import duplicated_span_coverage
+
+    w = [f"w{i}" for i in range(12)]          # 12-token span shared by docs 1/2
+    uniq = [f"u{i}" for i in range(8)]
+    rep = [f"r{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w + ["tail1a", "tail1b"])),
+            (2, " ".join(["head2a", "head2b"] + w)),
+            (3, " ".join(uniq)),               # nothing shared, < k anyway? 8 < 10 -> no grams
+            (4, " ".join(rep + ["x", "y"] + rep)),  # within-doc repeat but spans < k: no dup
+            (5, " ".join(w + w)),              # 24 tokens, self-repeated 12-gram block
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["id"]: (r["n_tok"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_span_coverage(docs, "doc_id", "text", k=10).collect()
+    }
+    # docs 1 and 2 share the exact 12-token run: its three 10-gram
+    # windows (pos 1..3 within the run) union to 12 covered tokens each
+    assert out[1] == (14, 12, round(12 / 14, 6))
+    assert out[2] == (14, 12, round(12 / 14, 6))
+    # doc 3: shorter than k -> no grams -> zero
+    assert out[3] == (8, 0, 0.0)
+    # doc 4: repeated 4-token block never spans a shared 10-gram
+    assert out[4] == (10, 0, 0.0)
+    # doc 5: w+w — every 10-gram window inside it repeats somewhere
+    # (either in doc 1/2's copy of w or in its own second half), so
+    # coverage is the FULL 24 tokens (union of pos 1..15 windows)
+    assert out[5] == (24, 24, 1.0)
