@@ -462,3 +462,18 @@ def test_lsh_band_join_strategy_is_stats_driven(spark, sf_dir):
 
     # identical pairs either way
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+
+
+def test_exact_substring_spans_plan_no_cross_product(spark, sf_dir):
+    """The duplicated-span plan must stay equi-join shaped: positioned
+    k-grams joined back on the md5 gram key — no cross product, no
+    broadcast nested loop, and the dup-gram aggregate is map-side
+    combinable (partial_count present)."""
+    from graph_db_spark.plans import explain_str
+    from graph_db_spark.queries import REGISTRY
+
+    df = REGISTRY["dedup_exact_substring_spans"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
