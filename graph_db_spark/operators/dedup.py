@@ -373,3 +373,66 @@ def duplicated_span_coverage(
             ).alias("dup_frac"),
         )
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the second half of the Lee et al. 2022
+    recipe — ``duplicated_span_coverage`` measures, this cleans): rebuild
+    each document with every token inside a corpus-duplicated k-token
+    window dropped. Returns (id, n_tok, n_kept, clean_text).
+
+    Plan: the duplicated window starts per doc (same three fixed-width
+    shuffles as the coverage op) collapse to ONE sorted array per doc;
+    the rebuild is then a row-local higher-order filter over token
+    positions (position i survives iff no start s has s <= i < s+k) —
+    no extra shuffle, whole-stage codegen, O(n_tok x n_spans) per row
+    with n_spans small for normal documents."""
+    toks = df.select(
+        F.col(id_col).alias("id"), ws_tokens(F.lower(F.col(text_col))).alias("tk")
+    )
+    idx = F.sequence(F.lit(1), F.size("tk") - (k - 1))
+    grams = toks.select(
+        "id",
+        F.when(
+            F.size("tk") >= k,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"), F.md5(F.concat_ws(" ", F.slice("tk", i, k))).alias("g")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        .alias("gs"),
+    ).select("id", F.explode("gs").alias("kg"))
+    flat = grams.select("id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+    dup_grams = (
+        flat.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).select("g")
+    )
+    starts = (
+        flat.join(dup_grams, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = toks.join(starts, "id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("tk")),
+        lambda i: ~F.exists(
+            "starts", lambda s: (s <= i) & (i < s + F.lit(k))
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("tk").cast("long").alias("n_tok"),
+        F.size(kept_idx).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at("tk", i))
+        ).alias("clean_text"),
+    )

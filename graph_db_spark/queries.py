@@ -1003,6 +1003,56 @@ def dedup_exact_substring_spans(spark, sf_dir):
 
 
 @q(
+    "dedup_strip_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, i + 1 AS pos,
+             md5(array_to_string(tk[i+1:i+10], ' ')) AS g
+      FROM (SELECT id, tk, unnest(range(len(tk) - 9)) AS i
+            FROM toks WHERE len(tk) >= 10)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+    st AS (
+      SELECT id, list_sort(list(pos)) AS starts
+      FROM grams JOIN dupg USING (g) GROUP BY id
+    ),
+    joined AS (
+      SELECT t.id, t.tk, coalesce(s.starts, []) AS starts
+      FROM toks t LEFT JOIN st s USING (id)
+    ),
+    kept AS (
+      SELECT id, len(tk) AS n_tok,
+             [i FOR i IN range(1, len(tk) + 1)
+              IF len(list_filter(starts, s -> s <= i AND i < s + 10)) = 0] AS ki,
+             tk
+      FROM joined
+    )
+    SELECT id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(len(ki) AS BIGINT) AS n_kept,
+           -- coalesce: DuckDB's array_to_string of an empty list is NULL
+           -- where Spark's concat_ws is '' (fully-stripped docs)
+           coalesce(array_to_string([tk[i] FOR i IN ki], ' '), '') AS clean_text
+    FROM kept
+    """,
+)
+def dedup_strip_substring_spans(spark, sf_dir):
+    """Exact-substring REMOVAL (Lee et al. 2022's cleaning step —
+    operators.dedup.strip_duplicated_spans): each document rebuilt with
+    every token inside a corpus-duplicated 10-token window dropped.
+    The duplicated-window starts collapse to one sorted array per doc;
+    the rebuild is a row-local higher-order filter (no extra shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.strip_duplicated_spans(d, "doc_id", "text", k=10).select(
+        F.col("id"), "n_tok", "n_kept", "clean_text"
+    )
+
+
+@q(
     "text_stats_documents",
     r"""
     WITH t AS (SELECT doc_id, text,

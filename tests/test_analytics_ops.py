@@ -1350,3 +1350,38 @@ def test_duplicated_span_coverage_interval_union(spark):
     # (either in doc 1/2's copy of w or in its own second half), so
     # coverage is the FULL 24 tokens (union of pos 1..15 windows)
     assert out[5] == (24, 24, 1.0)
+
+
+def test_strip_duplicated_spans_consistent_with_coverage(spark):
+    """Removal and measurement agree: n_tok - n_kept == dup_tokens for
+    every doc (both compute the same duplicated-interval union), and the
+    cleaned text is exactly the surviving tokens in order."""
+    from graph_db_spark.operators.dedup import (
+        duplicated_span_coverage,
+        strip_duplicated_spans,
+    )
+
+    w = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w + ["tail1a", "tail1b"])),
+            (2, " ".join(["head2a", "head2b"] + w)),
+            (3, " ".join(f"u{i}" for i in range(20))),
+            (5, " ".join(w + w)),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    cov = {
+        r["id"]: r["dup_tokens"]
+        for r in duplicated_span_coverage(docs, "doc_id", "text", k=10).collect()
+    }
+    out = {
+        r["id"]: r
+        for r in strip_duplicated_spans(docs, "doc_id", "text", k=10).collect()
+    }
+    for i, r in out.items():
+        assert r["n_tok"] - r["n_kept"] == cov[i], i
+    assert out[1]["clean_text"] == "tail1a tail1b"
+    assert out[2]["clean_text"] == "head2a head2b"
+    assert out[3]["n_kept"] == 20  # untouched
+    assert out[5]["clean_text"] == "" and out[5]["n_kept"] == 0
