@@ -187,6 +187,7 @@ def main() -> None:
         # near-dup (signature-only candidate join), LM document scoring
         "text_repetition_signals",
         "dedup_simhash_banded",
+        "dedup_exact_substring_spans",
         "doc_lm_mean_prob",
         # batch-6: quantized-domain ANN + the composed curated-corpus
         # pipeline (clean -> decontaminate -> dedup -> pack)
