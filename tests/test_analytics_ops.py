@@ -1385,3 +1385,42 @@ def test_strip_duplicated_spans_consistent_with_coverage(spark):
     assert out[2]["clean_text"] == "head2a head2b"
     assert out[3]["n_kept"] == 20  # untouched
     assert out[5]["clean_text"] == "" and out[5]["n_kept"] == 0
+
+
+def test_duplicated_span_coverage_matches_bruteforce_random_corpus(spark):
+    """Randomized cross-check (seeded): on a corpus engineered for heavy
+    gram sharing, the operator's windowed interval-union coverage equals
+    a brute-force python recomputation (positions covered by any k-gram
+    occurring >1 time in the corpus), for every doc."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> many shared grams
+    k = 4
+    docs_py = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(docs_py, "doc_id LONG, text STRING")
+
+    from graph_db_spark.operators.dedup import duplicated_span_coverage
+
+    got = {
+        r["id"]: (r["n_tok"], r["dup_tokens"])
+        for r in duplicated_span_coverage(docs, "doc_id", "text", k=k).collect()
+    }
+
+    # brute force: count every k-gram occurrence corpus-wide, then union
+    # covered positions per doc
+    toks = {i: t.lower().split() for i, t in docs_py}
+    counts: dict[tuple, int] = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - k + 1):
+            g = tuple(tk[p : p + k])
+            counts[g] = counts.get(g, 0) + 1
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - k + 1):
+            if counts[tuple(tk[p : p + k])] > 1:
+                covered.update(range(p, p + k))
+        assert got[i] == (len(tk), len(covered)), (i, got[i], len(tk), len(covered))
