@@ -349,7 +349,13 @@ def main() -> None:
     # strings live in the sidecar only).
     compact = dict(out, queries={k: round(v, 2) for k, v in times.items()})
     compact.pop("env", None)
-    compact.pop("sentinel_sec", None)
+    # Keep the co-tenant sentinel IN the compact line (~40 bytes): the
+    # driver artifact must be self-auditing — an apparent cross-round
+    # regression with an inflated sentinel is attributable to machine
+    # load from the artifact alone (round-7 verdict item 1).
+    compact["sentinel_sec"] = {
+        k: round(v, 3) for k, v in out["sentinel_sec"].items() if v is not None
+    }
     if errors:
         compact["errors"] = {k: v[:60] for k, v in list(errors.items())[:5]}
         if len(errors) > 5:

@@ -32,8 +32,10 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import shutil
+import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -90,7 +92,22 @@ def write_edge_index_bucketed(spark, df, path: str, n_buckets: int) -> int:
             .saveAsTable(name)
         )
         return n_buckets
-    except Exception:  # no catalog support — plain parquet is always safe
+    except Exception as exc:
+        # Only the catalog-unsupported case (AnalysisException: DDL /
+        # saveAsTable not available in this session) downgrades to plain
+        # parquet. A genuine WRITE failure — disk full, interrupted job,
+        # executor loss — must surface to the caller, not be silently
+        # retried as an unbucketed overwrite that masks the original
+        # error (round-7 advisor finding).
+        from pyspark.errors import AnalysisException
+
+        if not isinstance(exc, AnalysisException):
+            raise
+        logging.getLogger(__name__).warning(
+            "bucketed saveAsTable unavailable (%s); falling back to plain parquet at %s",
+            exc,
+            path,
+        )
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             df.write.mode("overwrite").parquet(path)
         return 0
@@ -101,6 +118,45 @@ def write_edge_index_bucketed(spark, df, path: str, n_buckets: int) -> int:
             pass
 
 
+# Per-catalog-name locks serializing read_edge_index_bucketed's
+# check/drop/create/table sequence. Spark's session catalog is shared by
+# every thread of a session, so two concurrent loaders of one stable_key
+# (the streaming epoch sink's _load_epoch vs a concurrent
+# load_published_snapshot, or two checkpoint versions of one store) could
+# otherwise re-point the shared entry between one loader's CREATE and its
+# spark.table call — resolving the OTHER loader's path (round-7 advisor
+# finding: an _epoch_snapshot whose edge_index comes from a different
+# epoch than its vertices/edges). Cross-PROCESS loaders each own a
+# separate session catalog, so an in-process lock closes the whole race.
+_ei_catalog_guard = threading.Lock()
+_ei_catalog_locks: dict[str, threading.Lock] = {}
+
+
+def _ei_lock(name: str) -> threading.Lock:
+    with _ei_catalog_guard:
+        return _ei_catalog_locks.setdefault(name, threading.Lock())
+
+
+def _norm_location(p: str) -> str:
+    """Normalize a catalog Location / local path for equality: strip the
+    file: scheme, collapse duplicate leading slashes, drop trailing /."""
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+    while p.startswith("//"):
+        p = p[1:]
+    return os.path.abspath(p).rstrip("/")
+
+
+def _table_location(spark, name: str) -> str | None:
+    try:
+        for row in spark.sql(f"DESCRIBE FORMATTED `{name}`").collect():
+            if (row.col_name or "").strip() == "Location":
+                return (row.data_type or "").strip()
+    except Exception:  # noqa: BLE001 — missing table / no catalog
+        return None
+    return None
+
+
 def read_edge_index_bucketed(spark, path: str, n_buckets: int, stable_key: str | None = None):
     """Read a published edge_index, re-attaching the bucket spec via an
     external CLUSTERED BY table over the files — a plain
@@ -109,15 +165,17 @@ def read_edge_index_bucketed(spark, path: str, n_buckets: int, stable_key: str |
 
     *stable_key*: identity to key the catalog entry on INSTEAD of the
     path, for callers that read a SUCCESSION of paths under one root
-    (the streaming epoch store, checkpoint versions). The entry is then
-    dropped and re-created pointing at the new path, so a long-running
-    sink holds ONE catalog table per store instead of leaking one per
-    epoch. Safe for already-loaded readers: ``spark.table`` analyzes
-    eagerly, so a previously returned DataFrame keeps its resolved file
-    index and never re-consults the (re-pointed) catalog entry. The
-    drop+create pair is not atomic — a concurrent loader in the same
-    session can transiently miss the table; it retries via the plain-
-    read fallback, which stays correct (just unbucketed for that load)."""
+    (the streaming epoch store, checkpoint versions). The entry is
+    re-pointed at the new path only when its recorded Location differs,
+    so a long-running sink holds ONE catalog table per store instead of
+    leaking one per epoch. Safe for already-loaded readers:
+    ``spark.table`` analyzes eagerly, so a previously returned DataFrame
+    keeps its resolved file index and never re-consults the (re-pointed)
+    catalog entry. The whole check/drop/create/table sequence runs under
+    a per-entry lock (``_ei_lock``) so concurrent loaders sharing a
+    stable_key but targeting different paths serialize instead of
+    resolving each other's path — the reference's analogous guarantee is
+    the lock-guarded load (Storage.hs:57-102)."""
     if not n_buckets:
         return spark.read.parquet(path)
     from graph_db_spark.graph import edge_index_schema
@@ -139,10 +197,16 @@ def read_edge_index_bucketed(spark, path: str, n_buckets: int, stable_key: str |
         f"LOCATION '{path}'"
     )
     try:
-        if stable_key is not None:
-            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-        spark.sql(ddl)
-        return spark.table(name)
+        with _ei_lock(name):
+            # Reuse the entry only when it already points at the
+            # requested path; recreate on mismatch (stable_key re-point)
+            # or absence. Holding the lock through spark.table means the
+            # resolved frame always matches the requested path.
+            loc = _table_location(spark, name)
+            if loc is None or _norm_location(loc) != _norm_location(path):
+                spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+                spark.sql(ddl)
+            return spark.table(name)
     except Exception:  # noqa: BLE001 — catalog unavailable: plain read
         return spark.read.parquet(path)
 

@@ -14,6 +14,9 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graph_db_spark.graph import EVENT_SCHEMA, GraphSnapshot
@@ -270,7 +273,7 @@ def stream_apply_wal_durable(
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump({"epoch": epoch, "index_buckets": n_buckets}, f)
         os.replace(tmp, os.path.join(snapshot_root, f"epoch-{epoch}"))  # atomic publish
-        prev, state.last_published = state.last_published, epoch
+        state.last_published = epoch
         state.batches_applied += 1
         # Re-point the live snapshot at the epoch just published BEFORE
         # pruning its predecessor: an empty micro-batch leaves
@@ -284,15 +287,7 @@ def stream_apply_wal_durable(
         state.snapshot = _load_epoch(epoch)
         for frame in (old.vertices, old.edges, old.edge_index):
             release(frame)
-        # Retention: prune epochs more than keep_epochs behind the one
-        # just published. keep_epochs >= 2 leaves a full publish interval
-        # for concurrent readers (load_published_snapshot returns LAZY
-        # frames over epoch files — pruning the epoch a reader just
-        # loaded would yank its backing parquet mid-query). `prev` covers
-        # the contiguous case; the range sweep catches epochs skipped by
-        # empty batches.
-        for e in range(max(prev - keep_epochs + 1, 0), epoch - keep_epochs + 1):
-            shutil.rmtree(os.path.join(snapshot_root, f"epoch-{e}"), ignore_errors=True)
+        _prune_published_epochs(snapshot_root, keep_epochs)
         if on_epoch_applied is not None:
             on_epoch_applied(epoch)
 
@@ -304,6 +299,32 @@ def stream_apply_wal_durable(
     q = writer.start()
     q._graphdb_state = state  # expose for tests/callers
     return q
+
+
+def _prune_published_epochs(snapshot_root: str, keep_epochs: int) -> None:
+    """Retention sweep: keep the newest *keep_epochs* PUBLISHED epochs by
+    listing what actually exists, not by arithmetic epoch ranges — epoch
+    ids can gap (empty/skipped batches), and a range sweep keyed on ids
+    would prune the immediately-previous PUBLISHED epoch across a gap
+    (prev=2, epoch=7, keep_epochs=2 must keep epoch 2, not prune it),
+    breaking the guarantee that concurrent readers of the previous
+    publish keep their backing parquet for one full publish interval
+    (load_published_snapshot returns LAZY frames over epoch files).
+    keep_epochs >= 2 therefore means: the latest epoch plus the
+    keep_epochs-1 most recent earlier publishes, whatever their ids
+    (round-7 advisor finding)."""
+    if keep_epochs <= 0:
+        return
+    try:
+        published = sorted(
+            int(d.split("-", 1)[1])
+            for d in os.listdir(snapshot_root)
+            if d.startswith("epoch-") and d.split("-", 1)[1].isdigit()
+        )
+    except OSError:
+        return
+    for e in published[:-keep_epochs]:
+        shutil.rmtree(os.path.join(snapshot_root, f"epoch-{e}"), ignore_errors=True)
 
 
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:

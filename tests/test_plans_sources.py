@@ -339,6 +339,56 @@ def test_bucketed_reload_not_stale_after_recreate(spark, tmp_path):
     store2.close()
 
 
+def test_bucketed_reload_concurrent_stable_key_no_cross_resolution(spark, tmp_path):
+    """Two concurrent loaders sharing a stable_key but targeting DIFFERENT
+    paths (the streaming sink's _load_epoch after publish vs a concurrent
+    load_published_snapshot, or two checkpoint versions of one store)
+    must each resolve their OWN path. Before the per-entry lock, the
+    drop+create+spark.table sequence could interleave so one loader's
+    spark.table resolved the other loader's just-created entry —
+    silently yielding an edge_index from a different epoch than its
+    vertices/edges (round-7 advisor finding). Hammered across threads to
+    make the interleave likely without the lock."""
+    import threading
+
+    from graph_db_spark.graph import edge_index_schema, local_frame
+    from graph_db_spark.storage import read_edge_index_bucketed, write_edge_index_bucketed
+
+    schema = edge_index_schema()
+    paths = {}
+    for tag in ("alpha", "beta"):
+        rows = [
+            {"src": 1, "idx_tag": tag, "idx_key": f"{tag}-{i}", "dst": 100 + i}
+            for i in range(20)
+        ]
+        p = str(tmp_path / f"ei-{tag}")
+        assert write_edge_index_bucketed(spark, local_frame(spark, rows, schema), p, 4) == 4
+        paths[tag] = p
+
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def loader(tag: str):
+        try:
+            for _ in range(15):
+                barrier.wait(timeout=30)
+                df = read_edge_index_bucketed(
+                    spark, paths[tag], 4, stable_key="race-shared-key"
+                )
+                tags = [r[0] for r in df.select("idx_tag").distinct().collect()]
+                if tags != [tag]:
+                    errors.append(f"{tag} resolved {tags}")
+        except Exception as exc:  # noqa: BLE001 — surfaced via errors list
+            errors.append(f"{tag}: {exc!r}")
+
+    threads = [threading.Thread(target=loader, args=(t,)) for t in ("alpha", "beta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+
 def test_persisted_tpch_snapshot_traversal_steady_state(spark, sf_dir, tmp_path):
     """The steady-state graph-query route (tpch_graph_persisted): loaded
     from a persisted src-bucketed snapshot store, a traversal's plan has

@@ -688,6 +688,35 @@ def test_stream_durable_epochs_serve_bucketed_persisted_route(spark, tmp_path):
     assert g2.get_targets(ROOT_ID, "Catalogue_Artist_Name", "A4").count() == 1
 
 
+def test_stream_epoch_retention_survives_id_gaps(tmp_path):
+    """Retention must keep the newest keep_epochs PUBLISHED epochs even
+    when epoch ids gap (skipped/empty batches): with epochs {2, 7} and
+    keep_epochs=2, epoch 2 is the immediately-previous publish and a
+    concurrent reader may hold lazy frames over it — the old arithmetic
+    range sweep pruned it the moment 7 published (round-7 advisor
+    finding)."""
+    import os
+
+    from graph_db_spark.streaming.apply import _prune_published_epochs
+
+    root = str(tmp_path / "snaps")
+    for e in (2, 7):
+        os.makedirs(os.path.join(root, f"epoch-{e}"))
+    _prune_published_epochs(root, keep_epochs=2)
+    assert sorted(os.listdir(root)) == ["epoch-2", "epoch-7"]
+
+    # a third publish (id 9) makes epoch 2 the second-previous: pruned
+    os.makedirs(os.path.join(root, "epoch-9"))
+    _prune_published_epochs(root, keep_epochs=2)
+    assert sorted(os.listdir(root)) == ["epoch-7", "epoch-9"]
+
+    # non-epoch entries (stream.json, .tmp staging) are never touched
+    open(os.path.join(root, "stream.json"), "w").close()
+    os.makedirs(os.path.join(root, ".tmp-11"))
+    _prune_published_epochs(root, keep_epochs=1)
+    assert sorted(os.listdir(root)) == [".tmp-11", "epoch-9", "stream.json"]
+
+
 def test_stream_durable_pairing_guard_refuses_unverifiable_roots(spark, tmp_path):
     """The checkpoint/snapshot pairing guard's refusal paths: published
     epochs with a MISSING stream.json (deleted / hand-assembled root)
