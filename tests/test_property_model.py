@@ -179,3 +179,91 @@ def test_batched_bpe_selection_equals_sequential(word_freqs, cap):
             state = new_state
 
     assert merges == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),  # batch cap
+)
+def test_greedy_bpe_selection_contract(word_freqs, cap):
+    """Greedy batching (``batch_mode="greedy"`` / exact=False) trades the
+    sequential-equality guarantee for round-count; its DEVIATION is
+    bounded by contract, property-checked over the same adversarial
+    corpora as the exact proof: every round's batch (i) is headed by the
+    sequential argmax pair, (ii) contains the exact-mode batch as a
+    subset (greedy only ever accepts MORE — the conflict predicate is
+    identical up to exact's early stops and count trim), (iii) is
+    mutually non-interacting including existing token strings, (iv)
+    respects the cap; and the finished fit is deterministic,
+    duplicate-free, and constructible (every operand is a single char or
+    an earlier rule's concat) — so the learned rules are always a valid
+    tokenizer even where their order deviates (round-7 verdict item 3)."""
+    from graph_db_spark.operators.bpe import _select_merge_batch
+
+    n_merges = 12
+
+    def run_greedy():
+        state = [(list(w), n) for w, n in word_freqs]
+        merges = []
+        guard = 0
+        while len(merges) < n_merges:
+            guard += 1
+            assert guard <= 200, "greedy loop failed to converge"
+            counts = {}
+            for syms, n in state:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + n
+            if not counts:
+                break
+            rows = sorted(
+                ((a, b, c) for (a, b), c in counts.items()),
+                key=lambda r: (-r[2], r[0], r[1]),
+            )
+            round_cap = min(cap, n_merges - len(merges))
+            known = {x + y for x, y in merges}
+            batch = _select_merge_batch(rows, round_cap, known, exact=False)
+            # (i) headed by the sequential argmax pair
+            assert batch and batch[0] == (rows[0][0], rows[0][1])
+            # (ii) exact-mode batch ⊆ greedy batch
+            exact_batch = _select_merge_batch(rows, round_cap, known, exact=True)
+            assert set(exact_batch) <= set(batch)
+            # (iii) mutually non-interacting, incl. existing tokens
+            used = set()
+            for a, b in batch:
+                assert not ({a, b, a + b} & used)
+                assert (a + b) not in known or (a, b) == batch[0]
+                used.update((a, b, a + b))
+            # (iv) cap respected
+            assert len(batch) <= round_cap
+            merges.extend(batch)
+            for a, b in batch:
+                new_state = []
+                for syms, n in state:
+                    acc = []
+                    for s in syms:
+                        if acc and acc[-1] == a and s == b:
+                            acc[-1] = a + b
+                        else:
+                            acc.append(s)
+                    new_state.append((acc, n))
+                state = new_state
+        return merges
+
+    merges = run_greedy()
+    # deterministic
+    assert run_greedy() == merges
+    # duplicate-free rules, constructible operands
+    built = set()
+    for a, b in merges:
+        assert all(len(s) == 1 or s in built for s in (a, b))
+        assert (a + b) not in built
+        built.add(a + b)
