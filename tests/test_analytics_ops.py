@@ -1487,3 +1487,13 @@ def test_duplicated_span_coverage_matches_bruteforce_random_corpus(spark):
             if counts[tuple(tk[p : p + k])] > 1:
                 covered.update(range(p, p + k))
         assert got[i] == (len(tk), len(covered)), (i, got[i], len(tk), len(covered))
+
+    # the skew-fallback route (groupBy+join, AQE-skew-splittable) is
+    # value-identical to the default single-compute window route
+    got_join = {
+        r["id"]: (r["n_tok"], r["dup_tokens"])
+        for r in duplicated_span_coverage(
+            docs, "doc_id", "text", k=k, dup_count_via="join"
+        ).collect()
+    }
+    assert got_join == got
