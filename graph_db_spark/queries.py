@@ -43,13 +43,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _parquet_rows(sf_dir: str, name: str) -> int:
-    """Exact row count straight from the parquet footer (pyarrow,
-    driver-side) — zero Spark jobs. Callers pass it as corpus_rows to
-    size-switched operators (minhash_near_dup_pairs) so the strategy
-    pick costs no count job at all (round-7 verdict item 8)."""
+    """Exact row count straight from the parquet footer(s) (pyarrow,
+    driver-side) — zero Spark jobs. Handles both the driver's
+    single-file tables and Spark-written part-file directories (the
+    scale-stress corpora). Callers pass it as corpus_rows /
+    corpus-scaled thresholds to size-switched operators so the pick
+    costs no count job at all (round-7 verdict item 8)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+    return pq.ParquetFile(p).metadata.num_rows
 
 
 def _dec(c, scale=4):
@@ -3225,7 +3236,8 @@ def doc_lm_mean_prob(spark, sf_dir):
     g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 2
             THEN [array_to_string(tk[i+1:i+2], ' ') FOR i IN range(len(tk) - 1)] ELSE [] END)) AS gram
           FROM toks),
-    boiler AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram) WHERE df >= 40),
+    boiler AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+               WHERE df >= greatest(40, (SELECT count(*) FROM documents) * 8 // 100)),
     per AS (SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_boiler
             FROM g LEFT JOIN boiler b USING (gram) GROUP BY g.doc_id)
     SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_boiler AS BIGINT) AS n_boiler,
@@ -3235,24 +3247,35 @@ def doc_lm_mean_prob(spark, sf_dir):
 )
 def boilerplate_ngrams(spark, sf_dir):
     """Boilerplate n-gram detection (the RefinedWeb/CCNet-style template
-    filter): word bigrams whose document frequency is >= 40 are deemed
-    boilerplate; each document reports how much of its distinct-bigram
-    surface is boilerplate. Downstream cleaning drops or down-weights
-    high-boiler_frac docs.
+    filter): word bigrams appearing in at least 8% of the corpus's
+    documents (floored at df >= 40 so tiny corpora keep a stable cut —
+    at the 500-doc correctness scale the floor IS the gate, unchanged
+    from earlier rounds) are deemed boilerplate; each document reports
+    how much of its distinct-bigram surface is boilerplate. Downstream
+    cleaning drops or down-weights high-boiler_frac docs.
+
+    The RELATIVE threshold is the scale-correct form: an absolute df cut
+    marks every common phrase "boilerplate" once the corpus outgrows it
+    (the round-7 artifact: at 10x the docs, df>=40 flagged ~every bigram
+    and the curated-pack pipeline emitted zero survivors), while 8%
+    document frequency means the same thing at 500 docs or 500 million.
 
     100 TB shape: df counts are one map-side-combinable grouped agg over
-    distinct per-doc grams; the boilerplate set is small by construction
-    (high-df tail) and broadcast for the per-doc membership count."""
+    distinct per-doc grams; the corpus size comes from the parquet
+    footer (driver-side, no job); the boilerplate set is small by
+    construction (high-df tail) and broadcast for the per-doc
+    membership count."""
     from graph_db_spark.functions.text import shingle_array
 
     from graph_db_spark.session import spread_small_input
 
+    thr = max(40, _parquet_rows(sf_dir, "documents") * 8 // 100)
     d = spread_small_input(_t(spark, sf_dir, "documents"))
     g = d.select("doc_id", F.explode(shingle_array(F.lower(F.col("text")), 2)).alias("gram"))
     boiler = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 40)
+        .filter(F.col("df") >= thr)
         .select("gram", F.lit(1).alias("is_b"))
     )
     per = (
