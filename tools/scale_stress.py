@@ -32,7 +32,10 @@ built by the same expressions with a bigger range/expansion factor.
 Shuffle volume per op is read from the Spark UI REST API (total shuffle
 write bytes across the op's stages) — the scale-out cost driver.
 
-Usage: python tools/scale_stress.py [--fast]   (--fast = 1/10 sizes, smoke)
+Usage: python tools/scale_stress.py [--fast] [--x30] [--only=op1,op2]
+  --fast      1/10 sizes (smoke)
+  --x30       add a 30x point for the flagships (bfs_stats, ann_ivf_kmeans)
+  --only=...  run only the named ops (targeted quiet re-measures)
 Prints one JSON line; paste the table into BASELINE.md.
 """
 
@@ -142,11 +145,22 @@ def expanded_embeddings(spark, sf_dir: str, factor: int):
 
 def main() -> None:
     fast = "--fast" in sys.argv
+    x30 = "--x30" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     div = 10 if fast else 1
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="scale_stress", cpus=cpus, extra_conf={"spark.ui.enabled": "true"}
     )
+
+    def want(*ops: str) -> bool:
+        """--only=<csv> gates whole setup blocks, so a targeted re-measure
+        (e.g. the quiet stream_dedup_banded run) skips the other corpora
+        entirely instead of paying their generation + execution."""
+        return only is None or bool(only & set(ops))
 
     from graph_db_spark.catalogue import catalogue_schema
     from graph_db_spark.graph import GraphSnapshot
@@ -167,7 +181,12 @@ def main() -> None:
         print(f"[stress] {op} @{scale}: {dt}s shuffle={mb}MB {out}", file=sys.stderr, flush=True)
 
     # -- graph ops on the layered DAG --------------------------------------
-    for scale, width in (("1x", 62_500 // div), ("10x", 625_000 // div)):
+    graph_scales = [("1x", 62_500 // div), ("10x", 625_000 // div)]
+    if x30:
+        # two-point trend for the flagship: 30x turns the 10x→100x
+        # extrapolation into a measured slope (round-7 verdict item 7).
+        graph_scales.append(("30x", 1_875_000 // div))
+    for scale, width in graph_scales if want("bfs_stats", "bfs_stats_degraded", "cc_star") else []:
         v, e = layered_graph(spark, width=width, layers=8)
         ei = e.select(
             "src", F.lit("T").alias("idx_tag"), F.lit(None).cast("string").alias("idx_key"), "dst"
@@ -175,12 +194,15 @@ def main() -> None:
         snap = GraphSnapshot(
             v.select("id", F.lit("N").alias("kind")), e, ei, catalogue_schema()
         )
-        run(
-            "bfs_stats",
-            scale,
-            lambda s=snap: {"stats": list(s.get_stats().as_tuple())},
-        )
-        if scale == "10x":
+        if want("bfs_stats"):
+            run(
+                "bfs_stats",
+                scale,
+                lambda s=snap: {"stats": list(s.get_stats().as_tuple())},
+            )
+        if scale == "30x":
+            continue  # 30x measures the flagship only
+        if scale == "10x" and want("bfs_stats_degraded"):
             # force the broadcast→shuffle degrade MID-TRAVERSAL at real
             # size (the default 8M guard can't trip below 8M reachable
             # ids): lower the guard so the walk switches to shuffle
@@ -195,20 +217,24 @@ def main() -> None:
                     type(s).BFS_BROADCAST_MAX_IDS = prev
 
             run("bfs_stats_degraded", scale, degraded)
-        run(
-            "cc_star",
-            scale,
-            lambda vv=v, ee=e: (lambda lr: {"components": lr[0].filter(F.col("component") == 0).count(), "rounds": lr[1]})(
-                connected_components_star(vv, ee)
-            ),
-        )
+        if want("cc_star"):
+            run(
+                "cc_star",
+                scale,
+                lambda vv=v, ee=e: (lambda lr: {"components": lr[0].filter(F.col("component") == 0).count(), "rounds": lr[1]})(
+                    connected_components_star(vv, ee)
+                ),
+            )
 
     # -- MinHash+LSH dedup on the generated corpus -------------------------
     # minhash_near_dup_pairs now picks the band-join strategy from the
     # corpus row count (LSH_BROADCAST_MAX_DOCS); record which plan the
     # auto path chose so the artifact proves it matches the measured
     # winner (shuffle at both 50k and 500k — r06 numbers).
-    for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+    minhash_ops = ("dedup_minhash", "dedup_minhash_byte_hint_path")
+    for scale, n in (
+        (("1x", 50_000 // div), ("10x", 500_000 // div)) if want(*minhash_ops) else ()
+    ):
         docs = synthetic_docs(spark, n)
 
         # plan-only peek (no execution): which band-join strategy did the
@@ -260,7 +286,10 @@ def main() -> None:
 
     from graph_db_spark.queries import REGISTRY
 
-    for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+    pipeline_ops = ("pipeline_training_corpus", "pipeline_curated_pack")
+    for scale, n in (
+        (("1x", 50_000 // div), ("10x", 500_000 // div)) if want(*pipeline_ops) else ()
+    ):
         tmp = tempfile.mkdtemp(prefix=f"stress_docs_{scale}_")
         try:
             synthetic_docs(spark, n).select(
@@ -272,22 +301,39 @@ def main() -> None:
                 ),
                 F.length("text").cast("long").alias("n_chars"),
             ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
-            run(
-                "pipeline_training_corpus",
-                scale,
-                lambda t=tmp: {
-                    "rows": REGISTRY["pipeline_training_corpus"].build(spark, t).count()
-                },
-            )
-            run(
-                "pipeline_curated_pack",
-                scale,
-                lambda t=tmp: {
-                    "rows": REGISTRY["pipeline_curated_pack"].build(spark, t).count()
-                },
-            )
+            for op in pipeline_ops:
+                if want(op):
+                    run(
+                        op,
+                        scale,
+                        lambda t=tmp, o=op: {
+                            "rows": REGISTRY[o].build(spark, t).count()
+                        },
+                    )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- exact-substring span coverage at corpus scale ---------------------
+    # duplicated_span_coverage (Lee et al. criterion, round-8 windowed
+    # single-compute shape) on the generated corpus: the planted twins
+    # share every 10-gram except the windows crossing their differing
+    # token, so dup_docs = both members of every planted pair.
+    for scale, n in (
+        (("1x", 50_000 // div), ("10x", 500_000 // div))
+        if want("exact_substring_spans")
+        else ()
+    ):
+        docs = synthetic_docs(spark, n)
+        run(
+            "exact_substring_spans",
+            scale,
+            lambda d=docs, nn=n: {
+                "docs": nn,
+                "dup_docs": D.duplicated_span_coverage(d, "doc_id", "text", k=10)
+                .filter(F.col("dup_tokens") > 0)
+                .count(),
+            },
+        )
 
     # -- STREAMING banded near-dup at corpus scale -------------------------
     # The stateful per-bucket first-writer-wins operator driven through
@@ -297,7 +343,11 @@ def main() -> None:
     # — across batches the watermark timeout bounds it instead).
     from graph_db_spark.streaming import stream_dedup_near_banded
 
-    for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+    for scale, n in (
+        (("1x", 50_000 // div), ("10x", 500_000 // div))
+        if want("stream_dedup_banded")
+        else ()
+    ):
         tmp = tempfile.mkdtemp(prefix=f"stress_stream_{scale}_")
         try:
             synthetic_docs(spark, n).select(
@@ -341,7 +391,11 @@ def main() -> None:
     # frontier join per level for ALL landmarks together.
     from graph_db_spark.pregel import tagged_bfs_levels
 
-    for scale, width in (("1x", 62_500 // div), ("10x", 625_000 // div)):
+    for scale, width in (
+        (("1x", 62_500 // div), ("10x", 625_000 // div))
+        if want("landmark_distances")
+        else ()
+    ):
         v, e = layered_graph(spark, width=width, layers=8)
         landmarks = spark.createDataFrame(
             [(0,), (1 + width // 2,), (1 + 3 * width,)], "id LONG"
@@ -355,7 +409,10 @@ def main() -> None:
         )
 
     # -- k-means fit + IVF probe on expanded embeddings --------------------
-    for scale, factor in (("1x", max(10 // div, 1)), ("10x", max(100 // div, 2))):
+    ann_scales = [("1x", max(10 // div, 1)), ("10x", max(100 // div, 2))]
+    if x30:
+        ann_scales.append(("30x", max(300 // div, 3)))
+    for scale, factor in ann_scales if want("ann_ivf_kmeans") else []:
         # spread to cluster parallelism: the fixture is one parquet file,
         # and a real corpus arrives in thousands of splits
         emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
@@ -375,6 +432,11 @@ def main() -> None:
         if "1x" in d and "10x" in d and d["1x"]["sec"] > 0:
             d["ratio_10x"] = round(d["10x"]["sec"] / d["1x"]["sec"], 2)
             d["superlinear_blowup"] = d["ratio_10x"] > 20  # >2× over linear
+        if "10x" in d and "30x" in d and d["10x"]["sec"] > 0:
+            # second measured point on the scaling curve: 3x more data
+            # from the 10x base; >6 would be 2x over linear
+            d["ratio_30x_vs_10x"] = round(d["30x"]["sec"] / d["10x"]["sec"], 2)
+            d["superlinear_blowup_30x"] = d["ratio_30x_vs_10x"] > 6
 
     print(json.dumps({"metric": "scale_stress", "fast": fast, "cpus": int(cpus), "ops": results}))
     spark.stop()
