@@ -220,6 +220,10 @@ def main() -> None:
         "doc_feature_hash_embed",
         "graph_landmark_distances",
         "doc_similar_feature_hash",
+        # round-8: cluster-bounded semantic dedup (SemDeDup) and DSIR
+        # hashed-n-gram importance weighting
+        "dedup_semantic_semdedup",
+        "dsir_importance_weights",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

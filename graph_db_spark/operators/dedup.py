@@ -461,3 +461,109 @@ def strip_duplicated_spans(
             " ", F.transform(kept_idx, lambda i: F.element_at("tk", i))
         ).alias("clean_text"),
     )
+
+
+def semantic_dedup_verdicts(
+    df: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning with the quadratic term bounded by embedding
+    clusters. Returns one verdict row per vector:
+    (id, cell, cent_cos, pruned).
+
+    Each vector is assigned to its nearest trained centroid by cosine
+    (rounded to 6dp, ties on cell id — the ivf_assign contract). Within
+    a cell, members are ordered by (cent_cos ASC, id ASC) and a vector
+    is PRUNED when some earlier member of its cell has cosine >= tau to
+    it — i.e. the kept representative of each near-dup group is the one
+    LEAST similar to the centroid (the paper's default keep-rule:
+    keeping cluster outliers preserves diversity; Table 1 shows the
+    keep-low/keep-high/random choice barely matters).
+
+    Scale shape: the centroid table broadcasts into assignment (one
+    corpus scan, no shuffle); the member frame shuffles ONCE on cell id
+    for the within-cell pair join (equi-join — never a cross product;
+    AQE skew-split applies if a cell runs hot). Pairwise work is
+    sum(|cell|^2): k is chosen so |cell| ~ n/k stays bounded (the paper
+    runs 50k clusters for 440M embeddings), making total work O(n * n/k)
+    — linear when k scales with the corpus. Degenerate vectors
+    (zero-norm -> NULL cosine) get no assignment and are emitted with
+    NULL cell, cent_cos, and pruned=false, mirroring ivf_assign's
+    degenerate-input contract."""
+    from graph_db_spark.functions.vector import dot, with_norm
+
+    v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")), "vec")
+    c = with_norm(
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")), "cvec"
+    ).withColumnRenamed("__norm", "cnorm")
+    # Nearest-cell pick via min-struct (map-side combinable, no window):
+    # (-ccos, cell) lexicographic min == orderBy(ccos desc, cell asc).
+    # Zero-norm denominators go through a when-guard to NULL (ANSI mode
+    # raises DIVIDE_BY_ZERO on a bare division) and are filtered — the
+    # ivf_assign degenerate-input contract.
+    denom = F.col("__norm") * F.col("cnorm")
+    assign = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn(
+            "ccos",
+            F.round(F.when(denom != 0, dot(F.col("vec"), F.col("cvec")) / denom), 6),
+        )
+        .filter(F.col("ccos").isNotNull())
+        .groupBy("id")
+        .agg(F.min(F.struct((-F.col("ccos")).alias("negcos"), F.col("cell"))).alias("m"))
+        .select(
+            "id",
+            F.col("m.cell").alias("cell"),
+            (-F.col("m.negcos")).alias("cent_cos"),
+        )
+    )
+    mem = v.join(assign, "id")
+    x = mem.select(
+        F.col("id").alias("xid"),
+        F.col("vec").alias("xvec"),
+        F.col("__norm").alias("xnorm"),
+        "cell",
+        F.col("cent_cos").alias("xcc"),
+    )
+    y = mem.select(
+        F.col("id").alias("yid"),
+        F.col("vec").alias("yvec"),
+        F.col("__norm").alias("ynorm"),
+        "cell",
+        F.col("cent_cos").alias("ycc"),
+    )
+    pruned = (
+        x.join(y, "cell")
+        .filter(
+            (F.col("ycc") < F.col("xcc"))
+            | ((F.col("ycc") == F.col("xcc")) & (F.col("yid") < F.col("xid")))
+        )
+        .filter(
+            F.round(
+                F.when(
+                    F.col("xnorm") * F.col("ynorm") != 0,
+                    dot(F.col("xvec"), F.col("yvec")) / (F.col("xnorm") * F.col("ynorm")),
+                ),
+                6,
+            )
+            >= F.lit(tau)
+        )
+        .select(F.col("xid").alias("id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        v.select("id")
+        .join(assign, "id", "left")
+        .join(pruned, "id", "left")
+        .select(
+            "id",
+            "cell",
+            "cent_cos",
+            F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
+        )
+    )

@@ -199,3 +199,87 @@ def fingerprint(
             "fingerprint"
         ),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_flag: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) hashed-n-gram importance
+    weights: fit bag-of-hashed-tokens unigram models over *n_buckets*
+    md5 buckets with add-one smoothing for the TARGET slice (rows where
+    boolean column *target_flag* is true) and the RAW corpus, then score
+    every document with sum_b c_b * ln(p_target(b) / p_raw(b)).
+
+    Returns (id_col, *keep_cols, dsir_weight, gumbel_key, selected):
+    `gumbel_key` is the paper's Gumbel-perturbed resampling key made
+    deterministic (uniform u from a 52-bit md5 hash of the id instead of
+    RNG) so downstream top-k resampling is one orderBy/limit;
+    `selected` is the row-local likelihood-ratio verdict (weight >= 0).
+
+    Cross-engine determinism: per-bucket log-ratios are rounded to 6dp
+    and the per-doc sum runs in DECIMAL (exact multiples of 1e-6 →
+    order-independent), so a DuckDB twin reproduces the weights exactly.
+
+    100 TB shape: token explode → ONE shuffle keyed (id, bucket) for the
+    per-doc counts; the two feature models are n_buckets-row aggregates
+    broadcast back; the per-doc sum shuffles fixed-width rows. No global
+    sort — ranking is deferred to the gumbel_key top-k."""
+    from graph_db_spark.functions.text import ws_tokens
+
+    def hex_int(col, n):
+        return F.conv(F.substring(col, 1, n), 16, 10).cast("long")
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_flag).alias("_tgt"),
+        *[F.col(c) for c in keep_cols],
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    bk = toks.withColumn(
+        "bucket",
+        hex_int(F.md5(F.concat(F.lit("dsir|"), F.col("token"))), 8) % n_buckets,
+    ).drop("token")
+    per_doc = bk.groupBy("id", *keep_cols, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    raw = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
+    tgt = bk.filter(F.col("_tgt")).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    tot = bk.groupBy().agg(
+        F.count(F.lit(1)).alias("tot_q"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tot_t"),
+    )
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("tot_q") + n_buckets)
+                    / ((F.col("cq") + 1).cast("double") * (F.col("tot_t") + n_buckets))
+                ),
+                6,
+            ).alias("lam"),
+        )
+    )
+    wts = (
+        per_doc.join(F.broadcast(lam), "bucket")
+        .groupBy("id", *keep_cols)
+        .agg(F.sum(F.col("lam").cast("decimal(18,6)") * F.col("c")).alias("wsum"))
+        .select("id", *keep_cols, F.col("wsum").cast("double").alias("dsir_weight"))
+    )
+    u = (
+        hex_int(F.md5(F.concat(F.lit("g|"), F.col("id").cast("string"))), 13)
+        + F.lit(0.5)
+    ) / F.lit(4503599627370496.0)
+    return wts.select(
+        F.col("id").alias(id_col),
+        *keep_cols,
+        "dsir_weight",
+        F.round(F.col("dsir_weight") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+        (F.col("dsir_weight") >= 0).alias("selected"),
+    )

@@ -2950,6 +2950,76 @@ def mix_sources_weighted(spark, sf_dir):
 
 
 @q(
+    "dsir_importance_weights",
+    # Per-bucket log-ratios are rounded to 6dp and summed as DECIMALs
+    # (exact multiples of 1e-6 → order-independent, cross-engine exact);
+    # only the per-bucket ln and the per-doc Gumbel double-ln ride the
+    # same round(ln,6) convention the PMI/TF-IDF oracles already use.
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, t.tok AS token
+      FROM (SELECT doc_id, source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+      WHERE t.tok <> ''),
+    bk AS (SELECT doc_id, source,
+                  {_hex_int_sql("md5('dsir|' || token)", 8)} % 1024 AS bucket
+           FROM toks),
+    per_doc AS (SELECT doc_id, source, bucket, count(*) AS c
+                FROM bk GROUP BY doc_id, source, bucket),
+    raw AS (SELECT bucket, count(*) AS cq FROM bk GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS ct FROM bk WHERE source = 'src0' GROUP BY bucket),
+    tot AS (SELECT count(*) AS tot_q,
+                   sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tot_t
+            FROM bk),
+    lam AS (
+      SELECT r.bucket,
+             round(ln(CAST(coalesce(g.ct, 0) + 1 AS DOUBLE) * (t.tot_q + 1024)
+                      / (CAST(r.cq + 1 AS DOUBLE) * (t.tot_t + 1024))), 6) AS lam
+      FROM raw r LEFT JOIN tgt g ON r.bucket = g.bucket CROSS JOIN tot t),
+    w AS (
+      SELECT p.doc_id, p.source,
+             CAST(sum(CAST(l.lam AS DECIMAL(18,6)) * p.c) AS DOUBLE) AS dsir_weight
+      FROM per_doc p JOIN lam l ON p.bucket = l.bucket
+      GROUP BY p.doc_id, p.source)
+    SELECT doc_id, source, dsir_weight,
+           round(dsir_weight - ln(-ln((
+             {_hex_int_sql("md5('g|' || CAST(doc_id AS VARCHAR))", 13)} + 0.5)
+             / 4503599627370496.0)), 6) AS gumbel_key,
+           dsir_weight >= 0 AS selected
+    FROM w
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram importance
+    weights for target-distribution data selection. A bag-of-hashed-tokens
+    unigram model is fit for the TARGET slice (source='src0') and the RAW
+    corpus over 1024 md5 buckets with add-one smoothing; each document's
+    weight is sum_b c_b * ln(p_target(b)/p_raw(b)). `gumbel_key` is the
+    paper's Gumbel-perturbed resampling key made deterministic (uniform u
+    from a 52-bit md5 hash of doc_id instead of RNG) — downstream top-k
+    resampling is one orderBy/limit on it; `selected` is the row-local
+    likelihood-ratio verdict (weight >= 0: the doc looks more target-like
+    than raw-like).
+
+    100 TB shape: token explode → ONE shuffle keyed (doc_id, bucket) for
+    the per-doc counts; the feature models are two 1024-row aggregates
+    broadcast back; weighting is map-side after the broadcast join, with
+    the per-doc sum shuffling fixed-width (doc_id, decimal) rows. No
+    global sort anywhere — ranking is deferred to the gumbel_key top-k.
+
+    NOTE: this fixture's sources share one vocabulary distribution, so
+    the weights hover near the smoothing-bias baseline — separation on a
+    corpus with a real target signal is pinned by
+    test_dsir_weights_favor_target_source's synthetic corpus."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_is_tgt", F.col("source") == "src0"
+    )
+    return TX.dsir_weights(
+        d, "_is_tgt", id_col="doc_id", text_col="text", keep_cols=("source",)
+    )
+
+
+@q(
     "sketch_kmv_distinct_tokens",
     f"""
     WITH toks AS (
@@ -5170,6 +5240,84 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     cent = kmeans_fit(emb, k=8, n_iters=2)
     return ivf_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=2, centroids=cent
+    )
+
+
+@q(
+    "dedup_semantic_semdedup",
+    # SemDeDup over the corpus ∪ planted perturbed copies: the oracle
+    # re-derives the trained centroids bit-for-bit (same CTEs as the
+    # IVF query), then replicates assignment, the (cent_cos ASC, id ASC)
+    # keep-order, and the within-cell pairwise >= tau prune EXACTLY —
+    # a hash-match certifies the whole cluster-bounded dedup pipeline.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    """pert AS (
+      SELECT list_transform(range(0, len(v)), d ->
+               v[d + 1] + 0.005 * CAST(((d * 31 + vec_id) % 5) - 2 AS DOUBLE)) AS v,
+             vec_id + 100000 AS vec_id
+      FROM base
+    ),
+    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+    c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"""
+    + _kmeans_iter_sql(1, 0)
+    + ","
+    + _kmeans_iter_sql(2, 1)
+    + """,
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    asg AS (
+      SELECT vec_id, cell, ccos FROM (
+        SELECT n.vec_id, cent.cell,
+               round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) AS ccos,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n CROSS JOIN cent) WHERE r = 1),
+    mem AS (SELECT a.vec_id, a.cell, a.ccos, n.v, n.nrm
+            FROM asg a JOIN n ON n.vec_id = a.vec_id),
+    pr AS (
+      SELECT DISTINCT x.vec_id FROM mem x JOIN mem y ON x.cell = y.cell
+        AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.99)
+    SELECT e.vec_id, a.cell, a.ccos AS cent_cos,
+           (p.vec_id IS NOT NULL) AS pruned
+    FROM e LEFT JOIN asg a ON a.vec_id = e.vec_id
+           LEFT JOIN pr p ON p.vec_id = e.vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup over
+    the embedding corpus ∪ its planted perturbed twins (the same
+    deterministic near-dup construction embedding_near_dup_pairs uses —
+    the raw corpus has no near-dups). The trained k-means centroids
+    (k=8, 2 iterations, decimal-exact) localize the quadratic pairwise
+    term to within-cell joins; each near-dup group keeps its
+    least-centroid-similar member. Expect ~one verdict row per vector
+    with the planted twins pruned.
+
+    100 TB shape: centroids broadcast; ONE shuffle on cell id; pairwise
+    work n·(n/k) with k scaled to the corpus (operators/dedup.py
+    semantic_dedup_verdicts docstring)."""
+    from graph_db_spark.operators.dedup import semantic_dedup_verdicts
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005)
+            * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    u = e.unionByName(pert)
+    cent = kmeans_fit(u, k=8, n_iters=2)
+    return semantic_dedup_verdicts(u, cent, tau=0.99).select(
+        F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
     )
 
 

@@ -1497,3 +1497,120 @@ def test_duplicated_span_coverage_matches_bruteforce_random_corpus(spark):
         ).collect()
     }
     assert got_join == got
+
+
+def test_semantic_dedup_prunes_planted_twins(spark, sf_dir):
+    """SemDeDup contract on the planted-twin fixture: nearly every
+    (i, i+100000) twin pair co-assigns to one cell (cos ~0.998 between
+    twins; a pair can legitimately straddle a cluster boundary — the
+    paper's documented miss mode — so assert >= 90%), every CO-ASSIGNED
+    pair has exactly ONE member pruned, and the kept one is the pair's
+    least-centroid-similar member (ties on id) — the keep-low rule.
+    Also: no vector is pruned in a cell where it is the (cent_cos,
+    id)-first member."""
+    from graph_db_spark.operators.dedup import semantic_dedup_verdicts
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005) * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    u = e.unionByName(pert)
+    cent = kmeans_fit(u, k=8, n_iters=2)
+    rows = {
+        r.id: r for r in semantic_dedup_verdicts(u, cent, tau=0.99).collect()
+    }
+    n_base = e.count()
+    assert len(rows) == 2 * n_base  # one verdict per vector
+    co_assigned = 0
+    for i in range(n_base):
+        a, b = rows[i], rows[i + 100000]
+        if a.cell != b.cell:
+            continue  # boundary-straddling pair: unprunable by design
+        co_assigned += 1
+        assert a.pruned != b.pruned, f"twin pair {i}: expected exactly one pruned"
+        kept, cut = (a, b) if not a.pruned else (b, a)
+        assert (kept.cent_cos, kept.id) < (cut.cent_cos, cut.id)
+    assert co_assigned >= 0.9 * n_base
+    # per-cell first member in (cent_cos, id) order is never pruned
+    by_cell = {}
+    for r in rows.values():
+        by_cell.setdefault(r.cell, []).append(r)
+    for members in by_cell.values():
+        first = min(members, key=lambda r: (r.cent_cos, r.id))
+        assert not first.pruned
+
+
+def test_semantic_dedup_degenerate_zero_vector(spark):
+    """A zero-norm vector (NULL cosine everywhere) gets NULL cell and
+    pruned=false — the ivf_assign degenerate-input contract — and
+    distinct far-apart vectors are never pruned at a high threshold."""
+    from graph_db_spark.operators.dedup import semantic_dedup_verdicts
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (9, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    cent = df.filter(F.col("vec_id") < 2)
+    got = {r.id: r for r in semantic_dedup_verdicts(df, cent, tau=0.99).collect()}
+    assert set(got) == {0, 1, 2, 9}
+    assert got[9].cell is None and got[9].pruned is False
+    assert not any(r.pruned for r in got.values())
+
+
+def test_dsir_weights_favor_target_source(spark):
+    """DSIR on a corpus with a REAL target signal: target docs draw from
+    vocabulary B, raw docs from disjoint vocabulary A. Every B-vocab doc
+    must outscore every A-vocab doc — including B-vocab docs NOT labeled
+    target (DSIR selects by content, not label: that's the point of
+    importance resampling). B docs land selected=true (their buckets'
+    target/raw likelihood ratio > 1), A docs false. The deterministic
+    Gumbel key must be finite and distinct per doc.
+
+    (The parquet fixture's sources share one vocabulary distribution, so
+    separation there would be asserting noise — the fixture query's gate
+    is its DuckDB value-hash oracle.)"""
+    import math
+
+    from graph_db_spark.operators.text import dsir_weights
+
+    a_vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    b_vocab = ["omega", "sigma", "lam", "theta", "phi"]
+    rows = []
+    for i in range(45):
+        uses_b = i < 10 or i >= 40  # 10 labeled target + 5 unlabeled B-vocab
+        vocab = b_vocab if uses_b else a_vocab
+        toks = [vocab[(i * 7 + j) % 5] for j in range(30)]
+        rows.append((i, i < 10, uses_b, " ".join(toks)))
+    df = spark.createDataFrame(
+        rows, "doc_id INT, is_tgt BOOLEAN, uses_b BOOLEAN, text STRING"
+    )
+    got = {
+        r.doc_id: r
+        for r in dsir_weights(
+            df, "is_tgt", id_col="doc_id", text_col="text", keep_cols=("uses_b",)
+        ).collect()
+    }
+    assert len(got) == 45
+    b_w = [r.dsir_weight for r in got.values() if r.uses_b]
+    a_w = [r.dsir_weight for r in got.values() if not r.uses_b]
+    assert min(b_w) > max(a_w)
+    for r in got.values():
+        assert r.selected == (r.dsir_weight >= 0)
+        assert r.selected == r.uses_b
+    keys = [r.gumbel_key for r in got.values()]
+    assert all(math.isfinite(k) for k in keys)
+    assert len(set(keys)) == len(keys)

@@ -515,10 +515,19 @@ def test_lsh_band_join_strategy_is_stats_driven(spark, sf_dir):
 
 
 def test_exact_substring_spans_plan_no_cross_product(spark, sf_dir):
-    """The duplicated-span plan must stay equi-join shaped: positioned
-    k-grams joined back on the md5 gram key — no cross product, no
-    broadcast nested loop, and the dup-gram aggregate is map-side
-    combinable (partial_count present)."""
+    """The duplicated-span plan must keep its route-specific shape.
+
+    Default (windowed single-compute, round 8): the positioned gram set
+    — the expensive k-token concat + md5 per position — is computed
+    ONCE, so the whole plan reads the documents table exactly twice
+    (gram side + the final left-join back onto toks), with the dup
+    decision a count over the gram-key Window; and still no cross
+    product or broadcast nested loop anywhere.
+
+    Join route (the AQE-skew fallback): dup grams come from a
+    map-side-combinable count aggregate (partial_count), joined back as
+    an equi-join."""
+    from graph_db_spark.operators.dedup import duplicated_span_coverage
     from graph_db_spark.plans import explain_str
     from graph_db_spark.queries import REGISTRY
 
@@ -526,4 +535,17 @@ def test_exact_substring_spans_plan_no_cross_product(spark, sf_dir):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Window" in plan, plan
+    # formatted explain prints each node in the tree AND a detail header;
+    # count the "(n) Scan parquet" headers for the true scan-node count
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jplan = explain_str(
+        duplicated_span_coverage(docs, "doc_id", "text", k=10, dup_count_via="join")
+    )
+    assert "CartesianProduct" not in jplan, jplan
+    assert "BroadcastNestedLoopJoin" not in jplan, jplan
+    assert "partial_count" in jplan, jplan
