@@ -521,7 +521,15 @@ def semantic_dedup_verdicts(
             (-F.col("m.negcos")).alias("cent_cos"),
         )
     )
-    mem = v.join(assign, "id")
+    # Materialize the assigned-member frame ONCE (localCheckpoint, the
+    # BPE/Pregel discipline): it feeds both sides of the pair join and
+    # the final verdict, and without the cut Spark would re-run the
+    # scan + broadcast-assignment subtree three times.
+    mem = (
+        v.join(assign, "id")
+        .select("id", "vec", "__norm", "cell", "cent_cos")
+        .localCheckpoint(eager=True)
+    )
     x = mem.select(
         F.col("id").alias("xid"),
         F.col("vec").alias("xvec"),
@@ -558,7 +566,7 @@ def semantic_dedup_verdicts(
     )
     return (
         v.select("id")
-        .join(assign, "id", "left")
+        .join(mem.select("id", "cell", "cent_cos"), "id", "left")
         .join(pruned, "id", "left")
         .select(
             "id",

@@ -244,21 +244,34 @@ def dsir_weights(
         "bucket",
         hex_int(F.md5(F.concat(F.lit("dsir|"), F.col("token"))), 8) % n_buckets,
     ).drop("token")
-    per_doc = bk.groupBy("id", *keep_cols, "bucket").agg(F.count(F.lit(1)).alias("c"))
-    raw = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    tgt = bk.filter(F.col("_tgt")).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    tot = bk.groupBy().agg(
-        F.count(F.lit(1)).alias("tot_q"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tot_t"),
+    # ONE corpus-wide explode + shuffle: the per-(doc, bucket) counts,
+    # materialized (localCheckpoint — per-branch column pruning would
+    # otherwise give the model and weighting branches differently-pruned
+    # copies of this subtree and re-scan the corpus three times; exchange
+    # reuse cannot kick in across different pruned schemas). Both feature
+    # models and their totals then derive from this already-collapsed
+    # frame (a bucket-keyed agg over ~n_docs*distinct-buckets rows, then
+    # a 1-row sum over the n_buckets-row model) — never a second scan or
+    # shuffle of the raw token stream.
+    per_doc = (
+        bk.groupBy("id", "_tgt", *keep_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    model = per_doc.groupBy("bucket").agg(
+        F.sum("c").alias("cq"),
+        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias("ct"),
+    )
+    tot = model.groupBy().agg(
+        F.sum("cq").alias("tot_q"), F.sum("ct").alias("tot_t")
     )
     lam = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        model.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    (F.col("ct") + 1).cast("double")
                     * (F.col("tot_q") + n_buckets)
                     / ((F.col("cq") + 1).cast("double") * (F.col("tot_t") + n_buckets))
                 ),
