@@ -220,9 +220,11 @@ def main() -> None:
         "doc_feature_hash_embed",
         "graph_landmark_distances",
         "doc_similar_feature_hash",
-        # round-8: cluster-bounded semantic dedup (SemDeDup) and DSIR
-        # hashed-n-gram importance weighting
+        # round-8: cluster-bounded semantic dedup (SemDeDup, exact +
+        # hierarchical-assignment scale variant) and DSIR hashed-n-gram
+        # importance weighting
         "dedup_semantic_semdedup",
+        "dedup_semantic_semdedup_hier",
         "dsir_importance_weights",
     ]
     # Warmup (criterion-style, like the reference's harness): run each

@@ -5162,25 +5162,28 @@ def bpe_encode_fixed_rules(spark, sf_dir):
     )
 
 
-def _kmeans_iter_sql(n: int, p: int) -> str:
+def _kmeans_iter_sql(n: int, p: int, src: str = "e", pfx: str = "") -> str:
     """One Lloyd's iteration as CTEs: assign (sequential-fold distances —
     identical doubles on any engine), decimal-exact per-(cell,dim) means,
     empty cells keep the previous centroid. Twin of
-    operators.similarity.kmeans_fit."""
+    operators.similarity.kmeans_fit. *src* names the (vec_id, v) corpus
+    CTE and *pfx* prefixes this fit's CTE names, so a second independent
+    fit (e.g. the hierarchical coarse codebook over fine centroids) can
+    run in the same WITH clause."""
     return f"""
-    a{n} AS (SELECT vec_id, v, cell FROM (
+    {pfx}a{n} AS (SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  list_sum(list_transform(range(len(e.v)), i ->
                    (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC, c.cell ASC) AS rn
-        FROM e, c{p} c) WHERE rn = 1),
-    m{n} AS (SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM a{n}),
-    g{n} AS (SELECT cell, dim,
+        FROM {src} e, {pfx}c{p} c) WHERE rn = 1),
+    {pfx}m{n} AS (SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM {pfx}a{n}),
+    {pfx}g{n} AS (SELECT cell, dim,
                     round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS val
-             FROM m{n} GROUP BY cell, dim),
-    c{n} AS (SELECT o.cell, coalesce(nn.c, o.c) AS c
-             FROM c{p} o LEFT JOIN
-               (SELECT cell, list(val ORDER BY dim) AS c FROM g{n} GROUP BY cell) nn
+             FROM {pfx}m{n} GROUP BY cell, dim),
+    {pfx}c{n} AS (SELECT o.cell, coalesce(nn.c, o.c) AS c
+             FROM {pfx}c{p} o LEFT JOIN
+               (SELECT cell, list(val ORDER BY dim) AS c FROM {pfx}g{n} GROUP BY cell) nn
                ON o.cell = nn.cell)"""
 
 
@@ -5317,6 +5320,107 @@ def dedup_semantic_semdedup(spark, sf_dir):
     u = e.unionByName(pert)
     cent = kmeans_fit(u, k=8, n_iters=2)
     return semantic_dedup_verdicts(u, cent, tau=0.99).select(
+        F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
+    )
+
+
+@q(
+    "dedup_semantic_semdedup_hier",
+    # Two-level SemDeDup: the oracle re-derives BOTH codebooks
+    # bit-for-bit (fine k=8 over the corpus, coarse k'=3 over the fine
+    # centroids — the prefixed second kmeans CTE chain), replicates the
+    # fine→coarse route, the vector→coarse pick, the within-cell fine
+    # pick, and the pairwise prune. A hash-match certifies the entire
+    # hierarchical assignment path cross-engine.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    """pert AS (
+      SELECT list_transform(range(0, len(v)), d ->
+               v[d + 1] + 0.005 * CAST(((d * 31 + vec_id) % 5) - 2 AS DOUBLE)) AS v,
+             vec_id + 100000 AS vec_id
+      FROM base
+    ),
+    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+    c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"""
+    + _kmeans_iter_sql(1, 0)
+    + ","
+    + _kmeans_iter_sql(2, 1)
+    + """,
+    f AS (SELECT cell AS vec_id, c AS v FROM c2),
+    kc0 AS (SELECT vec_id AS cell, v AS c FROM f WHERE vec_id < 3),"""
+    + _kmeans_iter_sql(1, 0, src="f", pfx="k")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="f", pfx="k")
+    + """,
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    co AS (SELECT cell AS ccell, c AS cov, sqrt(list_dot_product(c, c)) AS conrm FROM kc2),
+    fr AS (
+      SELECT cell, ccell FROM (
+        SELECT cent.cell, co.ccell,
+               row_number() OVER (PARTITION BY cent.cell ORDER BY
+                 round(list_dot_product(cent.cv, co.cov) / (cent.cnrm * co.conrm), 6) DESC,
+                 co.ccell) AS r
+        FROM cent CROSS JOIN co) WHERE r = 1),
+    vc AS (
+      SELECT vec_id, ccell FROM (
+        SELECT n.vec_id, co.ccell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, co.cov) / (n.nrm * co.conrm), 6) DESC,
+                 co.ccell) AS r
+        FROM n CROSS JOIN co) WHERE r <= 2),
+    asg AS (
+      SELECT vec_id, cell, ccos FROM (
+        SELECT n.vec_id, cent.cell,
+               round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) AS ccos,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n JOIN vc ON vc.vec_id = n.vec_id
+        JOIN fr ON fr.ccell = vc.ccell
+        JOIN cent ON cent.cell = fr.cell) WHERE r = 1),
+    mem AS (SELECT a.vec_id, a.cell, a.ccos, n.v, n.nrm
+            FROM asg a JOIN n ON n.vec_id = a.vec_id),
+    pr AS (
+      SELECT DISTINCT x.vec_id FROM mem x JOIN mem y ON x.cell = y.cell
+        AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.99)
+    SELECT e.vec_id, a.cell, a.ccos AS cent_cos,
+           (p.vec_id IS NOT NULL) AS pruned
+    FROM e LEFT JOIN asg a ON a.vec_id = e.vec_id
+           LEFT JOIN pr p ON p.vec_id = e.vec_id
+    """,
+)
+def dedup_semantic_semdedup_hier(spark, sf_dir):
+    """SemDeDup with hierarchical (coarse-quantized) assignment — the
+    scale path for the exact variant's n·k assignment term (measured
+    n^1.5 at k=sqrt(n), SCALE_STRESS_r08): a coarse codebook (k'=3,
+    trained over the 8 fine centroids) routes each vector with
+    n·(k' + n_probe·k/k') ~ n·3·sqrt(k) cosine evaluations (n_probe=2)
+    instead of n·k. Same planted-twin corpus, same pairwise prune;
+    verdicts can differ from the exact variant only for vectors whose
+    true nearest fine centroid lies outside their 2 best coarse cells
+    (the IVF n_probe trade), and the oracle replicates the two-level
+    route exactly (vc's r <= 2 is the probe set)."""
+    from graph_db_spark.operators.dedup import semantic_dedup_hier_verdicts
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005)
+            * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    u = e.unionByName(pert)
+    cent = kmeans_fit(u, k=8, n_iters=2)
+    coarse = kmeans_fit(cent, k=3, n_iters=2)
+    return semantic_dedup_hier_verdicts(u, cent, coarse, tau=0.99).select(
         F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
     )
 

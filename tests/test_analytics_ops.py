@@ -1614,3 +1614,34 @@ def test_dsir_weights_favor_target_source(spark):
     keys = [r.gumbel_key for r in got.values()]
     assert all(math.isfinite(k) for k in keys)
     assert len(set(keys)) == len(keys)
+
+
+def test_semantic_dedup_hier_matches_exact_mostly(spark, sf_dir):
+    """The hierarchical-assignment variant must agree with the exact
+    variant on nearly every verdict (they can differ only for vectors
+    whose true nearest fine centroid lives in a different coarse cell —
+    the IVF n_probe=1 trade), and its own within-cell contract must hold:
+    every co-assigned twin pair has exactly one member pruned."""
+    from graph_db_spark.queries import REGISTRY
+
+    exact = {
+        r.vec_id: r
+        for r in REGISTRY["dedup_semantic_semdedup"].build(spark, sf_dir).collect()
+    }
+    hier = {
+        r.vec_id: r
+        for r in REGISTRY["dedup_semantic_semdedup_hier"].build(spark, sf_dir).collect()
+    }
+    assert set(hier) == set(exact)
+    agree = sum(1 for i in exact if exact[i].pruned == hier[i].pruned)
+    assert agree >= 0.9 * len(exact)
+    n_base = len(exact) // 2
+    co = one = 0
+    for i in range(n_base):
+        a, b = hier[i], hier[i + 100000]
+        if a.cell is None or a.cell != b.cell:
+            continue
+        co += 1
+        one += a.pruned != b.pruned
+    assert co >= 0.85 * n_base
+    assert one == co  # exactly-one-pruned holds wherever twins co-route

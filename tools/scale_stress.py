@@ -459,6 +459,33 @@ def main() -> None:
         run("semdedup", scale, sd)
         emb.unpersist()
 
+    # Same corpus/k, hierarchical (coarse-quantized) assignment: the fit
+    # and pairwise stages are identical to `semdedup`, so the delta
+    # isolates the assignment-term cut (n*k -> n*2*sqrt(k)). The other
+    # two n^1.5 terms remain by construction (fit -> sample/GPU in real
+    # deployments, pairwise -> linear when k scales with n).
+    for scale, factor in sd_scales if want("semdedup_hier") else []:
+        emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
+        n = emb.count()
+
+        def sd_hier(e=emb, n=n):
+            import math
+
+            k = max(int(math.sqrt(n)), 8)
+            cents = kmeans_fit(e, k=k, n_iters=2)
+            kk = max(int(math.sqrt(k)), 2)
+            coarse = kmeans_fit(cents, k=kk, n_iters=2)
+            verd = D.semantic_dedup_hier_verdicts(e, cents, coarse, tau=0.95)
+            return {
+                "vectors": n,
+                "k": k,
+                "k_coarse": kk,
+                "pruned": verd.filter(F.col("pruned")).count(),
+            }
+
+        run("semdedup_hier", scale, sd_hier)
+        emb.unpersist()
+
     # -- scaling verdict ---------------------------------------------------
     for op, d in results.items():
         if "1x" in d and "10x" in d and d["1x"]["sec"] > 0:
