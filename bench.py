@@ -226,6 +226,10 @@ def main() -> None:
         "dedup_semantic_semdedup",
         "dedup_semantic_semdedup_hier",
         "dsir_importance_weights",
+        # round-8: cluster-balanced sampling (k-means topic rebalance)
+        # and per-source quality-percentile gating
+        "sample_cluster_balanced",
+        "quality_percentile_gate",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

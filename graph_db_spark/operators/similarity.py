@@ -330,6 +330,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Distributed Lloyd's k-means → (vec_id = cell, embedding = centroid),
     the trained-centroid source for ``ivf_cosine_topk``.
@@ -404,4 +405,52 @@ def kmeans_fit(
             .join(new_cent.alias("n"), "cell", "left")
             .select("cell", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
         )
-    return cent.select(F.col("cell").alias(id_col), F.col("c").alias(vec_col))
+    out = cent.select(F.col("cell").alias(id_col), F.col("c").alias(vec_col))
+    # The trained codebook is a k-row artifact that every consumer
+    # (assignment, ANN probe, a second-level coarse fit, a broadcast)
+    # references independently — without cutting the lineage here, EACH
+    # consumer re-executes all n_iters Lloyd passes over the full corpus
+    # (measured: the hierarchical SemDeDup stress at 200k vectors re-ran
+    # the n*k fit several times over). localCheckpoint(eager) runs the
+    # fit exactly once and pins k tiny rows; values are unchanged, so
+    # every DuckDB oracle pairing is unaffected.
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final cluster membership for a trained ``kmeans_fit`` codebook:
+    (id, cell) by EUCLIDEAN nearest centroid — exactly the assignment
+    rule Lloyd's iterations use internally (sequential-fold squared
+    distance, ties on cell asc), so membership agrees with the fit and
+    with the oracle's `a{n}` CTE. Distinct from ``ivf_assign``, which
+    ranks by COSINE (the ANN probe contract).
+
+    Scale shape: centroids broadcast, the min-struct agg is map-side
+    combinable — one corpus scan, the only exchange carries <=1 row per
+    vector. Degenerate rows (ragged dims -> NULL distance) get no
+    assignment, matching kmeans_fit's own filter."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("d", dist)
+        .filter(F.col("d").isNotNull())
+        .groupBy("id")
+        .agg(F.min(F.struct(F.col("d"), F.col("cell"))).alias("m"))
+        .select("id", F.col("m.cell").alias("cell"))
+    )

@@ -5513,6 +5513,172 @@ def mix_sources_temperature(spark, sf_dir):
 
 
 @q(
+    "sample_cluster_balanced",
+    # The oracle re-derives the k-means codebook bit-for-bit (the same
+    # CTE chain as the ANN/semdedup fits), takes the THIRD assignment
+    # pass a3 as final membership (m3/g3/c3 are unreferenced and pruned
+    # by the planner), then replicates the temperature-rate arithmetic
+    # and the md5 basis-point gate integer-for-integer.
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    "c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"
+    + _kmeans_iter_sql(1, 0)
+    + ","
+    + _kmeans_iter_sql(2, 1)
+    + ","
+    + _kmeans_iter_sql(3, 2)
+    + f""",
+    counts AS (SELECT cell, count(*) AS n_vecs FROM a3 GROUP BY cell),
+    tot AS (
+      SELECT CAST(sum(CAST(power(n_vecs, 0.7) AS DECIMAL(28,12))) AS DOUBLE) AS z,
+             CAST(sum(n_vecs) AS BIGINT) AS n_total
+      FROM counts),
+    rates AS (
+      SELECT c.cell, c.n_vecs,
+             CAST(round(least(
+               CAST(power(c.n_vecs, 0.7) AS DOUBLE) / t.z * (0.5 * t.n_total) / c.n_vecs,
+               1.0) * 10000) AS BIGINT) AS rate_bp
+      FROM counts c, tot t),
+    kept AS (
+      SELECT a.cell, count(*) AS n_kept
+      FROM a3 a JOIN rates r ON a.cell = r.cell
+      WHERE {_hex_int_sql("md5('cb|' || CAST(a.cell AS VARCHAR) || ':' || CAST(a.vec_id AS VARCHAR))", 8)} % 10000
+            < r.rate_bp
+      GROUP BY a.cell)
+    SELECT r.cell, CAST(r.n_vecs AS BIGINT) AS n_vecs, r.rate_bp,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.cell = r.cell
+    """,
+)
+def sample_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced (topic-balanced) corpus sampling: the
+    mix_sources_temperature rule applied to UNSUPERVISED k-means topic
+    clusters instead of source labels — the standard curation move when
+    one topic dominates a crawl and no source metadata captures it
+    (cluster the embeddings, then flatten the cluster histogram with a
+    T=1/0.7 temperature; cf. the cluster-then-balance stage of
+    SemDeDup-style pipelines). Membership is kmeans_assign — the same
+    euclidean rule the fit iterates, so cells match the codebook — and
+    the keep-gate is the deterministic md5 basis-point coin keyed
+    ('cb|' cell : vec_id). Returns (cell, n_vecs, rate_bp, n_kept).
+
+    100 TB shape: centroids broadcast into assignment (one corpus scan,
+    map-side-combinable min-struct); cluster stats are a tiny agg with
+    DECIMAL-exact pow sums; the rate table broadcasts back and gates
+    rows at the scan — the corpus never shuffles."""
+    from graph_db_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cent = kmeans_fit(e, k=8, n_iters=2)
+    asg = kmeans_assign(e, cent)
+    counts = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = counts.agg(
+        F.sum(F.pow("n_vecs", F.lit(0.7)).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("z"),
+        F.sum("n_vecs").alias("n_total"),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        F.round(
+            F.least(
+                F.pow("n_vecs", F.lit(0.7)).cast("double")
+                / F.col("z")
+                * (F.lit(0.5) * F.col("n_total"))
+                / F.col("n_vecs"),
+                F.lit(1.0),
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    gate = (
+        _hex_int(
+            F.md5(
+                F.concat(
+                    F.lit("cb|"),
+                    F.col("cell").cast("string"),
+                    F.lit(":"),
+                    F.col("id").cast("string"),
+                )
+            ),
+            8,
+        )
+        % 10000
+    )
+    kept = (
+        asg.join(F.broadcast(rates.select("cell", "rate_bp")), "cell")
+        .filter(gate < F.col("rate_bp"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "cell", "left").select(
+        "cell",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        "rate_bp",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@q(
+    "quality_percentile_gate",
+    r"""
+    WITH t AS (SELECT doc_id, source, text,
+                      list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, source,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+          FROM t),
+    qy AS (SELECT doc_id, source,
+                  round(least(n_tokens / 100.0, 1.0) * 0.5
+                        + (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4
+                        - least(n_punct * 1.0 / greatest(n_chars, 1), 0.1), 6) AS quality
+           FROM s)
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC), 6) AS pct,
+           (round(percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC), 6) <= 0.6) AS kept
+    FROM qy
+    """,
+)
+def quality_percentile_gate(spark, sf_dir):
+    """Per-source quality-percentile gating: keep each source's top 60%
+    of documents by the heuristic quality score (the per-domain
+    percentile filter used when absolute quality thresholds would
+    silently empty low-resource domains — every source keeps its best
+    slice instead of competing on one global bar). Rank is
+    percent_rank over (quality DESC, doc_id ASC) — doc_id is unique, so
+    the ordering and therefore the percentile is fully deterministic.
+    Returns every doc with (doc_id, source, quality, pct, kept).
+
+    100 TB shape: the quality score is row-local built-in arithmetic at
+    the scan; the window shuffles once on source with an in-partition
+    sort (AQE skew-split handles a hot source; with truly giant single
+    sources you'd switch to the two-pass variant — exact per-source
+    cutoff from a percentile agg, broadcast back as a gate — at the
+    cost of a second scan)."""
+    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.operators.text import quality_expr
+
+    qy = d.select("doc_id", "source", quality_expr(F.col("text")).alias("quality"))
+    w = W.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    pct = F.round(F.percent_rank().over(w), 6)
+    return qy.select(
+        "doc_id",
+        "source",
+        "quality",
+        pct.alias("pct"),
+        (pct <= 0.6).alias("kept"),
+    )
+
+
+@q(
     "doc_feature_hash_embed",
     f"""
     WITH toks AS (

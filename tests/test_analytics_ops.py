@@ -1645,3 +1645,48 @@ def test_semantic_dedup_hier_matches_exact_mostly(spark, sf_dir):
         one += a.pruned != b.pruned
     assert co >= 0.85 * n_base
     assert one == co  # exactly-one-pruned holds wherever twins co-route
+
+
+def test_sample_cluster_balanced_flattens(spark, sf_dir):
+    """The temperature rule must (a) cap every rate at 100%, (b) give a
+    strictly smaller keep-rate to a strictly larger cluster whenever the
+    larger one is below the cap (pow(n,0.7)/n is strictly decreasing),
+    and (c) produce kept counts within the md5-coin's tolerance of
+    n_vecs * rate_bp/10000."""
+    from graph_db_spark.queries import REGISTRY
+
+    rows = REGISTRY["sample_cluster_balanced"].build(spark, sf_dir).collect()
+    assert rows and sum(r.n_vecs for r in rows) > 0
+    for r in rows:
+        assert 0 < r.rate_bp <= 10000
+        expect = r.n_vecs * r.rate_bp / 10000.0
+        # md5 coin: binomial-ish tolerance, generous for small cells
+        assert abs(r.n_kept - expect) <= max(6, 4 * (expect ** 0.5))
+    by_size = sorted(rows, key=lambda r: r.n_vecs)
+    for small, big in zip(by_size, by_size[1:]):
+        if small.n_vecs < big.n_vecs and big.rate_bp < 10000:
+            assert small.rate_bp > big.rate_bp
+
+
+def test_quality_percentile_gate_per_source(spark, sf_dir):
+    """Each source keeps ~60% of its docs (exactly: pct <= 0.6 on a
+    unique ordering), every source retains at least one doc, and the
+    kept set within a source is exactly its quality-ordered prefix."""
+    from collections import defaultdict
+
+    from graph_db_spark.queries import REGISTRY
+
+    rows = REGISTRY["quality_percentile_gate"].build(spark, sf_dir).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r)
+    assert len(per_src) >= 2
+    for src, rs in per_src.items():
+        n = len(rs)
+        kept = [r for r in rs if r.kept]
+        assert kept, src
+        # percent_rank <= 0.6 keeps ~floor(0.6*(n-1)) + 1 docs (the 6dp
+        # rounding can shift the boundary row by one)
+        assert abs(len(kept) - (int(0.6 * (n - 1)) + 1)) <= 1
+        ordered = sorted(rs, key=lambda r: (-r.quality, r.doc_id))
+        assert {r.doc_id for r in kept} == {r.doc_id for r in ordered[: len(kept)]}
