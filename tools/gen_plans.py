@@ -69,6 +69,11 @@ AUDITED = [
     # round-8: cluster-bounded semantic dedup + DSIR importance weights
     "dedup_semantic_semdedup",
     "dsir_importance_weights",
+    # round-8: hierarchical-assignment semdedup, cluster-balanced
+    # sampling, per-source quality percentile gate
+    "dedup_semantic_semdedup_hier",
+    "sample_cluster_balanced",
+    "quality_percentile_gate",
 ]
 
 NOTES = """## Notes

@@ -150,9 +150,16 @@ def main() -> None:
     fast = "--fast" in sys.argv
     x30 = "--x30" in sys.argv
     only = None
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        elif a == "--only":
+            # space-separated form: silently running the FULL suite on a
+            # syntax slip wastes a quiet-machine measurement window
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                raise SystemExit("--only needs a comma-separated op list")
+            only = set(argv[i + 1].split(","))
     div = 10 if fast else 1
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
