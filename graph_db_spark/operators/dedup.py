@@ -602,8 +602,8 @@ def semantic_dedup_verdicts(
     runs 50k clusters for 440M embeddings), making total work O(n * n/k)
     — linear when k scales with the corpus. The flat n*k assignment
     matmul then dominates (the term the paper offloads to GPU faiss);
-    ``semantic_dedup_hier_verdicts`` below cuts it to n*2*sqrt(k) with a
-    coarse quantizer. Degenerate vectors (zero-norm -> NULL cosine) get
+    ``semantic_dedup_hier_verdicts`` below cuts it to ~n*3*sqrt(k) with
+    a coarse quantizer (n_probe=2). Degenerate vectors (zero-norm -> NULL cosine) get
     no assignment and are emitted with NULL cell, cent_cos, and
     pruned=false, mirroring ivf_assign's degenerate-input contract."""
     v = _norm_frame(df, id_col, vec_col, "id", "vec")

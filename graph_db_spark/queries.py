@@ -5572,7 +5572,11 @@ def sample_cluster_balanced(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     cent = kmeans_fit(e, k=8, n_iters=2)
-    asg = kmeans_assign(e, cent)
+    # Materialize the assignment ONCE (the semdedup/DSIR share-point
+    # discipline): it feeds both the cluster histogram and the keep-gate
+    # scan; without the cut the broadcast-assign subtree (a corpus scan
+    # + the n*k min-struct agg) runs twice.
+    asg = kmeans_assign(e, cent).localCheckpoint(eager=True)
     counts = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
     tot = counts.agg(
         F.sum(F.pow("n_vecs", F.lit(0.7)).cast("decimal(28,12)"))
