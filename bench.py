@@ -395,7 +395,7 @@ def main() -> None:
         line = _line(1, False, None)
     keep = len(times)
     while len(line) > budget and keep > 1:
-        keep -= 5
+        keep = max(keep - 5, 1)
         line = _line(1, False, keep)
     print(line)
     spark.stop()

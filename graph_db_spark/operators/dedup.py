@@ -520,7 +520,12 @@ def _semdedup_from_assign(v: DataFrame, assign: DataFrame, tau: float) -> DataFr
     # Materialize the assigned-member frame ONCE (localCheckpoint, the
     # BPE/Pregel discipline): it feeds both sides of the pair join and
     # the final verdict, and without the cut Spark would re-run the
-    # scan + broadcast-assignment subtree three times.
+    # scan + broadcast-assignment subtree three times. Lifecycle: the
+    # checkpoint blocks are reclaimed by Spark's ContextCleaner once the
+    # returned frame (and this intermediate) become unreachable on the
+    # driver — repeated calls don't pin corpus-sized storage for the
+    # session; pregel.release() exists only where loops need the release
+    # to be DETERMINISTIC mid-iteration rather than GC-driven.
     mem = (
         v.join(assign, "id")
         .select("id", "vec", "__norm", "cell", "cent_cos")
@@ -664,6 +669,14 @@ def semantic_dedup_hier_verdicts(
         F.col("id").alias("cell"), "ccell"
     )
     fine_routed = fine.join(F.broadcast(fine_route), "cell")
+    # Vectors probe only coarse cells that OWN at least one fine
+    # centroid: Lloyd's empty-cell carryover can leave a coarse cell
+    # that is nobody's nearest, and a vector whose n_probe best cells
+    # were all member-less would lose every candidate in the inner join
+    # below — silently exempting it from dedup instead of routing it to
+    # its best non-empty neighborhood. The exact variant always assigns
+    # such a vector, so the probe set must never be vacuous.
+    co_used = co.join(F.broadcast(fine_route.select("ccell").distinct()), "ccell")
     # vector -> top-n_probe coarse cells (n x k' evals, broadcast),
     # CARRYING the vector and its norm through the min-struct (the
     # kmeans_fit trick: payload fields never drive the comparison —
@@ -678,7 +691,7 @@ def semantic_dedup_hier_verdicts(
 
     codenom = F.col("__norm") * F.col("conorm")
     v_probe = (
-        v.crossJoin(F.broadcast(co))
+        v.crossJoin(F.broadcast(co_used))
         .withColumn(
             "ccos",
             F.round(F.when(codenom != 0, dot(F.col("vec"), F.col("covec")) / codenom), 6),

@@ -215,10 +215,12 @@ def dsir_weights(
     boolean column *target_flag* is true) and the RAW corpus, then score
     every document with sum_b c_b * ln(p_target(b) / p_raw(b)).
 
-    Returns (id_col, *keep_cols, dsir_weight, gumbel_key, selected):
-    `gumbel_key` is the paper's Gumbel-perturbed resampling key made
-    deterministic (uniform u from a 52-bit md5 hash of the id instead of
-    RNG) so downstream top-k resampling is one orderBy/limit;
+    Returns (id_col, *keep_cols, dsir_weight, gumbel_key, selected) for
+    EVERY input document — a zero-token doc (empty/whitespace text)
+    scores its empty-sum weight of 0 with selected=true, it is never
+    dropped. `gumbel_key` is the paper's Gumbel-perturbed resampling key
+    made deterministic (uniform u from a 52-bit md5 hash of the id
+    instead of RNG) so downstream top-k resampling is one orderBy/limit;
     `selected` is the row-local likelihood-ratio verdict (weight >= 0).
 
     Cross-engine determinism: per-bucket log-ratios are rounded to 6dp
@@ -279,11 +281,21 @@ def dsir_weights(
             ).alias("lam"),
         )
     )
-    wts = (
+    sums = (
         per_doc.join(F.broadcast(lam), "bucket")
-        .groupBy("id", *keep_cols)
+        .groupBy("id")
         .agg(F.sum(F.col("lam").cast("decimal(18,6)") * F.col("c")).alias("wsum"))
-        .select("id", *keep_cols, F.col("wsum").cast("double").alias("dsir_weight"))
+    )
+    # LEFT join back to the full doc list: a zero-token document (empty /
+    # all-whitespace text) emits no rows at the explode, and without this
+    # re-anchor it would VANISH from the output instead of scoring its
+    # correct empty-sum weight of 0 (selected=true) — silently excluded
+    # from any downstream gumbel top-k.
+    base = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep_cols])
+    wts = base.join(sums, "id", "left").select(
+        "id",
+        *keep_cols,
+        F.coalesce(F.col("wsum").cast("double"), F.lit(0.0)).alias("dsir_weight"),
     )
     u = (
         hex_int(F.md5(F.concat(F.lit("g|"), F.col("id").cast("string"))), 13)

@@ -2981,12 +2981,12 @@ def mix_sources_weighted(spark, sf_dir):
              CAST(sum(CAST(l.lam AS DECIMAL(18,6)) * p.c) AS DOUBLE) AS dsir_weight
       FROM per_doc p JOIN lam l ON p.bucket = l.bucket
       GROUP BY p.doc_id, p.source)
-    SELECT doc_id, source, dsir_weight,
-           round(dsir_weight - ln(-ln((
-             {_hex_int_sql("md5('g|' || CAST(doc_id AS VARCHAR))", 13)} + 0.5)
+    SELECT d.doc_id, d.source, coalesce(w.dsir_weight, 0.0) AS dsir_weight,
+           round(coalesce(w.dsir_weight, 0.0) - ln(-ln((
+             {_hex_int_sql("md5('g|' || CAST(d.doc_id AS VARCHAR))", 13)} + 0.5)
              / 4503599627370496.0)), 6) AS gumbel_key,
-           dsir_weight >= 0 AS selected
-    FROM w
+           coalesce(w.dsir_weight, 0.0) >= 0 AS selected
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
     """,
 )
 def dsir_importance_weights(spark, sf_dir):
@@ -5361,13 +5361,14 @@ def dedup_semantic_semdedup(spark, sf_dir):
                  round(list_dot_product(cent.cv, co.cov) / (cent.cnrm * co.conrm), 6) DESC,
                  co.ccell) AS r
         FROM cent CROSS JOIN co) WHERE r = 1),
+    cou AS (SELECT * FROM co WHERE ccell IN (SELECT DISTINCT ccell FROM fr)),
     vc AS (
       SELECT vec_id, ccell FROM (
         SELECT n.vec_id, co.ccell,
                row_number() OVER (PARTITION BY n.vec_id ORDER BY
                  round(list_dot_product(n.v, co.cov) / (n.nrm * co.conrm), 6) DESC,
                  co.ccell) AS r
-        FROM n CROSS JOIN co) WHERE r <= 2),
+        FROM n CROSS JOIN cou co) WHERE r <= 2),
     asg AS (
       SELECT vec_id, cell, ccos FROM (
         SELECT n.vec_id, cent.cell,

@@ -1690,3 +1690,26 @@ def test_quality_percentile_gate_per_source(spark, sf_dir):
         assert abs(len(kept) - (int(0.6 * (n - 1)) + 1)) <= 1
         ordered = sorted(rs, key=lambda r: (-r.quality, r.doc_id))
         assert {r.doc_id for r in kept} == {r.doc_id for r in ordered[: len(kept)]}
+
+
+def test_dsir_scores_zero_token_docs(spark):
+    """A document with empty or all-whitespace text must still appear in
+    the output with its empty-sum weight of 0, selected=true, and a
+    finite gumbel key — not silently vanish at the token explode."""
+    import math
+
+    from graph_db_spark.operators.text import dsir_weights
+
+    rows = [
+        (0, True, "alpha beta gamma"),
+        (1, False, "alpha alpha beta"),
+        (2, False, ""),
+        (3, False, "   \t  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, is_tgt BOOLEAN, text STRING")
+    got = {r.doc_id: r for r in dsir_weights(df, "is_tgt", id_col="doc_id").collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for i in (2, 3):
+        assert got[i].dsir_weight == 0.0
+        assert got[i].selected is True
+        assert math.isfinite(got[i].gumbel_key)

@@ -160,6 +160,19 @@ def main() -> None:
             if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
                 raise SystemExit("--only needs a comma-separated op list")
             only = set(argv[i + 1].split(","))
+    KNOWN_OPS = {
+        "bfs_stats", "bfs_stats_degraded", "cc_star",
+        "dedup_minhash", "dedup_minhash_byte_hint_path",
+        "pipeline_training_corpus", "pipeline_curated_pack",
+        "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
+        "exact_substring_spans", "semdedup", "semdedup_hier",
+    }
+    if only is not None and only - KNOWN_OPS:
+        # fail BEFORE Spark startup: a typo'd op name would otherwise
+        # silently run NOTHING and burn the quiet-machine window
+        raise SystemExit(
+            f"unknown --only ops: {sorted(only - KNOWN_OPS)}; known: {sorted(KNOWN_OPS)}"
+        )
     div = 10 if fast else 1
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
