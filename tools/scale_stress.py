@@ -341,11 +341,11 @@ def main() -> None:
     # single-compute shape) on the generated corpus: the planted twins
     # share every 10-gram except the windows crossing their differing
     # token, so dup_docs = both members of every planted pair.
-    for scale, n in (
-        (("1x", 50_000 // div), ("10x", 500_000 // div))
-        if want("exact_substring_spans")
-        else ()
-    ):
+    _ess_scales = [("1x", 50_000 // div), ("10x", 500_000 // div)]
+    if x30:
+        # second point on the scaling curve for the newest heavy family
+        _ess_scales.append(("30x", 1_500_000 // div))
+    for scale, n in _ess_scales if want("exact_substring_spans") else ():
         docs = synthetic_docs(spark, n)
         run(
             "exact_substring_spans",
