@@ -223,8 +223,9 @@ def main() -> None:
                 scale,
                 lambda s=snap: {"stats": list(s.get_stats().as_tuple())},
             )
-        if scale == "30x":
-            continue  # 30x measures the flagship only
+        if scale == "30x" and not (only and "cc_star" in only):
+            continue  # 30x measures the flagship only, unless cc_star
+            # is explicitly targeted (--only=cc_star --x30)
         if scale == "10x" and want("bfs_stats_degraded"):
             # force the broadcast→shuffle degrade MID-TRAVERSAL at real
             # size (the default 8M guard can't trip below 8M reachable
