@@ -248,6 +248,10 @@ class EventLogStorage:
         # rows per traversal after a restart and shuffling only the small
         # frontier into the existing bucket layout.
         self.index_buckets = int(index_buckets)
+        # Lock ownership flag: release()/close() must only remove a lock
+        # THIS instance acquired — a failed acquire() followed by close()
+        # in a finally block must never delete the live owner's lock.
+        self._lock_held = False
 
     # -- layout ------------------------------------------------------------
 
@@ -295,12 +299,32 @@ class EventLogStorage:
             fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
+            self._lock_held = True
         except FileExistsError:
             raise StorageLockedError(f"store at {self.path} is locked")
 
     def release(self) -> None:
-        if os.path.exists(self._lock_path):
+        """Remove the lock only if it is OURS: this instance acquired it,
+        or the recorded pid is this process (a re-created handle in the
+        owning process). An unconditional remove would let
+        ``store.acquire_and_load()`` failing with StorageLockedError +
+        ``finally: store.close()`` silently delete the LIVE owner's lock
+        and re-open the store to a second writer."""
+        if not os.path.exists(self._lock_path):
+            return
+        if not self._lock_held:
+            try:
+                with open(self._lock_path) as f:
+                    owner = int(f.read().strip() or -1)
+            except (OSError, ValueError):
+                return
+            if owner != os.getpid():
+                return
+        self._lock_held = False
+        try:
             os.remove(self._lock_path)
+        except FileNotFoundError:
+            pass
 
     # -- WAL sink (Storage.hs:154-159; buffering per Persistent.hs:62-69) --
 
@@ -325,6 +349,8 @@ class EventLogStorage:
         gen = max(self._ckpt_versions(), default=0)
         if first_seq is None:
             first_seq = events.agg(F.min("seq")).collect()[0][0]
+        if first_seq is None:
+            return  # empty batch: nothing to append (and no name for it)
         log_dir = self._log_dir(gen)
         out = os.path.join(log_dir, f"batch-{first_seq:012d}.parquet")
         staging = os.path.join(
@@ -332,25 +358,43 @@ class EventLogStorage:
         )
         try:
             events.coalesce(1).write.mode("errorifexists").parquet(staging)
-            # Swap into place. A zombie may recreate `out` between our
-            # rmtree and rename (os.rename onto an existing dir raises),
-            # so retry the clobber+rename a few times; the staged data
-            # itself can never be contaminated.
+            # Swap into place, with the RENAME as the authority. The old
+            # shape (check _SUCCESS -> rmtree -> rename) had a TOCTOU: a
+            # zombie could land its _SUCCESS between the check and the
+            # rmtree and its committed batch vanished silently instead of
+            # raising the documented seq-collision error. Now an occupied
+            # target is first moved ASIDE atomically and only then
+            # examined — a committed batch is always preserved (restored
+            # to `out`, or kept in the aside dir as evidence if a zombie
+            # re-created `out` meanwhile) and the error stays loud.
             for attempt in range(5):
-                if os.path.exists(os.path.join(out, "_SUCCESS")):
-                    raise FileExistsError(
-                        f"committed batch already exists at {out}: seq collision "
-                        "(second writer violating the lock contract?)"
-                    )
-                if os.path.isdir(out):
-                    shutil.rmtree(out, ignore_errors=True)
                 try:
                     os.rename(staging, out)
                     return
                 except OSError:
-                    if attempt == 4:
-                        raise
-                    time.sleep(0.2 * (attempt + 1))
+                    pass  # target occupied: examine it via the aside move
+                aside = os.path.join(
+                    log_dir, f".aside-{first_seq:012d}-{uuid.uuid4().hex[:8]}"
+                )
+                try:
+                    os.rename(out, aside)
+                except OSError:
+                    aside = None  # target vanished (zombie cleanup); retry
+                if aside is not None:
+                    if os.path.exists(os.path.join(aside, "_SUCCESS")):
+                        try:
+                            os.rename(aside, out)
+                        except OSError:
+                            pass  # keep the committed batch in `aside`
+                        raise FileExistsError(
+                            f"committed batch already exists at {out}: seq "
+                            "collision (second writer violating the lock "
+                            "contract?)"
+                        )
+                    shutil.rmtree(aside, ignore_errors=True)
+                if attempt == 4:
+                    raise OSError(f"could not swap batch into {out}")
+                time.sleep(0.2 * (attempt + 1))
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -460,10 +504,18 @@ class EventLogStorage:
                 )
 
     def clean_up(self) -> None:
-        """Delete the archive (Storage.hs cleanUp semantics)."""
+        """Delete the archive and compaction quarantine dirs
+        (Storage.hs cleanUp semantics)."""
         arch = os.path.join(self.path, "archive")
         if os.path.exists(arch):
             shutil.rmtree(arch)
+        for d in os.listdir(self._log_root):
+            gen_dir = os.path.join(self._log_root, d)
+            if not os.path.isdir(gen_dir):
+                continue
+            for b in os.listdir(gen_dir):
+                if b.startswith(".compacted-"):
+                    shutil.rmtree(os.path.join(gen_dir, b), ignore_errors=True)
 
     def compact_log(self, gen: int | None = None) -> int:
         """Merge a generation's many per-commit batch files into one
@@ -482,6 +534,18 @@ class EventLogStorage:
         3. remove the superseded originals.
         A crash at any step leaves a log whose replay is identical; stale
         staging dirs are swept on the next call.
+
+        Interaction with a LIVE WAL stream (stream_apply_wal*): the
+        combined file is a NEW path, so a file-source checkpoint that
+        already consumed the originals would re-deliver those events —
+        the stream's seq high-water tripwire refuses that batch loudly
+        instead of regressing its snapshot. Run compaction between
+        streams, or restart the stream fresh afterwards. The superseded
+        originals are QUARANTINED with atomic renames rather than
+        rmtree'd in place: a partial rmtree could expose a batch dir
+        whose _SUCCESS is gone but whose part files remain (phantom
+        orphan), and deleting them would also break a crashed stream's
+        re-read of its last uncommitted micro-batch.
         """
         self.flush()
         if gen is None:
@@ -504,8 +568,10 @@ class EventLogStorage:
             n += 1
             target = os.path.join(d, f"batch-{first_seq:012d}-compacted{n}.parquet")
         os.replace(tmp, target)
+        quarantine = os.path.join(d, f".compacted-{first_seq:012d}-{uuid.uuid4().hex[:6]}")
+        os.makedirs(quarantine)
         for b in batches:
-            shutil.rmtree(b)
+            os.rename(b, os.path.join(quarantine, os.path.basename(b)))
         return len(batches)
 
     # -- recovery (Storage.hs:104-148) -------------------------------------
@@ -602,7 +668,18 @@ class EventLogStorage:
             if not dirty:
                 return
             for full in dirty:
-                shutil.rmtree(full, ignore_errors=True)
+                # rename AWAY first (atomic), then delete: a direct rmtree
+                # removes _SUCCESS before the part files, transiently
+                # exposing a committed-looking dir with real data files to
+                # any concurrent lister (e.g. a streaming file source)
+                hidden = os.path.join(
+                    os.path.dirname(full), "." + os.path.basename(full) + ".sweep"
+                )
+                try:
+                    os.rename(full, hidden)
+                except OSError:
+                    hidden = full  # already gone or recreated: best effort
+                shutil.rmtree(hidden, ignore_errors=True)
             time.sleep(0.5 * (attempt + 1))
         dirty = orphans()
         if dirty:
@@ -690,10 +767,16 @@ class EventLogStorage:
                 F.max("tx_id").alias("t"),
                 F.max("node_id").alias("n"),
             ).collect()[0]
-            next_seq = max(next_seq, (tail["s"] or 0))
-            next_tx = max(next_tx, (tail["t"] or -1) + 1)
-            if next_id is not None:
-                next_id = max(next_id, (tail["n"] or 0) + 1)
+            # Explicit None checks, NOT `or`: a legitimate max of 0 is
+            # falsy — `(tail["t"] or -1) + 1` would re-issue tx_id 0
+            # after a crash before the first checkpoint (tx ids allocate
+            # from 0), duplicating a durable transaction identity.
+            if tail["s"] is not None:
+                next_seq = max(next_seq, tail["s"])
+            if tail["t"] is not None:
+                next_tx = max(next_tx, tail["t"] + 1)
+            if next_id is not None and tail["n"] is not None:
+                next_id = max(next_id, tail["n"] + 1)
 
         session = GraphSession(
             snap, next_id=next_id, next_seq=next_seq, next_tx=next_tx, storage=self
@@ -709,15 +792,7 @@ class EventLogStorage:
 
     def versions(self) -> list[int]:
         """All readable checkpoint versions, live or archived."""
-        live = set(self._ckpt_versions())
-        arch = os.path.join(self.path, "archive")
-        if os.path.isdir(arch):
-            live.update(
-                int(d.split("-")[1])
-                for d in os.listdir(arch)
-                if d.startswith("checkpoint-")
-            )
-        return sorted(live)
+        return self._all_ckpt_versions()
 
     def load_version(self, version: int, replay: bool = True) -> GraphSnapshot:
         """Read-only snapshot as of checkpoint *version* (+ its
@@ -778,6 +853,8 @@ class GenericEventStore:
     def persist(self, events: DataFrame) -> None:
         gen = max(self._versions(), default=0)
         first = events.agg(F.min("seq")).collect()[0][0]
+        if first is None:
+            return  # empty batch: nothing to append (and no name for it)
         events.coalesce(1).write.mode("errorifexists").parquet(
             os.path.join(self._log_dir(gen), f"batch-{first:012d}.parquet")
         )

@@ -28,6 +28,16 @@ class StreamingGraphState:
     def __init__(self, snapshot: GraphSnapshot):
         self.snapshot = snapshot
         self.batches_applied = 0
+        # Highest WAL seq applied so far (None = unknown, e.g. resuming
+        # from an epoch published before max_seq was recorded). The WAL
+        # is appended by ONE lock-holding writer with monotone seq, so a
+        # batch whose MIN seq does not exceed this is a duplicate
+        # delivery — compact_log run against a live stream's log (its
+        # combined file is a new path the file source re-delivers), a
+        # hand-copied batch file, a double-mounted log — and applying it
+        # onto a snapshot that already contains LATER events would
+        # regress payloads and resurrect removed edges. Refused loudly.
+        self.max_seq: int | None = None
 
 
 def stream_apply_wal(
@@ -51,9 +61,18 @@ def stream_apply_wal(
     )
 
     def apply_batch(batch_df: DataFrame, _epoch: int) -> None:
-        if batch_df.isEmpty():
-            return
+        lo, hi = batch_df.agg(F.min("seq"), F.max("seq")).collect()[0]
+        if lo is None:
+            return  # empty micro-batch
+        if state.max_seq is not None and lo <= state.max_seq:
+            raise RuntimeError(
+                f"WAL stream received events with seq {lo} <= already-applied "
+                f"max {state.max_seq}: duplicate delivery (was compact_log run "
+                "on a log a live stream is consuming?); applying it would "
+                "regress the snapshot"
+            )
         state.snapshot = state.snapshot.apply_events(batch_df).materialize()
+        state.max_seq = hi
         state.batches_applied += 1
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
@@ -157,10 +176,17 @@ def stream_apply_wal_durable(
     Exactly-once effect from an at-least-once sink, the standard
     foreachBatch recipe:
 
-    - each epoch's resulting snapshot is written to a staging dir and
-      published by ONE atomic rename to ``snapshot_root/epoch-N`` BEFORE
-      the stream commits the epoch — a crash at any point leaves either
-      the previous published snapshot or the complete new one;
+    - each NON-EMPTY epoch's resulting snapshot is written to a staging
+      dir and published by ONE atomic rename to ``snapshot_root/epoch-N``
+      BEFORE the stream commits the epoch — a crash at any point leaves
+      either the previous published snapshot or the complete new one;
+      empty micro-batches skip the publish entirely (epoch-id gaps are
+      expected by the retention sweep), so an idle continuous trigger
+      never rewrites the — at scale, huge — snapshot for zero events;
+    - a seq high-water mark (persisted in each epoch's meta.json) refuses
+      duplicate event delivery loudly — e.g. ``compact_log`` run against
+      a log a live stream is consuming, whose combined file would
+      otherwise re-deliver old events on top of newer state;
     - on restart Structured Streaming re-delivers the uncommitted epoch
       (same id, same deterministic file-source batch); the sink sees
       ``epoch <= latest published`` and SKIPS it — re-apply can't double
@@ -223,7 +249,18 @@ def stream_apply_wal_durable(
         with open(pair_path) as f:
             recorded = json.load(f).get("query_id")
         current = _ckpt_query_id()
-        if recorded and current != recorded:
+        if not recorded:
+            # a stream.json with a null/absent query_id is exactly as
+            # unverifiable as a missing file — `if recorded and ...`
+            # would silently re-enable the epoch-skip data loss the
+            # guard exists to refuse
+            raise ValueError(
+                f"snapshot_root {snapshot_root} has published epochs but its "
+                "stream.json records no query_id; cannot verify the "
+                "checkpoint identity (epoch numbering may not line up). "
+                "Restore the original pairing record, or start both fresh."
+            )
+        if current != recorded:
             raise ValueError(
                 f"snapshot_root {snapshot_root} was published by streaming query "
                 f"{recorded} but checkpoint_dir {checkpoint_dir} belongs to "
@@ -238,12 +275,38 @@ def stream_apply_wal_durable(
     snap = _load_epoch(start_epoch) if start_epoch >= 0 else GraphSnapshot.empty(spark, schema)
     state = StreamingGraphState(snap)
     state.last_published = start_epoch
+    if start_epoch >= 0:
+        # resume the duplicate-delivery tripwire from the published
+        # high-water mark (absent in epochs published by older versions
+        # -> None: the tripwire re-arms after the first applied batch)
+        try:
+            with open(
+                os.path.join(snapshot_root, f"epoch-{start_epoch}", "meta.json")
+            ) as f:
+                state.max_seq = json.load(f).get("max_seq")
+        except Exception:  # noqa: BLE001 — meta unreadable: tripwire off
+            state.max_seq = None
 
     def apply_batch(batch_df: DataFrame, epoch: int) -> None:
         if epoch <= state.last_published:
             return  # re-delivered after a crash-after-publish: already applied
-        if not batch_df.isEmpty():
-            state.snapshot = state.snapshot.apply_events(batch_df).materialize()
+        lo, hi = batch_df.agg(F.min("seq"), F.max("seq")).collect()[0]
+        if lo is None:
+            # Empty micro-batch: skip the (at scale, huge) full snapshot
+            # rewrite — publishing an identical epoch for zero events is
+            # pure waste, and _prune_published_epochs already expects the
+            # epoch-id gaps this creates. Nothing is lost on crash: the
+            # skipped epoch re-delivers empty.
+            return
+        if state.max_seq is not None and lo <= state.max_seq:
+            raise RuntimeError(
+                f"WAL stream received events with seq {lo} <= already-applied "
+                f"max {state.max_seq}: duplicate delivery (was compact_log "
+                "run on a log a live stream is consuming?); applying it would "
+                "regress the published snapshot"
+            )
+        state.snapshot = state.snapshot.apply_events(batch_df).materialize()
+        state.max_seq = hi
         # Pair file FIRST, publish second: a crash in between leaves a
         # stream.json with no epochs (harmless — the startup guard only
         # fires when epochs exist), and the converse state (epochs
@@ -271,7 +334,10 @@ def stream_apply_wal_durable(
             spark, state.snapshot.edge_index, os.path.join(tmp, "edge_index"), index_buckets
         )
         with open(os.path.join(tmp, "meta.json"), "w") as f:
-            json.dump({"epoch": epoch, "index_buckets": n_buckets}, f)
+            json.dump(
+                {"epoch": epoch, "index_buckets": n_buckets, "max_seq": state.max_seq},
+                f,
+            )
         os.replace(tmp, os.path.join(snapshot_root, f"epoch-{epoch}"))  # atomic publish
         state.last_published = epoch
         state.batches_applied += 1
@@ -329,7 +395,15 @@ def _prune_published_epochs(snapshot_root: str, keep_epochs: int) -> None:
 
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming read of the driver's events table (ns timestamps read as
-    LONG, converted to μs timestamps for event-time semantics)."""
+    LONG, converted to μs timestamps for event-time semantics).
+
+    NOTE: nanosAsLong is a SESSION-wide conf and must remain set for the
+    stream's whole lifetime (the file source re-reads under it at every
+    trigger — a set/restore around construction would race execution).
+    Side effect on the session: other parquet reads of nanosecond
+    timestamp columns will also see them as LONG. The engine's own
+    tables are unaffected (WAL/checkpoint timestamps are explicit LONG
+    micros); only the driver's synthetic events fixture carries ns."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -764,3 +764,92 @@ def test_stream_durable_pairing_guard_refuses_unverifiable_roots(spark, tmp_path
             spark, store._log_dir(0), snaps, catalogue_schema(),
             str(tmp_path / "ckpt_fresh"), available_now=True,
         )
+
+
+def test_release_ignores_foreign_lock(store, spark, tmp_path):
+    """release()/close() must only remove a lock this instance (or this
+    process) owns: a failed acquire + finally-close must never delete the
+    live owner's lock and re-open the store to a second writer."""
+    store.acquire()
+    # simulate a FOREIGN owner (different pid) holding the lock
+    with open(store._lock_path, "w") as f:
+        f.write("999999999")
+    other = EventLogStorage(spark, store.path, catalogue_schema())
+    with pytest.raises(StorageLockedError):
+        other.acquire()
+    other.release()  # the failed-acquire cleanup path
+    assert os.path.exists(store._lock_path), "foreign lock was deleted"
+    # the original instance acquired it, so IT may still release
+    store.release()
+    assert not os.path.exists(store._lock_path)
+
+
+def test_recovery_does_not_reissue_tx_id_zero(store, spark):
+    """Crash before the first checkpoint with exactly one committed
+    transaction (tx_id 0): the recovered session must allocate tx_id 1
+    next — `(max_tx or -1) + 1` treated the legitimate 0 as NULL and
+    re-issued tx_id 0, duplicating a durable transaction identity."""
+    s1 = store.load(_fresh)
+    s1.write(lambda tx: tx.new_node("Artist", name="A", uid=1))  # tx_id 0
+    store.flush()
+    # simulate crash: no checkpoint, re-load from WAL alone
+    s2 = store.load(_fresh)
+    assert s2._next_tx == 1
+    events = spark.read.parquet(
+        *[p for p in __import__("glob").glob(os.path.join(store.path, "log", "*", "batch-*"))]
+    )
+    assert events.select("tx_id").distinct().count() == 1
+    s2.write(lambda tx: tx.new_node("Artist", name="B", uid=2))  # must be tx_id 1
+    store.flush()
+    events2 = spark.read.parquet(
+        *[p for p in __import__("glob").glob(os.path.join(store.path, "log", "*", "batch-*"))]
+    )
+    txs = sorted(r.tx_id for r in events2.select("tx_id").distinct().collect())
+    assert txs == [0, 1], txs
+
+
+def test_stream_refuses_compaction_redelivery(spark, tmp_path):
+    """compact_log run against a log a LIVE stream checkpoint already
+    consumed publishes the same events under a NEW file name; the file
+    source re-delivers them, and applying them onto a snapshot that
+    already contains later events would regress it. The seq high-water
+    tripwire must refuse the batch loudly instead."""
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.streaming import stream_apply_wal_durable
+
+    path = os.path.join(str(tmp_path), "store")
+    st = EventLogStorage(spark, path, catalogue_schema())
+    s = st.load(_fresh)
+    for i in range(3):
+        s.write(
+            lambda tx, i=i: tx.add_target(
+                ROOT_ID, tx.new_node("Artist", name=f"C{i}", uid=i)
+            )
+        )
+    st.flush()
+    wal = st._log_dir(0)
+    snaps = os.path.join(str(tmp_path), "snaps")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    q = stream_apply_wal_durable(
+        spark, wal, snaps, catalogue_schema(), ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    applied = q._graphdb_state.max_seq
+    assert applied is not None and applied > 0
+
+    # compact while the stream's checkpoint is live: originals are
+    # QUARANTINED (not rmtree'd), the combined file is a new path
+    assert st.compact_log(0) == 3
+    import glob as _g
+
+    assert not _g.glob(os.path.join(wal, "batch-*[0-9].parquet")), "originals still visible"
+    assert _g.glob(os.path.join(wal, ".compacted-*")), "quarantine dir missing"
+
+    # restarting the stream re-delivers the compacted file -> refused
+    q2 = stream_apply_wal_durable(
+        spark, wal, snaps, catalogue_schema(), ckpt, available_now=True
+    )
+    with pytest.raises(Exception) as exc_info:
+        q2.awaitTermination(120)
+    assert "duplicate delivery" in str(exc_info.value)
