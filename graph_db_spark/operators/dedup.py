@@ -509,7 +509,9 @@ def _assign_nearest(
     )
 
 
-def _semdedup_from_assign(v: DataFrame, assign: DataFrame, tau: float) -> DataFrame:
+def _semdedup_from_assign(
+    v: DataFrame, assign: DataFrame, tau: float, checkpoint: bool = True
+) -> DataFrame:
     """Shared SemDeDup tail: given the corpus frame *v* = (id, vec,
     __norm) and an assignment (id, cell, cent_cos), prune within each
     cell by the (cent_cos ASC, id ASC) keep-order and the >= *tau*
@@ -526,11 +528,11 @@ def _semdedup_from_assign(v: DataFrame, assign: DataFrame, tau: float) -> DataFr
     # driver — repeated calls don't pin corpus-sized storage for the
     # session; pregel.release() exists only where loops need the release
     # to be DETERMINISTIC mid-iteration rather than GC-driven.
-    mem = (
-        v.join(assign, "id")
-        .select("id", "vec", "__norm", "cell", "cent_cos")
-        .localCheckpoint(eager=True)
-    )
+    # checkpoint=False skips the cut for callers that only COMPOSE the
+    # plan (see semantic_dedup_verdicts docstring).
+    mem = v.join(assign, "id").select("id", "vec", "__norm", "cell", "cent_cos")
+    if checkpoint:
+        mem = mem.localCheckpoint(eager=True)
     x = mem.select(
         F.col("id").alias("xid"),
         F.col("vec").alias("xvec"),
@@ -584,6 +586,7 @@ def semantic_dedup_verdicts(
     tau: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning with the quadratic term bounded by embedding
@@ -610,12 +613,21 @@ def semantic_dedup_verdicts(
     ``semantic_dedup_hier_verdicts`` below cuts it to ~n*3*sqrt(k) with
     a coarse quantizer (n_probe=2). Degenerate vectors (zero-norm -> NULL cosine) get
     no assignment and are emitted with NULL cell, cent_cos, and
-    pruned=false, mirroring ivf_assign's degenerate-input contract."""
+    pruned=false, mirroring ivf_assign's degenerate-input contract.
+
+    *checkpoint* (default True) localCheckpoints the shared member frame
+    — without the cut every consumer re-runs the scan+assignment
+    subtree. Caveats: the cut EXECUTES Spark jobs at plan-construction
+    time (composing the operator is no longer lazy), and localCheckpoint
+    blocks, unlike reliable checkpoints, are lost on executor failure.
+    Pass checkpoint=False when merely composing plans or running on
+    preemptible executors where recompute-on-loss must stay possible
+    (kmeans_fit exposes the same escape hatch)."""
     v = _norm_frame(df, id_col, vec_col, "id", "vec")
     c = _norm_frame(centroids, id_col, vec_col, "cell", "cvec").withColumnRenamed(
         "__norm", "cnorm"
     )
-    return _semdedup_from_assign(v, _assign_nearest(v, c), tau)
+    return _semdedup_from_assign(v, _assign_nearest(v, c), tau, checkpoint=checkpoint)
 
 
 def semantic_dedup_hier_verdicts(
@@ -626,6 +638,7 @@ def semantic_dedup_hier_verdicts(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """SemDeDup with HIERARCHICAL (coarse-quantized) assignment — the
     scale path for the n*k assignment term.
@@ -651,7 +664,10 @@ def semantic_dedup_hier_verdicts(
     DuckDB oracle replicates the full two-level route bit-for-bit.
 
     *coarse* is the coarse codebook (same (id, vec) schema) — typically
-    ``kmeans_fit(centroids, k=ceil(sqrt(k)))``."""
+    ``kmeans_fit(centroids, k=ceil(sqrt(k)))``. *checkpoint* as in
+    ``semantic_dedup_verdicts``: True cuts the shared member-frame
+    lineage (eager jobs at construction, blocks lost on executor
+    failure); False keeps composition lazy."""
     v = _norm_frame(df, id_col, vec_col, "id", "vec")
     fine = _norm_frame(centroids, id_col, vec_col, "cell", "cvec").withColumnRenamed(
         "__norm", "cnorm"
@@ -739,4 +755,4 @@ def semantic_dedup_hier_verdicts(
         .agg(F.min(F.struct((-F.col("ccos")).alias("negcos"), F.col("cell"))).alias("m"))
         .select("id", F.col("m.cell").alias("cell"), (-F.col("m.negcos")).alias("cent_cos"))
     )
-    return _semdedup_from_assign(v, assign, tau)
+    return _semdedup_from_assign(v, assign, tau, checkpoint=checkpoint)

@@ -347,7 +347,14 @@ def kmeans_fit(
     Scale shape per iteration: centroids broadcast into the assignment
     (one corpus scan, no shuffle), then ONE shuffle of fixed-width
     (cell, dim, x) triples for the map-side-combinable mean agg. Empty
-    cells keep their previous centroid (standard Lloyd's fallback)."""
+    cells keep their previous centroid (standard Lloyd's fallback).
+
+    *checkpoint* (default True) localCheckpoints the trained codebook so
+    consumers don't re-run the Lloyd passes. Caveats: the fit then
+    EXECUTES at plan-construction time, and localCheckpoint blocks are
+    lost on executor failure (unlike reliable checkpoints) — pass
+    checkpoint=False when merely composing plans or on preemptible
+    executors."""
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

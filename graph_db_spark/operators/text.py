@@ -208,6 +208,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 1024,
     keep_cols: tuple[str, ...] = (),
+    checkpoint: bool = True,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, arXiv:2302.03169) hashed-n-gram importance
     weights: fit bag-of-hashed-tokens unigram models over *n_buckets*
@@ -230,7 +231,14 @@ def dsir_weights(
     100 TB shape: token explode → ONE shuffle keyed (id, bucket) for the
     per-doc counts; the two feature models are n_buckets-row aggregates
     broadcast back; the per-doc sum shuffles fixed-width rows. No global
-    sort — ranking is deferred to the gumbel_key top-k."""
+    sort — ranking is deferred to the gumbel_key top-k.
+
+    *checkpoint* (default True) localCheckpoints the per-(doc, bucket)
+    count frame so the model and weighting branches share one corpus
+    scan. Caveats: the cut EXECUTES Spark jobs at plan-construction time,
+    and localCheckpoint blocks are lost on executor failure (unlike
+    reliable checkpoints). Pass checkpoint=False when merely composing
+    plans or on preemptible executors."""
     from graph_db_spark.functions.text import ws_tokens
 
     def hex_int(col, n):
@@ -255,11 +263,11 @@ def dsir_weights(
     # frame (a bucket-keyed agg over ~n_docs*distinct-buckets rows, then
     # a 1-row sum over the n_buckets-row model) — never a second scan or
     # shuffle of the raw token stream.
-    per_doc = (
-        bk.groupBy("id", "_tgt", *keep_cols, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+    per_doc = bk.groupBy("id", "_tgt", *keep_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    if checkpoint:
+        per_doc = per_doc.localCheckpoint(eager=True)
     model = per_doc.groupBy("bucket").agg(
         F.sum("c").alias("cq"),
         F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias("ct"),

@@ -34,6 +34,7 @@ import hashlib
 import json
 import logging
 import os
+import re
 import shutil
 import threading
 import time
@@ -137,9 +138,19 @@ def _ei_lock(name: str) -> threading.Lock:
         return _ei_catalog_locks.setdefault(name, threading.Lock())
 
 
+_REMOTE_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 def _norm_location(p: str) -> str:
     """Normalize a catalog Location / local path for equality: strip the
-    file: scheme, collapse duplicate leading slashes, drop trailing /."""
+    file: scheme, collapse duplicate leading slashes, drop trailing /.
+    Non-file schemes (hdfs://, s3a://, ...) are compared TEXTUALLY after
+    a trailing-slash strip — running them through os.path.abspath would
+    join them onto the cwd and the equality check would mismatch on every
+    load, dropping/recreating the catalog entry and permanently defeating
+    the stable_key reuse (round-8 advisor finding)."""
+    if _REMOTE_SCHEME.match(p) and not p.startswith("file:"):
+        return p.rstrip("/")
     if p.startswith("file:"):
         p = p[len("file:") :]
     while p.startswith("//"):
@@ -248,10 +259,15 @@ class EventLogStorage:
         # rows per traversal after a restart and shuffling only the small
         # frontier into the existing bucket layout.
         self.index_buckets = int(index_buckets)
-        # Lock ownership flag: release()/close() must only remove a lock
-        # THIS instance acquired — a failed acquire() followed by close()
-        # in a finally block must never delete the live owner's lock.
+        # Lock ownership: release()/close() must only remove a lock THIS
+        # instance acquired — a failed acquire() followed by close() in a
+        # finally block must never delete the live owner's lock. Ownership
+        # is keyed on a per-INSTANCE token (pid alone is not enough: a
+        # second handle in the same process shares the pid, and a
+        # pid-equality fallback would let its failed-acquire cleanup
+        # delete the live sibling's lock — round-8 advisor finding).
         self._lock_held = False
+        self._lock_token = f"{os.getpid()}:{uuid.uuid4().hex}"
 
     # -- layout ------------------------------------------------------------
 
@@ -297,30 +313,45 @@ class EventLogStorage:
         ``.lock`` file (driver-level: Spark executors never write here)."""
         try:
             fd = os.open(self._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, self._lock_token.encode())
             os.close(fd)
             self._lock_held = True
         except FileExistsError:
             raise StorageLockedError(f"store at {self.path} is locked")
 
     def release(self) -> None:
-        """Remove the lock only if it is OURS: this instance acquired it,
-        or the recorded pid is this process (a re-created handle in the
-        owning process). An unconditional remove would let
-        ``store.acquire_and_load()`` failing with StorageLockedError +
-        ``finally: store.close()`` silently delete the LIVE owner's lock
-        and re-open the store to a second writer."""
-        if not os.path.exists(self._lock_path):
-            return
+        """Remove the lock only if THIS INSTANCE acquired it. An
+        unconditional remove would let ``store.acquire_and_load()``
+        failing with StorageLockedError + ``finally: store.close()``
+        silently delete the LIVE owner's lock and re-open the store to a
+        second writer. There is deliberately NO same-pid fallback: two
+        handles in one process share the pid, so pid equality cannot
+        distinguish the owner from a failed acquirer (the
+        intra-process variant of the same double-writer bug). The
+        recorded (pid:uuid) token is double-checked before removal so a
+        force_unlock()+re-acquire by a third handle between our acquire
+        and release never deletes the new owner's lock. Stale locks
+        (crashed owner) are an operator decision: ``force_unlock()``."""
         if not self._lock_held:
-            try:
-                with open(self._lock_path) as f:
-                    owner = int(f.read().strip() or -1)
-            except (OSError, ValueError):
-                return
-            if owner != os.getpid():
-                return
+            return
         self._lock_held = False
+        try:
+            with open(self._lock_path) as f:
+                if f.read().strip() != self._lock_token:
+                    return
+        except OSError:
+            return
+        try:
+            os.remove(self._lock_path)
+        except FileNotFoundError:
+            pass
+
+    def force_unlock(self) -> None:
+        """Explicit stale-lock recovery: unconditionally remove the
+        ``.lock`` file regardless of ownership. For the operator who has
+        VERIFIED the recorded owner is dead (the token is ``pid:uuid``
+        — check the pid) — calling this while the owner lives re-opens
+        the store to a second writer, exactly what release() refuses."""
         try:
             os.remove(self._lock_path)
         except FileNotFoundError:
@@ -382,14 +413,24 @@ class EventLogStorage:
                     aside = None  # target vanished (zombie cleanup); retry
                 if aside is not None:
                     if os.path.exists(os.path.join(aside, "_SUCCESS")):
+                        restored = True
                         try:
                             os.rename(aside, out)
                         except OSError:
-                            pass  # keep the committed batch in `aside`
+                            restored = False  # committed batch stays in `aside`
                         raise FileExistsError(
                             f"committed batch already exists at {out}: seq "
                             "collision (second writer violating the lock "
                             "contract?)"
+                            + (
+                                ""
+                                if restored
+                                else f"; the committed batch could not be "
+                                f"restored and is preserved at {aside} — "
+                                f"recover it by renaming it back to {out} "
+                                "once the colliding writer is resolved "
+                                "(load() refuses to proceed while it exists)"
+                            )
                         )
                     shutil.rmtree(aside, ignore_errors=True)
                 if attempt == 4:
@@ -503,9 +544,29 @@ class EventLogStorage:
                     os.path.join(self._log_root, d), os.path.join(arch, f"log-{gen}")
                 )
 
+    def _stranded_asides(self) -> list[str]:
+        """Committed ``.aside-*`` batch dirs persist_events preserved when
+        a seq-collision restore failed — durable data outside the replay
+        path, surfaced (never silently swept) until an operator resolves
+        them."""
+        out: list[str] = []
+        for d in os.listdir(self._log_root):
+            gen_dir = os.path.join(self._log_root, d)
+            if not os.path.isdir(gen_dir):
+                continue
+            for b in os.listdir(gen_dir):
+                if b.startswith(".aside-") and os.path.exists(
+                    os.path.join(gen_dir, b, "_SUCCESS")
+                ):
+                    out.append(os.path.join(gen_dir, b))
+        return sorted(out)
+
     def clean_up(self) -> None:
         """Delete the archive and compaction quarantine dirs
-        (Storage.hs cleanUp semantics)."""
+        (Storage.hs cleanUp semantics). Stranded committed ``.aside-*``
+        batches are surfaced with a warning and KEPT — they hold durable
+        commits outside the replay path, and only an operator can decide
+        whether to restore or discard them."""
         arch = os.path.join(self.path, "archive")
         if os.path.exists(arch):
             shutil.rmtree(arch)
@@ -516,6 +577,16 @@ class EventLogStorage:
             for b in os.listdir(gen_dir):
                 if b.startswith(".compacted-"):
                     shutil.rmtree(os.path.join(gen_dir, b), ignore_errors=True)
+        stranded = self._stranded_asides()
+        if stranded:
+            logging.getLogger(__name__).warning(
+                "store at %s has committed batch dirs stranded by "
+                "seq-collision handling (NOT deleted): %s — rename each back "
+                "to its batch-<firstseq>.parquet target or remove it if "
+                "known superseded",
+                self.path,
+                stranded,
+            )
 
     def compact_log(self, gen: int | None = None) -> int:
         """Merge a generation's many per-commit batch files into one
@@ -653,15 +724,35 @@ class EventLogStorage:
                     full = os.path.join(gen_dir, b)
                     if not os.path.isdir(full):
                         continue
-                    # uncommitted batch dirs AND persist_events staging
-                    # dirs a killed writer abandoned before its rename
-                    # (nothing live writes here under the recovery lock)
+                    # uncommitted batch dirs AND persist_events staging /
+                    # aside dirs a killed writer abandoned before its
+                    # rename (nothing live writes here under the recovery
+                    # lock). An .aside-* WITH _SUCCESS is different: a
+                    # COMMITTED batch persist_events preserved during a
+                    # seq-collision — never swept (see below).
                     if b.startswith(".staging-") or (
-                        b.startswith("batch-")
+                        b.startswith(("batch-", ".aside-"))
                         and not os.path.exists(os.path.join(full, "_SUCCESS"))
                     ):
                         found.append(full)
             return found
+
+        # A committed .aside-* dir is durable, acknowledged data that
+        # _log_batches never replays (persist_events stranded it when a
+        # zombie re-occupied its target during seq-collision handling).
+        # Proceeding would silently drop a durable commit from recovery —
+        # refuse until the operator restores or removes it (round-8
+        # advisor finding: these dirs were invisible to every sweep).
+        stranded = self._stranded_asides()
+        if stranded:
+            raise RuntimeError(
+                f"store at {self.path} has COMMITTED batch dirs stranded by "
+                f"seq-collision handling: {stranded}; recovery would not "
+                "replay them (silent loss of durable commits). Rename each "
+                "back to its batch-<firstseq>.parquet target (resolving any "
+                "collision with the occupant) or delete it if it is known "
+                "superseded, then reload."
+            )
 
         for attempt in range(5):
             dirty = orphans()

@@ -277,15 +277,26 @@ def stream_apply_wal_durable(
     state.last_published = start_epoch
     if start_epoch >= 0:
         # resume the duplicate-delivery tripwire from the published
-        # high-water mark (absent in epochs published by older versions
-        # -> None: the tripwire re-arms after the first applied batch)
+        # high-water mark. Only two states legitimately disarm it: no
+        # meta.json at all, or one without the max_seq key (epochs
+        # published by older versions). A meta.json that EXISTS but does
+        # not parse is corruption — disarming on it would turn the loud
+        # duplicate-delivery refusal back into a silent snapshot
+        # regression for the first re-delivered batch (round-8 advisor
+        # finding), so it raises like the stream.json pairing guard.
+        meta_path = os.path.join(snapshot_root, f"epoch-{start_epoch}", "meta.json")
         try:
-            with open(
-                os.path.join(snapshot_root, f"epoch-{start_epoch}", "meta.json")
-            ) as f:
+            with open(meta_path) as f:
                 state.max_seq = json.load(f).get("max_seq")
-        except Exception:  # noqa: BLE001 — meta unreadable: tripwire off
-            state.max_seq = None
+        except FileNotFoundError:
+            state.max_seq = None  # legacy epoch: tripwire re-arms after batch 1
+        except (ValueError, OSError) as exc:
+            raise ValueError(
+                f"published epoch {start_epoch} at {snapshot_root} has an "
+                f"unreadable meta.json ({exc}); cannot resume the "
+                "duplicate-delivery tripwire safely. Restore the file or "
+                "remove the corrupted epoch dir before restarting."
+            ) from exc
 
     def apply_batch(batch_df: DataFrame, epoch: int) -> None:
         if epoch <= state.last_published:

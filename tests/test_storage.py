@@ -767,20 +767,33 @@ def test_stream_durable_pairing_guard_refuses_unverifiable_roots(spark, tmp_path
 
 
 def test_release_ignores_foreign_lock(store, spark, tmp_path):
-    """release()/close() must only remove a lock this instance (or this
-    process) owns: a failed acquire + finally-close must never delete the
-    live owner's lock and re-open the store to a second writer."""
+    """release()/close() must only remove a lock this INSTANCE owns: a
+    failed acquire + finally-close must never delete the live owner's
+    lock and re-open the store to a second writer. The second handle here
+    lives in the SAME process — the case a pid-equality fallback would
+    get wrong (round-8 advisor finding): pid matches, but the lock is the
+    sibling's."""
     store.acquire()
-    # simulate a FOREIGN owner (different pid) holding the lock
-    with open(store._lock_path, "w") as f:
-        f.write("999999999")
     other = EventLogStorage(spark, store.path, catalogue_schema())
     with pytest.raises(StorageLockedError):
         other.acquire()
-    other.release()  # the failed-acquire cleanup path
+    other.release()  # the failed-acquire cleanup path (acquire_and_load+finally)
+    assert os.path.exists(store._lock_path), "live owner's lock was deleted"
+    # a foreign-PROCESS lock must be equally untouchable
+    with open(store._lock_path, "w") as f:
+        f.write("999999999:deadbeef")
+    other.release()
     assert os.path.exists(store._lock_path), "foreign lock was deleted"
-    # the original instance acquired it, so IT may still release
+    # the original instance acquired it, but the file is no longer its
+    # token (a force_unlock+reacquire could have happened): refuse too
     store.release()
+    assert os.path.exists(store._lock_path), "token-mismatched lock was deleted"
+    # explicit operator recovery is the only unconditional path
+    other.force_unlock()
+    assert not os.path.exists(store._lock_path)
+    # normal lifecycle: acquire-then-release still removes our own lock
+    other.acquire()
+    other.release()
     assert not os.path.exists(store._lock_path)
 
 
