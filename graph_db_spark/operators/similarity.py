@@ -323,6 +323,31 @@ def ivf_cosine_topk(
     )
 
 
+#: Multiplier of the cross-engine sampling hash (Knuth's 2^32/phi). The
+#: rule ``((id * KMEANS_SAMPLE_MULT) % 2^64-safe-range) % s == 0`` is
+#: plain int64 arithmetic, so DuckDB oracles replicate the SAMPLE
+#: bit-for-bit — xxhash64 would be Spark-only. Overflow-free for ids
+#: < ~3.4e9 (id * mult < 2^63); a corpus with wider ids would switch to
+#: xxhash64 and give up the cross-engine twin.
+KMEANS_SAMPLE_MULT = 2654435761
+KMEANS_SAMPLE_RANGE = 4294967296
+
+
+def kmeans_sample_pred(id_expr, sample_mod: int):
+    """The deterministic fit-sample membership predicate (shared by
+    kmeans_fit and any oracle-twin construction in tests)."""
+    return (
+        F.pmod(
+            F.pmod(
+                id_expr.cast("long") * F.lit(KMEANS_SAMPLE_MULT),
+                F.lit(KMEANS_SAMPLE_RANGE),
+            ),
+            F.lit(int(sample_mod)),
+        )
+        == 0
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -331,21 +356,48 @@ def kmeans_fit(
     vec_col: str = "embedding",
     round_digits: int = 9,
     checkpoint: bool = True,
+    sample_mod: int | None = None,
+    sample_target: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means → (vec_id = cell, embedding = centroid),
     the trained-centroid source for ``ivf_cosine_topk``.
 
     Deterministic and cross-engine exact (no RNG, no FP drift):
-    - init = the vectors with id < k (k-means++ would add RNG; at scale
-      you'd seed from a deterministic hash-sample instead);
+    - init = the vectors with id < k (k-means++ would add RNG; the
+      sampled mode below seeds from the hash-sample instead);
     - assignment distance is a sequential left-to-right fold over the
       zipped arrays — the same double result on any engine;
     - new centroids are per-(cell, dim) means computed with DECIMAL sums
       (exact, order-independent — a double sum would differ across
       partitionings), divided by the exact member count and rounded.
 
+    **Sampled fit — the scale path.** The full-corpus fit costs
+    n·k distance evaluations per Lloyd round; with the SemDeDup-style
+    k ∝ sqrt(n) scaling that term is n^1.5 and was measured as the
+    dominant cost of both semantic-dedup routes (SCALE_STRESS_r08:
+    286 s of a 322 s hierarchical run at 200k vectors). Lloyd's means
+    converge on a uniform sample of the corpus, so:
+
+    - ``sample_mod=s`` fits the codebook on the deterministic hash-sample
+      ``((id * 2654435761) % 2^32) % s == 0`` (~n/s rows) — plain int64
+      arithmetic a DuckDB oracle replicates bit-for-bit;
+    - ``sample_target=t`` derives ``s = max(1, n // t)`` from one
+      column-pruned count (t ≈ max(10_000, 50·k) is the usual choice:
+      ≥50 sample points per centroid);
+    - in sampled mode init = the k smallest sampled ids, RENUMBERED to
+      cells 0..k-1 (a fixture corpus with contiguous ids gets the same
+      init set as the legacy ``id < k`` rule when s=1, and compact cell
+      ids keep a second-level coarse fit's legacy init valid).
+
+    Per round the fit then costs (n/s)·k — constant when t is fixed —
+    and the one full-corpus n·k pass left is the caller's final
+    assignment. The FULL corpus is never sampled away: only the
+    codebook-training rows are. Sampled and unsampled fits produce
+    different (both valid) codebooks; consumers' oracles must replicate
+    the same rule.
+
     Scale shape per iteration: centroids broadcast into the assignment
-    (one corpus scan, no shuffle), then ONE shuffle of fixed-width
+    (one sample scan, no shuffle), then ONE shuffle of fixed-width
     (cell, dim, x) triples for the map-side-combinable mean agg. Empty
     cells keep their previous centroid (standard Lloyd's fallback).
 
@@ -359,9 +411,26 @@ def kmeans_fit(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cent = v.filter(F.col("id") < k).select(
-        F.col("id").alias("cell"), F.col("v").alias("c")
-    )
+    if sample_target is not None and sample_mod is None:
+        # one column-pruned count; ~n/sample_target keeps ≥ target rows
+        sample_mod = max(1, v.count() // int(sample_target))
+    if sample_mod is not None:
+        fit = v.filter(kmeans_sample_pred(F.col("id"), sample_mod)) if sample_mod > 1 else v
+        # k smallest sampled ids, renumbered to cells 0..k-1.
+        # orderBy+limit is a TakeOrderedAndProject (per-partition top-k,
+        # driver merge of k rows); the window then runs over k rows only.
+        w_init = W.orderBy("id")
+        cent = (
+            fit.orderBy("id")
+            .limit(k)
+            .select((F.row_number().over(w_init) - 1).alias("cell"), F.col("v").alias("c"))
+        )
+        v_fit = fit
+    else:
+        cent = v.filter(F.col("id") < k).select(
+            F.col("id").alias("cell"), F.col("v").alias("c")
+        )
+        v_fit = v
     dist = F.aggregate(
         F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -376,7 +445,7 @@ def kmeans_fit(
         # orderBy(d asc, cell asc) tie-break; v rides along in the struct
         # (it never influences the comparison).
         assigned = (
-            v.crossJoin(F.broadcast(cent))
+            v_fit.crossJoin(F.broadcast(cent))
             .withColumn("d", dist)
             # NULL distances (ragged vector dims → zip_with null-padding)
             # must not win: struct-min sorts NULLs first, and the old

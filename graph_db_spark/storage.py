@@ -199,8 +199,12 @@ def read_edge_index_bucketed(spark, path: str, n_buckets: int, stable_key: str |
     # same path with a different bucket count would otherwise hit the
     # IF NOT EXISTS no-op and read a stale spec — Spark trusts the
     # catalog's bucket count and elides the exchange, silently
-    # mis-joining (round-5 review finding).
-    ident = f"{stable_key or os.path.abspath(path)}|{n_buckets}|{cols}"
+    # mis-joining (round-5 review finding). The identity component goes
+    # through _norm_location, not os.path.abspath: abspath on a remote
+    # URI ("s3a://bucket/…") joins it onto the cwd, so two processes with
+    # different cwds would derive different idents for the SAME remote
+    # index and each leak its own catalog entry (round-9 advisor finding).
+    ident = f"{_norm_location(stable_key or path)}|{n_buckets}|{cols}"
     name = "graphdb_ei_r_" + hashlib.md5(ident.encode()).hexdigest()[:12]
     ddl = (
         f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING PARQUET "
@@ -331,15 +335,30 @@ class EventLogStorage:
         recorded (pid:uuid) token is double-checked before removal so a
         force_unlock()+re-acquire by a third handle between our acquire
         and release never deletes the new owner's lock. Stale locks
-        (crashed owner) are an operator decision: ``force_unlock()``."""
+        (crashed owner) are an operator decision: ``force_unlock()``.
+
+        ``_lock_held`` is cleared only AFTER the ownership check resolves:
+        clearing it up front would let a transient OSError on the token
+        read (e.g. EACCES) return early with the flag already false,
+        permanently stranding a lock this instance legitimately owns —
+        leaving it set means a later release() retries the read
+        (round-9 advisor finding)."""
         if not self._lock_held:
             return
-        self._lock_held = False
         try:
             with open(self._lock_path) as f:
-                if f.read().strip() != self._lock_token:
-                    return
+                owned = f.read().strip() == self._lock_token
+        except FileNotFoundError:
+            # lock file gone (force_unlock / third-party removal):
+            # nothing of ours remains to remove
+            self._lock_held = False
+            return
         except OSError:
+            # transient read failure: keep _lock_held so a subsequent
+            # release() can retry instead of stranding our own lock
+            return
+        self._lock_held = False
+        if not owned:
             return
         try:
             os.remove(self._lock_path)
@@ -548,10 +567,26 @@ class EventLogStorage:
         """Committed ``.aside-*`` batch dirs persist_events preserved when
         a seq-collision restore failed — durable data outside the replay
         path, surfaced (never silently swept) until an operator resolves
-        them."""
+        them.
+
+        Scans BOTH the active log root and the archive's ``log-<gen>``
+        dirs (mirroring ``_log_batches``' two-root pattern): checkpoint's
+        ``_archive_before`` moves whole generation dirs into the archive,
+        and an aside stranded in a generation < version-1 would otherwise
+        escape both the recovery refusal and the clean_up warning — and
+        then be silently rmtree'd with the archive (round-9 advisor
+        finding)."""
+        arch = os.path.join(self.path, "archive")
+        gen_dirs = [
+            os.path.join(self._log_root, d)
+            for d in (os.listdir(self._log_root) if os.path.isdir(self._log_root) else [])
+        ] + [
+            os.path.join(arch, d)
+            for d in (os.listdir(arch) if os.path.isdir(arch) else [])
+            if d.startswith("log-")
+        ]
         out: list[str] = []
-        for d in os.listdir(self._log_root):
-            gen_dir = os.path.join(self._log_root, d)
+        for gen_dir in gen_dirs:
             if not os.path.isdir(gen_dir):
                 continue
             for b in os.listdir(gen_dir):
@@ -566,10 +601,23 @@ class EventLogStorage:
         (Storage.hs cleanUp semantics). Stranded committed ``.aside-*``
         batches are surfaced with a warning and KEPT — they hold durable
         commits outside the replay path, and only an operator can decide
-        whether to restore or discard them."""
+        whether to restore or discard them. That keep extends into the
+        archive: an ``archive/log-<gen>`` dir holding a committed aside
+        survives the archive sweep (deleting it with the rest of the
+        archive would be exactly the silent loss the stranded-aside
+        guard exists to prevent — round-9 advisor finding)."""
         arch = os.path.join(self.path, "archive")
+        stranded = self._stranded_asides()  # BEFORE any deletion
         if os.path.exists(arch):
-            shutil.rmtree(arch)
+            for entry in os.listdir(arch):
+                full = os.path.join(arch, entry)
+                if any(s.startswith(full + os.sep) for s in stranded):
+                    continue  # holds a committed aside: operator's call
+                shutil.rmtree(full)
+            try:
+                os.rmdir(arch)  # only if nothing was kept
+            except OSError:
+                pass
         for d in os.listdir(self._log_root):
             gen_dir = os.path.join(self._log_root, d)
             if not os.path.isdir(gen_dir):
@@ -577,7 +625,6 @@ class EventLogStorage:
             for b in os.listdir(gen_dir):
                 if b.startswith(".compacted-"):
                     shutil.rmtree(os.path.join(gen_dir, b), ignore_errors=True)
-        stranded = self._stranded_asides()
         if stranded:
             logging.getLogger(__name__).warning(
                 "store at %s has committed batch dirs stranded by "

@@ -107,8 +107,20 @@ def _epoch_snapshot(spark: SparkSession, snapshot_root: str, epoch: int, schema)
     n = 0
     meta_p = os.path.join(base, "meta.json")
     if os.path.exists(meta_p):
-        with open(meta_p) as f:
-            n = json.load(f).get("index_buckets", 0)
+        # A present-but-unparseable meta.json is corruption, not a legacy
+        # epoch: silently treating it as bucket-less would both drop the
+        # bucket layout (every hop join re-shuffles the index side) and
+        # let the resume path downstream disarm the duplicate-delivery
+        # tripwire. Same loud contract as the resume guard below.
+        try:
+            with open(meta_p) as f:
+                n = json.load(f).get("index_buckets", 0)
+        except ValueError as exc:
+            raise ValueError(
+                f"published epoch {epoch} at {snapshot_root} has an "
+                f"unreadable meta.json ({exc}); restore the file or remove "
+                "the corrupted epoch dir before reloading."
+            ) from exc
     return GraphSnapshot(
         spark.read.parquet(os.path.join(base, "vertices")),
         spark.read.parquet(os.path.join(base, "edges")),

@@ -1713,3 +1713,53 @@ def test_dsir_scores_zero_token_docs(spark):
         assert got[i].dsir_weight == 0.0
         assert got[i].selected is True
         assert math.isfinite(got[i].gumbel_key)
+
+
+def test_checkpoint_false_hatch_result_equivalence(spark):
+    """Round-9 ADVICE hatch pinned: checkpoint=False must change only
+    plan LAZINESS (no eager localCheckpoint jobs at construction), never
+    results — semdedup exact, semdedup hierarchical, and DSIR all
+    bit-match their checkpoint=True outputs."""
+    from graph_db_spark.operators.dedup import (
+        semantic_dedup_hier_verdicts,
+        semantic_dedup_verdicts,
+    )
+    from graph_db_spark.operators.similarity import kmeans_fit
+    from graph_db_spark.operators.text import dsir_weights
+
+    rows = [
+        (i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(8)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cent = kmeans_fit(df, k=6, n_iters=2)
+    coarse = kmeans_fit(cent, k=3, n_iters=2)
+
+    def key(rs):
+        return sorted((tuple(r) for r in rs), key=repr)
+
+    assert key(semantic_dedup_verdicts(df, cent, tau=0.9).collect()) == key(
+        semantic_dedup_verdicts(df, cent, tau=0.9, checkpoint=False).collect()
+    )
+    assert key(
+        semantic_dedup_hier_verdicts(df, cent, coarse, tau=0.9).collect()
+    ) == key(
+        semantic_dedup_hier_verdicts(
+            df, cent, coarse, tau=0.9, checkpoint=False
+        ).collect()
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, i % 3 == 0, " ".join(f"w{(i * 5 + j) % 17}" for j in range(25)))
+            for i in range(40)
+        ],
+        "doc_id INT, is_tgt BOOLEAN, text STRING",
+    )
+    assert key(
+        dsir_weights(docs, "is_tgt", id_col="doc_id", text_col="text").collect()
+    ) == key(
+        dsir_weights(
+            docs, "is_tgt", id_col="doc_id", text_col="text", checkpoint=False
+        ).collect()
+    )

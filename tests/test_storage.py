@@ -4,6 +4,7 @@ executables/APITests.hs:52-68)."""
 
 import os
 import random
+import shutil
 
 import pytest
 
@@ -866,3 +867,179 @@ def test_stream_refuses_compaction_redelivery(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         q2.awaitTermination(120)
     assert "duplicate delivery" in str(exc_info.value)
+
+
+# -- round-9/10 advisor-fix pinning tests ---------------------------------
+
+
+def _plant_aside(gen_dir, seq=7):
+    """Fabricate a COMMITTED .aside-* dir (what persist_events preserves
+    when a seq-collision restore fails, storage.py persist_events): the
+    guards key on the name prefix + _SUCCESS marker, not the contents."""
+    aside = os.path.join(gen_dir, f".aside-{seq:012d}-deadbeef")
+    os.makedirs(aside)
+    open(os.path.join(aside, "_SUCCESS"), "w").close()
+    return aside
+
+
+def test_stranded_aside_refuses_recovery_and_survives_cleanup(store, spark, caplog):
+    """A committed .aside-* in the ACTIVE log root must (a) make recovery
+    raise instead of silently dropping the durable commit from replay,
+    and (b) be surfaced-but-kept by clean_up (round-9 ADVICE fixes,
+    previously probe-verified only)."""
+    import logging
+
+    s = store.load(_fresh)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="A", uid=1)))
+    store.flush()
+    aside = _plant_aside(store._log_dir(0))
+
+    other = EventLogStorage(spark, store.path, catalogue_schema())
+    with pytest.raises(RuntimeError, match="stranded"):
+        other.load(_fresh)
+
+    with caplog.at_level(logging.WARNING, logger="graph_db_spark.storage"):
+        store.clean_up()
+    assert os.path.isdir(aside), "clean_up deleted a committed stranded aside"
+    assert any("stranded" in r.message for r in caplog.records)
+
+    # an UNcommitted aside (no _SUCCESS) is a dead staging dir: recovery
+    # sweeps it and proceeds
+    shutil.rmtree(aside)
+    junk = os.path.join(store._log_dir(0), ".aside-000000000009-cafecafe")
+    os.makedirs(junk)
+    other.load(_fresh)
+    assert not os.path.exists(junk)
+
+
+def test_stranded_aside_in_archive_not_silently_swept(store, spark, caplog):
+    """Round-10 ADVICE (medium): checkpoint's _archive_before moves whole
+    generation dirs into archive/log-<gen>; a committed aside riding that
+    move must stay visible to _stranded_asides (two-root scan), keep
+    refusing recovery, and survive clean_up's archive sweep — previously
+    it was archived out of both guards and then rmtree'd with the
+    archive."""
+    import logging
+
+    s = store.load(_fresh)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="X", uid=1)))
+    store.checkpoint(s)  # version 1: gen 0 still active
+    aside = _plant_aside(store._log_dir(0))
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="Y", uid=2)))
+    store.checkpoint(s)  # version 2: gen 0 (< version-1) archived
+
+    arch_aside = os.path.join(
+        store.path, "archive", "log-0", os.path.basename(aside)
+    )
+    assert os.path.isdir(arch_aside), "fixture: aside did not ride the archive move"
+    assert arch_aside in store._stranded_asides()
+
+    other = EventLogStorage(spark, store.path, catalogue_schema())
+    with pytest.raises(RuntimeError, match="stranded"):
+        other.load(_fresh)
+
+    with caplog.at_level(logging.WARNING, logger="graph_db_spark.storage"):
+        store.clean_up()
+    assert os.path.isdir(arch_aside), "clean_up rmtree'd the archived durable commit"
+    # everything else in the archive (old checkpoint) IS swept
+    assert sorted(os.listdir(os.path.join(store.path, "archive"))) == ["log-0"]
+    assert any("stranded" in r.message for r in caplog.records)
+
+    # operator resolves the aside -> clean_up now removes the archive fully
+    shutil.rmtree(arch_aside)
+    store.clean_up()
+    assert not os.path.exists(os.path.join(store.path, "archive"))
+
+
+def test_release_retries_after_transient_read_error(store, spark, monkeypatch):
+    """Round-10 ADVICE (low): a transient OSError reading the lock token
+    must not strand a legitimately-owned lock — _lock_held stays set so a
+    later release() retries and succeeds."""
+    import builtins
+
+    store.acquire()
+    real_open = builtins.open
+    state = {"failed": False}
+
+    def flaky_open(path, *a, **k):
+        if str(path) == store._lock_path and not state["failed"]:
+            state["failed"] = True
+            raise PermissionError("transient EACCES")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", flaky_open)
+    store.release()  # transient failure: must neither remove nor disown
+    assert state["failed"]
+    assert store._lock_held is True
+    assert os.path.exists(store._lock_path)
+    store.release()  # retry succeeds
+    assert store._lock_held is False
+    assert not os.path.exists(store._lock_path)
+    # second release after success is a no-op (flag cleared)
+    store.release()
+
+
+def test_norm_location_remote_schemes_cwd_independent(tmp_path):
+    """Round-9/10 ADVICE: remote URIs compare textually (never cwd-joined
+    via abspath), file:-scheme and plain paths collapse to one form — so
+    the bucketed-index catalog ident is stable across processes with
+    different cwds."""
+    from graph_db_spark.storage import _norm_location
+
+    assert _norm_location("hdfs://nn:8020/warehouse/idx/") == "hdfs://nn:8020/warehouse/idx"
+    assert _norm_location("s3a://bucket/idx") == "s3a://bucket/idx"
+    here = os.getcwd()
+    try:
+        os.chdir(str(tmp_path))
+        a = _norm_location("s3a://bucket/idx")
+        os.chdir("/")
+        b = _norm_location("s3a://bucket/idx")
+    finally:
+        os.chdir(here)
+    assert a == b == "s3a://bucket/idx"
+    assert str(tmp_path) not in a
+    assert _norm_location("file:///tmp/x/") == _norm_location("/tmp/x")
+
+
+def test_stream_corrupt_epoch_meta_raises_missing_disarms(spark, tmp_path):
+    """Round-9 ADVICE fix pinned: a published epoch whose meta.json EXISTS
+    but does not parse must fail the restart loudly (corruption — resuming
+    with a disarmed tripwire would turn duplicate delivery into a silent
+    snapshot regression); a MISSING meta.json is a legacy epoch and still
+    disarms (restart proceeds)."""
+    import json as _json
+
+    from graph_db_spark.streaming.apply import stream_apply_wal_durable
+
+    store = EventLogStorage(spark, str(tmp_path / "store"), catalogue_schema())
+    s = store.load(_fresh)
+    s.write(lambda tx: tx.add_target(ROOT_ID, tx.new_node("Artist", name="A", uid=1)))
+    store.flush()
+
+    snaps, ckpt = str(tmp_path / "snaps"), str(tmp_path / "ckpt")
+    q = stream_apply_wal_durable(
+        spark, store._log_dir(0), snaps, catalogue_schema(), ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    last = max(
+        int(d.split("-")[1]) for d in os.listdir(snaps) if d.startswith("epoch-")
+    )
+    meta = os.path.join(snaps, f"epoch-{last}", "meta.json")
+    assert os.path.exists(meta)
+    with open(meta) as f:
+        _json.load(f)  # fixture sanity: it parses today
+
+    with open(meta, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="meta.json"):
+        stream_apply_wal_durable(
+            spark, store._log_dir(0), snaps, catalogue_schema(), ckpt,
+            available_now=True,
+        )
+
+    os.remove(meta)  # legacy (pre-meta) epoch: tripwire disarms, start OK
+    q2 = stream_apply_wal_durable(
+        spark, store._log_dir(0), snaps, catalogue_schema(), ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
