@@ -588,10 +588,13 @@ def semantic_dedup_verdicts(
     vec_col: str = "embedding",
     checkpoint: bool = True,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
-    near-duplicate pruning with the quadratic term bounded by embedding
-    clusters. Returns one verdict row per vector:
-    (id, cell, cent_cos, pruned).
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with EXACT
+    nearest-centroid assignment — the bounded recall BASELINE. For a
+    production corpus use ``semantic_dedup`` (below), which composes the
+    sampled codebook fit with the hierarchical assignment route: this
+    exact variant's n·k assignment term is a measured n^1.5 scale floor
+    when k ∝ sqrt(n) (SCALE_STRESS_r08/r10). Returns one verdict row per
+    vector: (id, cell, cent_cos, pruned).
 
     Each vector is assigned to its nearest trained centroid by cosine
     (rounded to 6dp, ties on cell id — the ivf_assign contract). Within
@@ -756,3 +759,55 @@ def semantic_dedup_hier_verdicts(
         .select("id", F.col("m.cell").alias("cell"), (-F.col("m.negcos")).alias("cent_cos"))
     )
     return _semdedup_from_assign(v, assign, tau, checkpoint=checkpoint)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.99,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    sample_target: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """THE semantic-dedup entry point — the route a user should get by
+    picking the obvious name. Trains a SAMPLED k-means codebook
+    (k = max(8, isqrt(n)) by default; the Lloyd passes read only
+    max(10_000, 50·k) hash-sampled rows, so the fit term is constant in
+    corpus size), a coarse codebook over it (k' = isqrt(k)), and runs
+    the hierarchical assignment route ``semantic_dedup_hier_verdicts``
+    — per-vector work n·(k' + n_probe·k/k') ~ n·3·sqrt(k) instead of the
+    exact route's n·k. Every stage broadcasts or shuffles once on cell
+    id; nothing in the composition is super-linear in n when k ∝ sqrt(n)
+    (measured: SCALE_STRESS_r10). Returns the verdict frame
+    (id, cell, cent_cos, pruned).
+
+    ``semantic_dedup_verdicts`` (exact assignment) remains available as
+    the bounded recall BASELINE for fixture-size corpora and verdict
+    audits; its n·k assignment is a measured n^1.5 scale floor when
+    k ∝ sqrt(n), so do not point it at a production corpus.
+
+    One count() job derives k and the sample modulus; pass *k* (and
+    optionally *sample_target*) to skip it."""
+    import math
+
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    if k is None:
+        k = max(8, math.isqrt(df.count()))
+    target = sample_target if sample_target is not None else max(10_000, 50 * k)
+    cent = kmeans_fit(
+        df, k=k, n_iters=2, id_col=id_col, vec_col=vec_col,
+        sample_target=target, checkpoint=checkpoint,
+    )
+    # sampled-fit cells are renumbered 0..k-1, so the coarse fit's
+    # legacy id<k' init stays valid over the k-row codebook
+    coarse = kmeans_fit(
+        cent, k=max(2, math.isqrt(k)), n_iters=2,
+        id_col=id_col, vec_col=vec_col, checkpoint=checkpoint,
+    )
+    return semantic_dedup_hier_verdicts(
+        df, cent, coarse, tau=tau, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, checkpoint=checkpoint,
+    )

@@ -5162,6 +5162,19 @@ def bpe_encode_fixed_rules(spark, sf_dir):
     )
 
 
+def _kmeans_sampled_init_sql(k: int, mod: int, src: str = "e") -> str:
+    """The sampled-fit prologue as CTEs: the deterministic int64
+    hash-sample (twin of operators.similarity.kmeans_sample_pred) and the
+    renumbered k-smallest-ids init — twin of kmeans_fit(sample_mod=mod).
+    Iteration CTEs then run with src='s' (codebook trains on the sample);
+    the final assignment CTEs keep reading the full corpus."""
+    return f"""
+    s AS (SELECT vec_id, v FROM {src}
+          WHERE ((vec_id * 2654435761) % 4294967296) % {mod} = 0),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT {k}))"""
+
+
 def _kmeans_iter_sql(n: int, p: int, src: str = "e", pfx: str = "") -> str:
     """One Lloyd's iteration as CTEs: assign (sequential-fold distances —
     identical doubles on any engine), decimal-exact per-(cell,dim) means,
@@ -5189,11 +5202,12 @@ def _kmeans_iter_sql(n: int, p: int, src: str = "e", pfx: str = "") -> str:
 
 @q(
     "ann_ivf_kmeans_topk",
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    "c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"
-    + _kmeans_iter_sql(1, 0)
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    + _kmeans_sampled_init_sql(8, 4)
     + ","
-    + _kmeans_iter_sql(2, 1)
+    + _kmeans_iter_sql(1, 0, src="s")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="s")
     + """,
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
@@ -5226,21 +5240,29 @@ def _kmeans_iter_sql(n: int, p: int, src: str = "e", pfx: str = "") -> str:
 )
 def ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN over TRAINED cells: distributed Lloyd's k-means (k=8,
-    2 iterations — operators.similarity.kmeans_fit: broadcast assignment,
-    one fixed-width shuffle per iteration, decimal-exact means) supplies
-    the coarse quantizer that ann_ivf_topk stubs with lowest-id vectors;
-    then the standard 2-probe cell search. The oracle re-derives the SAME
+    2 iterations, SAMPLED fit — operators.similarity.kmeans_fit with
+    sample_mod=4: the codebook trains on the deterministic int64
+    hash-sample, broadcast assignment, one fixed-width shuffle per
+    iteration, decimal-exact means) supplies the coarse quantizer that
+    ann_ivf_topk stubs with lowest-id vectors; then the standard 2-probe
+    cell search. The oracle re-derives the SAME sample, init, and
     centroids bit-for-bit (sequential-fold distances + decimal sums), so
-    a hash-match certifies the whole fit+probe pipeline cross-engine.
+    a hash-match certifies the whole sampled-fit+probe pipeline
+    cross-engine.
 
-    100 TB shape: fit state is (cell, dim) triples — fixed width; the
-    trained centroid table broadcasts into assignment and probing; the
-    corpus shuffles once per fit iteration and once on cell id for the
-    probe join."""
+    100 TB shape: the Lloyd passes read only the hash-sample (fix a
+    sample_target and the fit cost is CONSTANT in corpus size); fit
+    state is (cell, dim) triples — fixed width; the trained centroid
+    table broadcasts into assignment and probing; the corpus shuffles
+    once on cell id for the probe join."""
     from graph_db_spark.operators.similarity import ivf_cosine_topk, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent = kmeans_fit(emb, k=8, n_iters=2)
+    # sample_mod=4: the codebook trains on the deterministic ~25%
+    # hash-sample (the n·k fit term drops with it; assignment and the
+    # probe still read the full corpus). The oracle replicates the
+    # sample + renumbered init bit-for-bit.
+    cent = kmeans_fit(emb, k=8, n_iters=2, sample_mod=4)
     return ivf_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=2, centroids=cent
     )
@@ -5260,11 +5282,12 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
              vec_id + 100000 AS vec_id
       FROM base
     ),
-    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
-    c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"""
-    + _kmeans_iter_sql(1, 0)
+    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),"""
+    + _kmeans_sampled_init_sql(8, 4)
     + ","
-    + _kmeans_iter_sql(2, 1)
+    + _kmeans_iter_sql(1, 0, src="s")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="s")
     + """,
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
@@ -5318,7 +5341,11 @@ def dedup_semantic_semdedup(spark, sf_dir):
         ).alias("embedding"),
     )
     u = e.unionByName(pert)
-    cent = kmeans_fit(u, k=8, n_iters=2)
+    # sampled fit (deterministic ~25% hash-sample): the n·k Lloyd term —
+    # the exact route's measured scale floor — trains on n/4 rows here
+    # and on a FIXED sample_target at scale; the oracle replicates the
+    # sample + renumbered init bit-for-bit
+    cent = kmeans_fit(u, k=8, n_iters=2, sample_mod=4)
     return semantic_dedup_verdicts(u, cent, tau=0.99).select(
         F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
     )
@@ -5339,11 +5366,12 @@ def dedup_semantic_semdedup(spark, sf_dir):
              vec_id + 100000 AS vec_id
       FROM base
     ),
-    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
-    c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"""
-    + _kmeans_iter_sql(1, 0)
+    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),"""
+    + _kmeans_sampled_init_sql(8, 4)
     + ","
-    + _kmeans_iter_sql(2, 1)
+    + _kmeans_iter_sql(1, 0, src="s")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="s")
     + """,
     f AS (SELECT cell AS vec_id, c AS v FROM c2),
     kc0 AS (SELECT vec_id AS cell, v AS c FROM f WHERE vec_id < 3),"""
@@ -5419,9 +5447,116 @@ def dedup_semantic_semdedup_hier(spark, sf_dir):
         ).alias("embedding"),
     )
     u = e.unionByName(pert)
-    cent = kmeans_fit(u, k=8, n_iters=2)
+    # sampled fine fit (~25% hash-sample; renumbered cells 0..7 keep the
+    # coarse fit's id<3 init valid — it trains over just k=8 rows, no
+    # sampling needed there). Oracle replicates sample + init exactly.
+    cent = kmeans_fit(u, k=8, n_iters=2, sample_mod=4)
     coarse = kmeans_fit(cent, k=3, n_iters=2)
     return semantic_dedup_hier_verdicts(u, cent, coarse, tau=0.99).select(
+        F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
+    )
+
+
+@q(
+    "dedup_semantic_default",
+    # The obvious-name entry point end to end: auto k = isqrt(n) = 31 at
+    # the oracle's sf0.01 corpus (500 base + 500 twins), sample_target
+    # 10k > n so the derived modulus is 1 (sample = corpus; the init is
+    # still the renumbered 31-smallest-ids rule), coarse k' = isqrt(31)
+    # = 5 over the fine codebook, n_probe = 2. The oracle re-derives
+    # both codebooks and the full two-level route bit-for-bit with the
+    # auto-derived constants inlined.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    """pert AS (
+      SELECT list_transform(range(0, len(v)), d ->
+               v[d + 1] + 0.005 * CAST(((d * 31 + vec_id) % 5) - 2 AS DOUBLE)) AS v,
+             vec_id + 100000 AS vec_id
+      FROM base
+    ),
+    e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 31)),"""
+    + _kmeans_iter_sql(1, 0)
+    + ","
+    + _kmeans_iter_sql(2, 1)
+    + """,
+    f AS (SELECT cell AS vec_id, c AS v FROM c2),
+    kc0 AS (SELECT vec_id AS cell, v AS c FROM f WHERE vec_id < 5),"""
+    + _kmeans_iter_sql(1, 0, src="f", pfx="k")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="f", pfx="k")
+    + """,
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    co AS (SELECT cell AS ccell, c AS cov, sqrt(list_dot_product(c, c)) AS conrm FROM kc2),
+    fr AS (
+      SELECT cell, ccell FROM (
+        SELECT cent.cell, co.ccell,
+               row_number() OVER (PARTITION BY cent.cell ORDER BY
+                 round(list_dot_product(cent.cv, co.cov) / (cent.cnrm * co.conrm), 6) DESC,
+                 co.ccell) AS r
+        FROM cent CROSS JOIN co) WHERE r = 1),
+    cou AS (SELECT * FROM co WHERE ccell IN (SELECT DISTINCT ccell FROM fr)),
+    vc AS (
+      SELECT vec_id, ccell FROM (
+        SELECT n.vec_id, co.ccell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, co.cov) / (n.nrm * co.conrm), 6) DESC,
+                 co.ccell) AS r
+        FROM n CROSS JOIN cou co) WHERE r <= 2),
+    asg AS (
+      SELECT vec_id, cell, ccos FROM (
+        SELECT n.vec_id, cent.cell,
+               round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) AS ccos,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n JOIN vc ON vc.vec_id = n.vec_id
+        JOIN fr ON fr.ccell = vc.ccell
+        JOIN cent ON cent.cell = fr.cell) WHERE r = 1),
+    mem AS (SELECT a.vec_id, a.cell, a.ccos, n.v, n.nrm
+            FROM asg a JOIN n ON n.vec_id = a.vec_id),
+    pr AS (
+      SELECT DISTINCT x.vec_id FROM mem x JOIN mem y ON x.cell = y.cell
+        AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.99)
+    SELECT e.vec_id, a.cell, a.ccos AS cent_cos,
+           (p.vec_id IS NOT NULL) AS pruned
+    FROM e LEFT JOIN asg a ON a.vec_id = e.vec_id
+           LEFT JOIN pr p ON p.vec_id = e.vec_id
+    """,
+)
+def dedup_semantic_default(spark, sf_dir):
+    """The ``semantic_dedup`` convenience entry point (operators/dedup.py)
+    run exactly as a user would call it — one frame in, auto-derived
+    k = isqrt(n), sampled codebook fit, hierarchical assignment,
+    verdicts out. This is the route the obvious name now gets (round-8/9
+    verdict: the exact route's n·k assignment is an n^1.5 scale floor;
+    the registered exact query remains as the bounded baseline).
+
+    The oracle inlines the constants the auto-derivation produces at the
+    correctness gate's sf0.01 corpus (n=1000 → k=31, sample modulus 1,
+    k'=5) and replicates codebooks, two-level route, and prune
+    bit-for-bit — at other SFs the Spark side derives different k; the
+    oracle is pinned to the gate's scale like every planted-twin
+    fixture."""
+    from graph_db_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005)
+            * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    u = e.unionByName(pert)
+    return semantic_dedup(u, tau=0.99).select(
         F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
     )
 
@@ -5520,13 +5655,17 @@ def mix_sources_temperature(spark, sf_dir):
     # pass a3 as final membership (m3/g3/c3 are unreferenced and pruned
     # by the planner), then replicates the temperature-rate arithmetic
     # and the md5 basis-point gate integer-for-integer.
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    "c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),"
-    + _kmeans_iter_sql(1, 0)
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    + _kmeans_sampled_init_sql(8, 4)
     + ","
-    + _kmeans_iter_sql(2, 1)
+    + _kmeans_iter_sql(1, 0, src="s")
     + ","
-    + _kmeans_iter_sql(3, 2)
+    + _kmeans_iter_sql(2, 1, src="s")
+    # iteration 3 reads the FULL corpus: its a3 is exactly
+    # kmeans_assign(e, c2) — the membership the Spark side computes —
+    # while its m3/g3/c3 CTEs are unreferenced and pruned by the planner
+    + ","
+    + _kmeans_iter_sql(3, 2, src="e")
     + f""",
     counts AS (SELECT cell, count(*) AS n_vecs FROM a3 GROUP BY cell),
     tot AS (
@@ -5572,7 +5711,9 @@ def sample_cluster_balanced(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    cent = kmeans_fit(e, k=8, n_iters=2)
+    # sampled fit (~25% hash-sample) — membership below still assigns
+    # the FULL corpus; the oracle's a3 CTE replicates both exactly
+    cent = kmeans_fit(e, k=8, n_iters=2, sample_mod=4)
     # Materialize the assignment ONCE (the semdedup/DSIR share-point
     # discipline): it feeds both the cluster histogram and the keep-gate
     # scan; without the cut the broadcast-assign subtree (a corpus scan

@@ -1763,3 +1763,87 @@ def test_checkpoint_false_hatch_result_equivalence(spark):
             docs, "is_tgt", id_col="doc_id", text_col="text", checkpoint=False
         ).collect()
     )
+
+
+def test_kmeans_sampled_fit_contract(spark):
+    """Sampled-fit semantics (round-10): cells renumber to 0..k-1; a
+    modulus of 1 on contiguous ids reproduces the legacy id<k fit
+    bit-for-bit; sample_target derives the modulus from one count; the
+    codebook trains ONLY on sample members (verified against a manual
+    refit on the filtered frame)."""
+    from graph_db_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_sample_pred,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 13) % 11) - 5.0 for j in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    legacy = {r.vec_id: r.embedding for r in kmeans_fit(df, k=6, n_iters=2).collect()}
+    mod1 = {r.vec_id: r.embedding for r in kmeans_fit(df, k=6, n_iters=2, sample_mod=1).collect()}
+    assert mod1 == legacy  # contiguous ids: same init set, same codebook
+
+    got = kmeans_fit(df, k=6, n_iters=2, sample_mod=4).collect()
+    assert sorted(r.vec_id for r in got) == list(range(6))  # renumbered cells
+
+    # the sampled codebook equals a legacy-rule fit on the PRE-FILTERED
+    # sample with its ids renumbered — proves no non-sample row leaks
+    # into the Lloyd passes
+    sample = df.filter(kmeans_sample_pred(F.col("vec_id"), 4))
+    ordered = sorted(r.vec_id for r in sample.select("vec_id").collect())
+    remap = {old: new for new, old in enumerate(ordered)}
+    renum = spark.createDataFrame(
+        [(remap[r.vec_id], r.embedding) for r in sample.collect()],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    manual = {r.vec_id: r.embedding for r in kmeans_fit(renum, k=6, n_iters=2).collect()}
+    assert {r.vec_id: r.embedding for r in got} == manual
+
+    # sample_target: n=200, target=50 -> modulus 4 == explicit sample_mod=4
+    via_target = {r.vec_id: r.embedding for r in kmeans_fit(df, k=6, n_iters=2, sample_target=50).collect()}
+    assert via_target == manual
+
+
+def test_semantic_dedup_default_entry_point(spark, sf_dir):
+    """The obvious-name route (round-10): one frame in, auto-k sampled
+    codebook + hierarchical assignment out — one verdict per vector, the
+    planted twins overwhelmingly pruned, and the result identical to
+    composing the pieces by hand with the same derived constants."""
+    import math
+
+    from graph_db_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_hier_verdicts,
+    )
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005) * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    u = e.unionByName(pert)
+    n = u.count()
+    got = semantic_dedup(u, tau=0.99).collect()
+    assert len(got) == n  # one verdict per vector
+    pruned = sum(1 for r in got if r.pruned)
+    # every co-assigned twin pair loses exactly one member; boundary
+    # straddles are the only misses -> at least 80% of pairs pruned
+    assert pruned >= 0.8 * (n // 2)
+
+    k = max(8, math.isqrt(n))
+    cent = kmeans_fit(u, k=k, n_iters=2, sample_target=max(10_000, 50 * k))
+    coarse = kmeans_fit(cent, k=max(2, math.isqrt(k)), n_iters=2)
+    manual = semantic_dedup_hier_verdicts(u, cent, coarse, tau=0.99).collect()
+    key = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
+    assert key(got) == key(manual)

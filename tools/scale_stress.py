@@ -35,9 +35,11 @@ built by the same expressions with a bigger range/expansion factor.
 Shuffle volume per op is read from the Spark UI REST API (total shuffle
 write bytes across the op's stages) — the scale-out cost driver.
 
-Usage: python tools/scale_stress.py [--fast] [--x30] [--only=op1,op2]
+Usage: python tools/scale_stress.py [--fast] [--x30] [--spread] [--only=op1,op2]
   --fast      1/10 sizes (smoke)
   --x30       add a 30x point for the flagships (bfs_stats, ann_ivf_kmeans)
+  --spread    3 back-to-back 10x runs for semdedup/semdedup_hier (rerun
+              variance evidence; records 10x_r2/10x_r3 + spread_pct)
   --only=...  run only the named ops (targeted quiet re-measures)
 Prints one JSON line; paste the table into BASELINE.md.
 """
@@ -149,6 +151,7 @@ def expanded_embeddings(spark, sf_dir: str, factor: int):
 def main() -> None:
     fast = "--fast" in sys.argv
     x30 = "--x30" in sys.argv
+    spread = "--spread" in sys.argv
     only = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
@@ -443,7 +446,10 @@ def main() -> None:
         emb.count()
 
         def ann(e=emb):
-            cents = kmeans_fit(e, k=8, n_iters=2)
+            # sampled fit (round-10): the Lloyd passes read ~10k rows at
+            # every scale, so the fit term is CONSTANT in corpus size;
+            # assignment + probe still scan the full corpus
+            cents = kmeans_fit(e, k=8, n_iters=2, sample_target=10_000)
             q = e.filter(F.col("vec_id") < 20)
             topk = ivf_cosine_topk(e, q, k=5, centroids=cents, n_probe=2)
             return {"topk_rows": topk.count()}
@@ -453,38 +459,53 @@ def main() -> None:
 
     # -- SemDeDup cluster-bounded semantic dedup ---------------------------
     # k = sqrt(n): the exact method's self-balancing point (assignment
-    # n*k vs within-cell pairwise n*(n/k)), so total compute is n^1.5 BY
-    # CONSTRUCTION — the grade-relevant axis is that SHUFFLE stays linear
-    # (the pair join moves each vector once, keyed on cell; assignment
-    # and centroids broadcast). The n*k term is the flat, zero-shuffle
-    # matmul real deployments offload to GPUs (SemDeDup paper runs faiss
-    # k-means); an approximate-assignment variant would cut it but no
-    # longer match the registered exact oracle.
+    # n*k vs within-cell pairwise n*(n/k)). Round-10: the FIT now trains
+    # on a deterministic hash-sample of max(10k, 50k) rows (kmeans_fit
+    # sample_target — the "sample/GPU" move real deployments make, the
+    # sampled half implemented in-engine), so the measured n^1.5 fit
+    # floor (286 s of the 322 s hier run at 200k vectors,
+    # SCALE_STRESS_r08) drops to a near-constant term. What remains
+    # super-linear BY CONSTRUCTION in the exact route is the n*k
+    # ASSIGNMENT matmul (flat, zero-shuffle — the GPU half); the hier
+    # route cuts that to n*(1+n_probe)*sqrt(k). Shuffle stays linear in
+    # both (pair join moves each vector once, keyed on cell).
     sd_scales = [("1x", max(10 // div, 1)), ("10x", max(100 // div, 2))]
+
+    def sd_fit(e, n):
+        import math
+
+        k = max(int(math.sqrt(n)), 8)
+        target = max(10_000, 50 * k)
+        cents = kmeans_fit(e, k=k, n_iters=2, sample_target=target)
+        return k, target, cents
+
+    def spread_scales(scale):
+        # --spread: 3 back-to-back runs at 10x (round-8 task #3: rerun
+        # spread for the fit-dominated ops; target ±15%)
+        return [scale] if not (spread and scale == "10x") else [scale, "10x_r2", "10x_r3"]
+
     for scale, factor in sd_scales if want("semdedup") else []:
         emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
         n = emb.count()
 
         def sd(e=emb, n=n):
-            import math
-
-            k = max(int(math.sqrt(n)), 8)
-            cents = kmeans_fit(e, k=k, n_iters=2)
+            k, target, cents = sd_fit(e, n)
             verd = D.semantic_dedup_verdicts(e, cents, tau=0.95)
             return {
                 "vectors": n,
                 "k": k,
+                "fit_sample_target": target,
                 "pruned": verd.filter(F.col("pruned")).count(),
             }
 
-        run("semdedup", scale, sd)
+        for s in spread_scales(scale):
+            run("semdedup", s, sd)
         emb.unpersist()
 
     # Same corpus/k, hierarchical (coarse-quantized) assignment: the fit
     # and pairwise stages are identical to `semdedup`, so the delta
-    # isolates the assignment-term cut (n*k -> n*2*sqrt(k)). The other
-    # two n^1.5 terms remain by construction (fit -> sample/GPU in real
-    # deployments, pairwise -> linear when k scales with n).
+    # isolates the assignment-term cut (n*k -> n*2*sqrt(k)). With the
+    # sampled fit this is the 100 TB-shaped default route end to end.
     for scale, factor in sd_scales if want("semdedup_hier") else []:
         emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
         n = emb.count()
@@ -492,19 +513,22 @@ def main() -> None:
         def sd_hier(e=emb, n=n):
             import math
 
-            k = max(int(math.sqrt(n)), 8)
-            cents = kmeans_fit(e, k=k, n_iters=2)
+            k, target, cents = sd_fit(e, n)
             kk = max(int(math.sqrt(k)), 2)
+            # sampled-fit cells are renumbered 0..k-1, so the coarse
+            # fit's id<kk init stays valid; k rows need no sampling
             coarse = kmeans_fit(cents, k=kk, n_iters=2)
             verd = D.semantic_dedup_hier_verdicts(e, cents, coarse, tau=0.95)
             return {
                 "vectors": n,
                 "k": k,
                 "k_coarse": kk,
+                "fit_sample_target": target,
                 "pruned": verd.filter(F.col("pruned")).count(),
             }
 
-        run("semdedup_hier", scale, sd_hier)
+        for s in spread_scales(scale):
+            run("semdedup_hier", s, sd_hier)
         emb.unpersist()
 
     # -- scaling verdict ---------------------------------------------------
@@ -512,6 +536,10 @@ def main() -> None:
         if "1x" in d and "10x" in d and d["1x"]["sec"] > 0:
             d["ratio_10x"] = round(d["10x"]["sec"] / d["1x"]["sec"], 2)
             d["superlinear_blowup"] = d["ratio_10x"] > 20  # >2× over linear
+        runs = [d[s]["sec"] for s in ("10x", "10x_r2", "10x_r3") if s in d]
+        if len(runs) >= 2:
+            mid = sorted(runs)[len(runs) // 2]
+            d["spread_pct"] = round(100 * (max(runs) - min(runs)) / mid, 1)
         if "10x" in d and "30x" in d and d["10x"]["sec"] > 0:
             # second measured point on the scaling curve: 3x more data
             # from the 10x base; >6 would be 2x over linear
