@@ -239,8 +239,15 @@ def connected_components_star(
             nbr.groupBy("u")
             .agg(F.least(F.min("v"), F.first("u")).alias("m"))  # min(Γ(u) ∪ {u})
         )
+        # shuffle_hash: the un-hinted plan is a SortMergeJoin that sorts
+        # BOTH sides — 2|E| rows re-sorted every half-round was the
+        # measured 30× sort-pressure floor (SCALE_STRESS_r08 cc_star
+        # 30×/10× = 4.11 on 3× data while shuffle bytes stayed linear).
+        # The build side is the per-vertex min table (|V| rows, shrinks
+        # with partition count on a real cluster), so the hash build is
+        # bounded; the probe side streams unsorted.
         large = (
-            nbr.join(mmin, "u")
+            nbr.join(mmin.hint("shuffle_hash"), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), F.col("m"))
         )
@@ -254,7 +261,7 @@ def connected_components_star(
         low = e1.select("u", "v")  # already oriented u > v
         msmall = low.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            low.join(msmall, "u")
+            low.join(msmall.hint("shuffle_hash"), "u")  # same sort-free shape
             .select(F.col("v").alias("x"), "m")
             .unionByName(msmall.select(F.col("u").alias("x"), "m"))
         )

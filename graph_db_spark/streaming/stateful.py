@@ -125,30 +125,44 @@ def _make_bucket_claim_fn(horizon_ms: int):
     activity — the same bound dropDuplicatesWithinWatermark puts on its
     key state, so banded dedup state stays watermark-bounded too."""
 
-    def fn(key: tuple, pdfs: Iterator[Any], state: GroupState) -> Iterator[Any]:
-        import pandas as pd
+    import pandas as pd
 
+    hit_cols = [f.name for f in BUCKET_HIT_SCHEMA.fields]
+
+    def fn(key: tuple, pdfs: Iterator[Any], state: GroupState) -> Iterator[Any]:
         if state.hasTimedOut:
             state.remove()
             return
         band = int(key[0])
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "doc_id"])
+        # Per-group cost is the operator's scale floor (most buckets see
+        # ONE row per batch: ~4 buckets/doc, few collisions), so the
+        # common shape must not pay concat/sort/astype: concat only on
+        # multiple chunks, sort only on multiple rows, and the max-ts
+        # fold rides the claim loop (Timestamp.value = ns) instead of a
+        # per-group astype('int64') column pass.
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        if len(rows) > 1:
+            rows = rows.sort_values(["ts", "doc_id"])
         claimant, last_us = state.get if state.exists else (None, None)
         hits = []
+        max_ns = 0
         for r in rows.itertuples():
             did = int(r.doc_id)
+            ns = r.ts.value
+            if ns > max_ns:
+                max_ns = ns
             if claimant is None:
                 claimant = did
             elif did != claimant:
                 hits.append((did, r.ts, band))
-        max_us = int(rows["ts"].astype("int64").max() // 1000)
-        last_us = max(last_us or 0, max_us)
+        last_us = max(last_us or 0, max_ns // 1000)
         state.update((claimant, last_us))
         state.setTimeoutTimestamp(last_us // 1000 + horizon_ms)
         if hits:
-            yield pd.DataFrame(
-                hits, columns=[f.name for f in BUCKET_HIT_SCHEMA.fields]
-            )
+            yield pd.DataFrame(hits, columns=hit_cols)
 
     return fn
 
