@@ -230,6 +230,10 @@ def main() -> None:
         # and per-source quality-percentile gating
         "sample_cluster_balanced",
         "quality_percentile_gate",
+        # round-10: the semantic-dedup DEFAULT entry point (auto-k
+        # sampled codebook + hierarchical assignment — the route the
+        # obvious name now gets)
+        "dedup_semantic_default",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

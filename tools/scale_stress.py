@@ -245,13 +245,30 @@ def main() -> None:
 
             run("bfs_stats_degraded", scale, degraded)
         if want("cc_star"):
-            run(
-                "cc_star",
-                scale,
-                lambda vv=v, ee=e: (lambda lr: {"components": lr[0].filter(F.col("component") == 0).count(), "rounds": lr[1]})(
-                    connected_components_star(vv, ee)
-                ),
-            )
+            # Size shuffle partitions to the edge count (~350k edge rows
+            # per partition) — the knob every cluster deployment sets.
+            # At 30x (41M edges) the session default of 32 partitions
+            # left each task holding a 470k-entry SHJ build + its slice
+            # of an 82M-row probe in one JVM: measured 216.9 s vs 133.5 s
+            # at 128 partitions (round 10); at 1x/10x the default wins
+            # (fewer task launches), so the rule keeps it there.
+            n_edges = 22 * width  # layered_graph: width*(1 + (layers-1)*fanout)
+            parts = max(int(cpus), n_edges // 350_000)
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+            def cc(vv=v, ee=e, p=parts, pp=prev_parts):
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+                try:
+                    labels, r = connected_components_star(vv, ee)
+                    return {
+                        "components": labels.filter(F.col("component") == 0).count(),
+                        "rounds": r,
+                        "shuffle_partitions": p,
+                    }
+                finally:
+                    spark.conf.set("spark.sql.shuffle.partitions", pp)
+
+            run("cc_star", scale, cc)
 
     # -- MinHash+LSH dedup on the generated corpus -------------------------
     # minhash_near_dup_pairs now picks the band-join strategy from the
@@ -401,12 +418,26 @@ def main() -> None:
                         if prog and prog.get("stateOperators")
                         else None
                     )
+                    # where the batch time goes (addBatch = plan incl.
+                    # the Python stateful op; commit = state store) —
+                    # the evidence for trigger-bound floor analysis
+                    durs = dict((prog or {}).get("durationMs") or {})
+                    commit_ms = (
+                        sum(so.get("commitTimeMs") or 0 for so in prog["stateOperators"])
+                        if prog and prog.get("stateOperators")
+                        else None
+                    )
                     dropped = spark.sql(
                         f"SELECT count(DISTINCT doc_id) AS n FROM stress_bhits_{sc}"
                     ).collect()[0]["n"]
                 finally:
                     q.stop()
-                return {"dropped": dropped, "state_rows": state_rows}
+                return {
+                    "dropped": dropped,
+                    "state_rows": state_rows,
+                    "last_batch_ms": durs,
+                    "state_commit_ms": commit_ms,
+                }
 
             run("stream_dedup_banded", scale, run_stream)
         finally:
