@@ -76,4 +76,16 @@ def test_bench_harness_runs_and_emits_json():
     with open(sidecar) as f:
         full = json.load(f)
     assert full["env"]["pyspark"]
-    assert set(full["queries"]) == set(out["queries"])
+    # The compact line's LAST-RESORT tier omits the fastest queries with
+    # an explicit counter once the suite outgrows the 2 KB budget (the
+    # sidecar always carries everything) — assert that contract: stdout
+    # is a subset, the omission is declared, and nothing else differs.
+    omitted = out.get("queries_omitted", 0)
+    assert set(out["queries"]) <= set(full["queries"])
+    assert len(full["queries"]) == len(out["queries"]) + omitted
+    if omitted:
+        # the omitted entries must be the FASTEST ones: every kept time
+        # >= every omitted time
+        kept_min = min(out["queries"].values())
+        dropped = set(full["queries"]) - set(out["queries"])
+        assert all(full["queries"][q] <= kept_min + 0.05 for q in dropped)
