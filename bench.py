@@ -234,6 +234,11 @@ def main() -> None:
         # sampled codebook + hierarchical assignment — the route the
         # obvious name now gets)
         "dedup_semantic_default",
+        # round-10: labeled-corpus curation ops (mislabel screening,
+        # centroid-margin eval, stratified split audit)
+        "knn_label_agreement",
+        "embedding_label_margin",
+        "split_stratified_holdout",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

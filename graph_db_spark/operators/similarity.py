@@ -234,8 +234,14 @@ def ivf_assign(
     c = with_norm(
         centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")), "cvec"
     ).withColumnRenamed("__norm", "cnorm")
+    # Guarded division: a zero-norm vector (or degenerate centroid) must
+    # yield NULL cosine — the documented no-assignment contract — not an
+    # ANSI divide-by-zero error (Spark 4 defaults ansi=true; the fixture
+    # corpora never hit this, a labeled corpus with a zeroed row does).
+    _denom = F.col("__norm") * F.col("cnorm")
     scored = v.crossJoin(F.broadcast(c)).withColumn(
-        "ccos", F.round(_dot(F.col("vec"), F.col("cvec")) / (F.col("__norm") * F.col("cnorm")), 6)
+        "ccos",
+        F.round(F.when(_denom != 0, _dot(F.col("vec"), F.col("cvec")) / _denom), 6),
     )
     if n_probe == 1:
         # Corpus-sized assignment: min over a (−cos, cell) struct is
@@ -529,4 +535,167 @@ def kmeans_assign(
         .groupBy("id")
         .agg(F.min(F.struct(F.col("d"), F.col("cell"))).alias("m"))
         .select("id", F.col("m.cell").alias("cell"))
+    )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space mislabel screening (the confident-learning-style
+    curation signal): for each vector, the MAJORITY label among its k
+    nearest cosine neighbors inside its IVF cell, and whether it agrees
+    with the vector's own label. Disagreeing rows are the candidates a
+    labeled-data curation pass re-examines. Returns
+    (id, label, knn_label, n_neighbors, agree).
+
+    Neighborhood = the vector's single nearest trained cell (the
+    n_probe=1 IVF recall trade, documented — a boundary vector's true
+    neighbors may sit in the adjacent cell; SemDeDup makes the same
+    trade for the same reason). Ties: neighbors rank (cos DESC, id ASC);
+    majority breaks (votes DESC, label ASC) — all deterministic, oracle
+    hash-stable. Degenerate vectors (zero-norm → no assignment) and
+    singleton cells emit NULL knn_label / NULL agree, never a guess.
+
+    Scale shape: centroids broadcast into assignment (one scan); the
+    member frame shuffles ONCE on cell id for the within-cell pair join
+    (equi — never a cross product; sum(|cell|²) pairwise work, bounded
+    by k ∝ corpus exactly as SemDeDup bounds it); the top-k window and
+    the vote argmax are hash-partitioned on vector id."""
+    v = with_norm(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col(label_col).alias("lbl"),
+        ),
+        "vec",
+    )
+    asg = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1)
+    mem = v.join(asg.select("id", "cell"), "id")
+    xm = mem.select(
+        F.col("id").alias("xid"), F.col("vec").alias("xv"),
+        F.col("__norm").alias("xn"), "cell",
+    )
+    ym = mem.select(
+        F.col("id").alias("yid"), F.col("vec").alias("yv"),
+        F.col("__norm").alias("yn"), F.col("lbl").alias("ylbl"), "cell",
+    )
+    denom = F.col("xn") * F.col("yn")
+    pairs = (
+        xm.join(ym, "cell")
+        .filter(F.col("xid") != F.col("yid"))
+        .withColumn(
+            "cos",
+            F.round(F.when(denom != 0, _dot(F.col("xv"), F.col("yv")) / denom), 6),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = W.partitionBy("xid").orderBy(F.col("cos").desc(), F.col("yid").asc())
+    top = pairs.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    votes = top.groupBy("xid", "ylbl").agg(F.count(F.lit(1)).alias("nv"))
+    maj = (
+        votes.groupBy("xid")
+        .agg(
+            F.min(F.struct((-F.col("nv")).alias("neg"), F.col("ylbl").alias("l"))).alias("m"),
+            F.sum("nv").alias("n_neighbors"),
+        )
+        .select("xid", F.col("m.l").alias("knn_label"), "n_neighbors")
+    )
+    return (
+        v.select(F.col("id"), F.col("lbl").alias(label_col))
+        .join(maj.withColumnRenamed("xid", "id"), "id", "left")
+        .select(
+            "id",
+            label_col,
+            "knn_label",
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.when(
+                F.col("knn_label").isNotNull(), F.col("knn_label") == F.col(label_col)
+            ).alias("agree"),
+        )
+    )
+
+
+def label_centroid_margin(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Linear-probe-proxy embedding evaluation: per-label centroids
+    (DECIMAL-exact per-dim means — order-independent, oracle-replicable),
+    then each vector's cosine margin = cos(own-label centroid) − best
+    cosine to any OTHER label's centroid. Returns
+    (id, label, own_cos, rival_label, rival_cos, margin); negative
+    margin = the vector sits closer to another class's centroid — the
+    standard embedding-quality / hard-example signal for labeled corpora.
+
+    Ties in the rival argmax break (cos DESC, label ASC). Degenerate
+    vectors (zero norm → NULL cosines everywhere) emit NULL margins.
+
+    Scale shape: the label-centroid fit is ONE map-side-combinable
+    (label, dim) decimal-mean shuffle of fixed width (labels·dims rows);
+    the ~|labels| centroid table broadcasts back into one corpus scan for
+    both the own-label equi-join and the rival cross — nothing shuffles
+    the corpus."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(label_col).alias("lbl"),
+    )
+    means = (
+        v.select("lbl", F.posexplode("v").alias("dim", "x"))
+        .groupBy("lbl", "dim")
+        .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "lbl", "dim",
+            F.round(F.col("sx").cast("double") / F.col("n"), round_digits).alias("val"),
+        )
+    )
+    cents = (
+        means.groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "val"))).alias("ps"))
+        .select(
+            F.col("lbl").alias("clbl"),
+            F.transform("ps", lambda p: p["val"]).alias("cv"),
+        )
+    )
+    cents = with_norm(cents, "cv").withColumnRenamed("__norm", "cn")
+    vn = with_norm(v, "v").withColumnRenamed("__norm", "vn")
+    denom = F.col("vn") * F.col("cn")
+    scored = (
+        vn.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            F.round(F.when(denom != 0, _dot(F.col("v"), F.col("cv")) / denom), 6),
+        )
+    )
+    own = scored.filter(F.col("lbl") == F.col("clbl")).select(
+        "id", "lbl", F.col("cos").alias("own_cos")
+    )
+    rival = (
+        scored.filter((F.col("lbl") != F.col("clbl")) & F.col("cos").isNotNull())
+        .groupBy("id")
+        .agg(F.min(F.struct((-F.col("cos")).alias("neg"), F.col("clbl").alias("l"))).alias("m"))
+        .select(
+            "id",
+            F.col("m.l").alias("rival_label"),
+            (-F.col("m.neg")).alias("rival_cos"),
+        )
+    )
+    return (
+        own.join(rival, "id", "left")
+        .select(
+            "id",
+            F.col("lbl").alias(label_col),
+            "own_cos",
+            "rival_label",
+            "rival_cos",
+            F.round(F.col("own_cos") - F.col("rival_cos"), 6).alias("margin"),
+        )
     )

@@ -5562,6 +5562,170 @@ def dedup_semantic_default(spark, sf_dir):
 
 
 @q(
+    "knn_label_agreement",
+    # Mislabel screening over the labeled embedding corpus: sampled-fit
+    # codebook (k=8, mod 4 — same rule as the other k-means oracles),
+    # n_probe=1 cell neighborhoods, within-cell cosine top-5, majority
+    # vote (votes DESC, label ASC). The oracle replicates codebook,
+    # assignment, ranking, and vote bit-for-bit.
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    + _kmeans_sampled_init_sql(8, 4)
+    + ","
+    + _kmeans_iter_sql(1, 0, src="s")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="s")
+    + """,
+    n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, em.label
+          FROM e JOIN embeddings em USING (vec_id)),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, cent.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n CROSS JOIN cent) WHERE r = 1),
+    mem AS (SELECT a.vec_id, a.cell, n.v, n.nrm, n.label
+            FROM asg a JOIN n ON n.vec_id = a.vec_id),
+    top AS (
+      SELECT xid, ylbl FROM (
+        SELECT x.vec_id AS xid, y.vec_id AS yid, y.label AS ylbl,
+               round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+                 y.vec_id) AS r
+        FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) IS NOT NULL
+      ) WHERE r <= 5),
+    votes AS (SELECT xid, ylbl, count(*) AS nv FROM top GROUP BY xid, ylbl),
+    maj AS (
+      SELECT xid, ylbl AS knn_label, nvt AS n_neighbors FROM (
+        SELECT xid, ylbl, nv, sum(nv) OVER (PARTITION BY xid) AS nvt,
+               row_number() OVER (PARTITION BY xid ORDER BY nv DESC, ylbl) AS r
+        FROM votes) WHERE r = 1)
+    SELECT em.vec_id AS id, em.label, m.knn_label,
+           CAST(m.n_neighbors AS BIGINT) AS n_neighbors,
+           CASE WHEN m.knn_label IS NOT NULL THEN m.knn_label = em.label END AS agree
+    FROM embeddings em LEFT JOIN maj m ON m.xid = em.vec_id
+    """,
+)
+def knn_label_agreement(spark, sf_dir):
+    """Embedding-space mislabel screening over the labeled corpus
+    (operators/similarity.knn_label_agreement): each vector's majority
+    label among its 5 nearest cosine neighbors inside its trained IVF
+    cell, with the agree flag a labeled-data curation pass filters on.
+    The confident-learning-style signal, cluster-bounded exactly like
+    SemDeDup so nothing is quadratic in the corpus.
+
+    100 TB shape: sampled codebook fit (constant), broadcast assignment
+    (one scan), ONE shuffle on cell id for the pair join, per-id window
+    + vote argmax hash-partitioned on vector id."""
+    from graph_db_spark.operators.similarity import kmeans_fit, knn_label_agreement
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(e, k=8, n_iters=2, sample_mod=4)
+    return knn_label_agreement(e, cent, k=5).select(
+        "id", "label", "knn_label", "n_neighbors", "agree"
+    )
+
+
+@q(
+    "embedding_label_margin",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    m AS (SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e),
+    g AS (SELECT label, dim,
+                 round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS val
+          FROM m GROUP BY label, dim),
+    c AS (SELECT label AS clbl, list(val ORDER BY dim) AS cv FROM g GROUP BY label),
+    cn AS (SELECT clbl, cv, sqrt(list_dot_product(cv, cv)) AS cnn FROM c),
+    n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS vn FROM e),
+    sc AS (SELECT n.vec_id, n.label, cn.clbl,
+                  CASE WHEN n.vn * cn.cnn <> 0
+                       THEN round(list_dot_product(n.v, cn.cv) / (n.vn * cn.cnn), 6)
+                  END AS cos
+           FROM n CROSS JOIN cn),
+    own AS (SELECT vec_id, label, cos AS own_cos FROM sc WHERE label = clbl),
+    rival AS (
+      SELECT vec_id, clbl AS rival_label, cos AS rival_cos FROM (
+        SELECT vec_id, clbl, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) AS r
+        FROM sc WHERE label <> clbl AND cos IS NOT NULL) WHERE r = 1)
+    SELECT o.vec_id AS id, o.label, o.own_cos, r.rival_label, r.rival_cos,
+           round(o.own_cos - r.rival_cos, 6) AS margin
+    FROM own o LEFT JOIN rival r ON r.vec_id = o.vec_id
+    """,
+)
+def embedding_label_margin(spark, sf_dir):
+    """Linear-probe-proxy embedding evaluation
+    (operators/similarity.label_centroid_margin): DECIMAL-exact
+    per-label centroids, then each vector's margin between its own-label
+    cosine and its best rival label's — negative margin marks the
+    hard/mislabeled examples a curation pass surfaces first.
+
+    100 TB shape: one fixed-width (label, dim) decimal-mean shuffle; the
+    |labels|-row centroid table broadcasts back into a single corpus
+    scan — the corpus itself never shuffles."""
+    from graph_db_spark.operators.similarity import label_centroid_margin
+
+    return label_centroid_margin(_t(spark, sf_dir, "embeddings")).select(
+        "id", "label", "own_cos", "rival_label", "rival_cos", "margin"
+    )
+
+
+@q(
+    "split_stratified_holdout",
+    f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+           CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS n_train
+    FROM (SELECT label,
+                 {_hex_int_sql("md5('split|' || CAST(label AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR))", 8)} % 10000 < 1000 AS h
+          FROM embeddings)
+    GROUP BY label
+    """,
+)
+def split_stratified_holdout(spark, sf_dir):
+    """Deterministic stratified train/holdout split audit: the md5
+    basis-point coin keyed ('split|' label : vec_id) holds out ~10% of
+    every label independently of row order, partitioning, or reruns —
+    the reproducible-split primitive every training pipeline needs (no
+    randomSplit: its result depends on partitioning). Returns per-label
+    (label, n_vecs, n_holdout, n_train).
+
+    100 TB shape: the gate is a row-local expression evaluated at the
+    scan; the per-label counts are one map-side-combinable agg of
+    |labels| rows — nothing else moves."""
+    e = _t(spark, sf_dir, "embeddings")
+    h = (
+        _hex_int(
+            F.md5(
+                F.concat(
+                    F.lit("split|"),
+                    F.col("label").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                )
+            ),
+            8,
+        )
+        % 10000
+        < 1000
+    )
+    return (
+        e.withColumn("h", h)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("h"), 1).otherwise(0)).cast("long").alias("n_holdout"),
+            F.sum(F.when(F.col("h"), 0).otherwise(1)).cast("long").alias("n_train"),
+        )
+        .select("label", "n_vecs", "n_holdout", "n_train")
+    )
+
+
+@q(
     "mix_sources_temperature",
     f"""
     WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

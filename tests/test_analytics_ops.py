@@ -1847,3 +1847,60 @@ def test_semantic_dedup_default_entry_point(spark, sf_dir):
     manual = semantic_dedup_hier_verdicts(u, cent, coarse, tau=0.99).collect()
     key = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
     assert key(got) == key(manual)
+
+
+def test_label_curation_ops_flag_planted_mislabel(spark):
+    """knn_label_agreement and label_centroid_margin on a separable
+    two-cluster corpus with ONE planted mislabel: the mislabeled vector
+    disagrees with its neighborhood vote and carries a negative centroid
+    margin; every correctly-labeled vector agrees and margins positive.
+    A zero-norm vector gets NULL knn_label/agree (no guess)."""
+    from graph_db_spark.operators.similarity import (
+        knn_label_agreement,
+        label_centroid_margin,
+    )
+
+    rows = []
+    for i in range(12):  # cluster A around (10, 0, 0)
+        rows.append((i, [10.0 + (i % 3) * 0.1, float(i % 2) * 0.1, 0.0], 0))
+    for i in range(12, 24):  # cluster B around (0, 10, 0)
+        rows.append((i, [float(i % 2) * 0.1, 10.0 + (i % 3) * 0.1, 0.0], 1))
+    rows[5] = (5, rows[5][1], 1)  # planted mislabel: A-geometry, B-label
+    rows.append((99, [0.0, 0.0, 0.0], 0))  # zero-norm degenerate
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+    cent = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+
+    got = {r.id: r for r in knn_label_agreement(df, cent, k=5).collect()}
+    assert len(got) == 25
+    assert got[5].agree is False and got[5].knn_label == 0
+    assert got[99].knn_label is None and got[99].agree is None
+    for i in list(range(5)) + list(range(6, 24)):
+        assert got[i].agree is True, f"vector {i} should agree"
+        assert got[i].n_neighbors == 5
+
+    m = {r.id: r for r in label_centroid_margin(df).collect()}
+    assert len(m) == 25
+    assert m[5].margin is not None and m[5].margin < 0  # mislabel: rival wins
+    assert m[5].rival_label == 0
+    for i in list(range(5)) + list(range(6, 24)):
+        assert m[i].margin > 0, f"vector {i} margin should be positive"
+    assert m[99].own_cos is None and m[99].margin is None  # zero norm
+
+
+def test_split_stratified_holdout_deterministic(spark, sf_dir):
+    """The stratified split is a pure function of (label, vec_id): two
+    runs agree exactly, every label is split, and train+holdout = total
+    per label (no row lost or double-counted)."""
+    from graph_db_spark.queries import REGISTRY
+
+    a = {r.label: r for r in REGISTRY["split_stratified_holdout"].build(spark, sf_dir).collect()}
+    b = {r.label: r for r in REGISTRY["split_stratified_holdout"].build(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in a.items()} == {k: tuple(v) for k, v in b.items()}
+    for r in a.values():
+        assert r.n_train + r.n_holdout == r.n_vecs
+    total = sum(r.n_vecs for r in a.values())
+    held = sum(r.n_holdout for r in a.values())
+    assert 0 < held < total  # ~10%: nonvacuous on the fixture
