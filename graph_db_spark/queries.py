@@ -1118,12 +1118,61 @@ def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+#: Names that already have a driver-green row in a past round's
+#: CORRECTNESS_r*.json (the driver oracle-checks only the FIRST 50
+#: entries of ``queries()``, and rounds 1-10 always exported plain
+#: registration order — so exactly this prefix ever got a hard external
+#: row). ``all_queries``/``all_oracles`` rotate the never-covered names
+#: to the front, newest registration first, so each round's driver gate
+#: exercises the newest / highest-risk surface (round-10 verdict item 2).
+#: Maintenance: after a round lands, append the names from that round's
+#: CORRECTNESS_r*.json to this tuple.
+_DRIVER_COVERED: tuple[str, ...] = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "filter_pushdown_scan", "join_semi_exists", "join_anti_not_exists",
+    "join_outer_order_counts", "agg_distinct_segments", "agg_rollup_geo",
+    "window_topk_orders_per_cust", "window_running_user_value",
+    "sort_limit_top_lineitems", "setop_customer_cohorts",
+    "scalar_functions_showcase", "tumbling_hour_events",
+    "sessionize_events_gaps", "graph_1hop_region_lookup",
+    "graph_2hop_nations_of_europe", "graph_3hop_customers_in_region",
+    "graph_3hop_persisted_snapshot", "graph_5hop_parts_for_region",
+    "graph_search_term_parts", "graph_reverse_sources_of_part",
+    "graph_stats_reachability", "graph_5hop_persisted_snapshot",
+    "graph_search_term_persisted", "graph_reverse_sources_persisted",
+    "graph_stats_persisted", "graph_mutation_net_effect",
+    "dedup_exact_documents", "dedup_minhash_lsh", "dedup_banded_survivors",
+    "dedup_exact_substring_spans", "dedup_strip_substring_spans",
+    "text_stats_documents", "ann_cosine_topk", "graph_connected_components",
+    "graph_connected_components_star", "graph_bfs_levels",
+    "asof_join_click_error", "pivot_nation_segment", "dedup_simhash",
+    "doc_fingerprint", "text_langid", "text_quality_score",
+    "pii_redact_documents", "chunk_documents_strided",
+    "embedding_cosine_pairs_exact", "embedding_near_dup_pairs",
+    "multimodal_features",
+)
+
+
+def driver_order() -> list[str]:
+    """Registry names with every never-driver-checked query rotated to
+    the front (newest registration first); already-covered names keep
+    registration order at the back."""
+    covered = set(_DRIVER_COVERED)
+    fresh = [n for n in REGISTRY if n not in covered]
+    fresh.reverse()
+    return fresh + [n for n in REGISTRY if n in covered]
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.build for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].build for name in driver_order()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in driver_order()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # ---------------------------------------------------------------------------

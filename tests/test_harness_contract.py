@@ -41,6 +41,25 @@ def test_entry_contract(spark):
     for name, sql in os_.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
+    # Driver-prefix rotation (round-10 verdict item 2): the driver
+    # oracle-checks only the FIRST 50 queries() entries, so the
+    # never-yet-driver-checked names must be rotated to the front —
+    # newest registrations first — and the highest-risk semantic /
+    # curation surface must sit inside the checked prefix.
+    prefix = list(qs)[:50]
+    from graph_db_spark.queries import _DRIVER_COVERED
+
+    assert not (set(prefix) & set(_DRIVER_COVERED)), (
+        "already-covered names crowd the driver prefix"
+    )
+    for must in (
+        "dedup_semantic_default",
+        "knn_label_agreement",
+        "embedding_label_margin",
+        "split_stratified_holdout",
+    ):
+        assert must in prefix, must
+
 
 def test_bench_harness_runs_and_emits_json():
     """bench.py at sf0.001 must complete and print one parsable JSON line
