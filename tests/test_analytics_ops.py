@@ -84,25 +84,29 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_real_decoder_registry(spark):
-    """The 'real' slot self-upgrades PER MODALITY at import: with no
-    codec library present it stays the clearly marked raiser; with any
-    present it becomes a dispatcher (PIL→image, soundfile→audio,
-    ffprobe→video) whose unregistered modalities degrade to the digest
-    row."""
+    """The 'real' slot self-upgrades PER MODALITY at import: audio always
+    has at least the stdlib WAV floor, so 'real' is always the
+    dispatcher; image/video upgrade only when their library (PIL /
+    ffprobe) is present, and unregistered modalities degrade to the
+    digest row."""
     from graph_db_spark.operators.multimodal import (
         DECODERS,
         TYPE_DECODERS,
         _real_decode,
+        _soundfile_decode,
+        _wav_stdlib_decode,
     )
 
-    if TYPE_DECODERS:
-        assert DECODERS["real"] is not _real_decode
-        for mt, key in (("image", "pil"), ("audio", "soundfile"), ("video", "ffmpeg")):
-            assert (mt in TYPE_DECODERS) == (key in DECODERS)
+    # the stdlib WAV floor guarantees a real audio path everywhere
+    assert "wav" in DECODERS and "audio" in TYPE_DECODERS
+    assert DECODERS["real"] is not _real_decode
+    for mt, key in (("image", "pil"), ("video", "ffmpeg")):
+        assert (mt in TYPE_DECODERS) == (key in DECODERS)
+    # soundfile (more formats) overrides the floor when importable
+    if "soundfile" in DECODERS:
+        assert TYPE_DECODERS["audio"] is _soundfile_decode
     else:
-        assert DECODERS["real"] is _real_decode
-        with pytest.raises(NotImplementedError):
-            DECODERS["real"]("image", b"\x89PNG")
+        assert TYPE_DECODERS["audio"] is _wav_stdlib_decode
 
 
 def test_real_decoder_dispatch_contract():
@@ -124,22 +128,28 @@ def test_real_decoder_dispatch_contract():
     assert calls == [("img", "image")]
 
 
-def test_soundfile_decode_real_audio(spark):
-    """Conditional (skips without soundfile): real audio decode reports
-    the true duration through the registry."""
-    pytest.importorskip("soundfile")
+def test_audio_decode_real_wav(spark):
+    """Real audio decode reports the true duration through the registry —
+    UNCONDITIONAL: the fixture is written with the stdlib ``wave`` module
+    and the stdlib WAV floor decoder guarantees an audio path even
+    without soundfile (which, when present, reads the same PCM WAV)."""
     import io
-
-    import numpy as np
-    import soundfile as sf
+    import wave
 
     from graph_db_spark.operators.multimodal import DECODERS
 
     buf = io.BytesIO()
-    sf.write(buf, np.zeros(8000, dtype="float32"), 16000, format="WAV")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 8000)  # 8000 frames @ 16 kHz = 500 ms
     wav = buf.getvalue()
     out = DECODERS["real"]("audio", wav)
     assert out["duration_ms"] == 500
+    # non-WAV bytes degrade to the digest-only row, never an exception
+    junk = DECODERS["wav"]("audio", b"\x00\x01junk")
+    assert junk["duration_ms"] is None and junk["digest"]
 
 
 def test_ffprobe_decode_real_video(spark):
