@@ -761,6 +761,166 @@ def semantic_dedup_hier_verdicts(
     return _semdedup_from_assign(v, assign, tau, checkpoint=checkpoint)
 
 
+def semantic_pyramid_ks(
+    n: int, cell_target: int = 1024, branch: int = 64
+) -> list[int]:
+    """Codebook sizes for ``semantic_dedup``'s quantization pyramid,
+    fine level first: k₀ = max(8, ceil(n / cell_target)) — CONSTANT
+    expected cell size, so the within-cell pairwise term stays O(n ·
+    cell_target) as the corpus grows (the SemDeDup paper's regime: 50k
+    clusters for 440M embeddings ≈ constant members per cluster; the
+    round-8/9 k = isqrt(n) rule left that term n^1.5) — then
+    kᵢ₊₁ = max(2, ceil(kᵢ / branch)) until the top codebook fits a
+    single broadcast probe (≤ branch cells). Depth is ceil(log_branch
+    k): 1 level through n = branch·cell_target (≈65k), 2 through ≈4.3M,
+    4 at a billion vectors."""
+    if n < 0:
+        raise ValueError("n must be non-negative")
+    ks = [max(8, -(-n // max(1, cell_target)))]
+    while ks[-1] > branch:
+        ks.append(max(2, -(-ks[-1] // branch)))
+    return ks
+
+
+def semantic_dedup_tree_verdicts(
+    df: DataFrame,
+    codebooks: list[DataFrame],
+    tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """SemDeDup with an ARBITRARY-DEPTH quantization pyramid — the
+    general form of ``semantic_dedup_hier_verdicts`` (which is exactly
+    the 2-level instance; depth 1 is ``semantic_dedup_verdicts``'s
+    exact assignment). *codebooks* is fine-level first: codebooks[0]
+    supplies the dedup cells, each later frame is a coarser quantizer
+    over the previous one (typically ``kmeans_fit(codebooks[i], ...)``).
+
+    Routing: every level's centroids are routed to their nearest parent
+    cell (tiny broadcast joins); each vector probes its *n_probe* best
+    top-level cells (one broadcast cross join over ≤ branch cells),
+    then descends — at each level scoring only the CHILDREN of the
+    currently probed cells (broadcast equi-join on the parent id,
+    min-struct / sorted-slice picks, 6dp-rounded cosines with cell-id
+    tie-breaks) — and the fine level picks top-1 = the assignment. Per
+    vector that is ~n_probe·branch evaluations per level = O(branch ·
+    log_branch k) instead of the flat n·k (exact) or n·3·sqrt(k)
+    (2-level): with k ∝ n (constant cell size, see
+    ``semantic_pyramid_ks``) the route term stays n·polylog(n). Probe
+    sets are restricted per level to cells with ≥1 fine-level
+    descendant (the generalization of the 2-level route's non-vacuous
+    probe guard: Lloyd's empty-cell carryover can leave childless
+    cells, and a vector whose whole probe set were childless would
+    silently escape dedup). Approximation contract is the IVF n_probe
+    trade at every level; the pairwise prune is unchanged
+    (``_semdedup_from_assign``). All picks are deterministic and the
+    DuckDB oracle replicates the full descent bit-for-bit
+    (queries._semdedup_tree_sql)."""
+    from graph_db_spark.functions.vector import dot
+
+    if not codebooks:
+        raise ValueError("codebooks must be non-empty (fine level first)")
+    v = _norm_frame(df, id_col, vec_col, "id", "vec")
+    lv = [
+        _norm_frame(cb, id_col, vec_col, "cell", "cvec").withColumnRenamed(
+            "__norm", "cnorm"
+        )
+        for cb in codebooks
+    ]
+    depth = len(lv)
+    if depth == 1:
+        return _semdedup_from_assign(v, _assign_nearest(v, lv[0]), tau, checkpoint=checkpoint)
+
+    # child cell -> parent cell per level (k_i x k_{i+1} evals — tiny,
+    # all broadcast); children of distinct parents are disjoint, so the
+    # descent never needs a dedup.
+    routes = []
+    for i in range(depth - 1):
+        child_as_v = lv[i].select(
+            F.col("cell").alias("id"),
+            F.col("cvec").alias("vec"),
+            F.col("cnorm").alias("__norm"),
+        )
+        routes.append(
+            _assign_nearest(child_as_v, lv[i + 1]).select(
+                F.col("id").alias("child"), F.col("cell").alias("parent")
+            )
+        )
+    # used[j] (j = 1..depth-1): level-j cells with >= 1 fine descendant
+    used: dict[int, DataFrame] = {1: routes[0].select("parent").distinct()}
+    for j in range(2, depth):
+        used[j] = (
+            routes[j - 1]
+            .join(F.broadcast(used[j - 1].withColumnRenamed("parent", "child")), "child")
+            .select("parent")
+            .distinct()
+        )
+
+    def scored(frame: DataFrame) -> DataFrame:
+        denom = F.col("__norm") * F.col("cnorm")
+        return frame.withColumn(
+            "ccos",
+            F.round(F.when(denom != 0, dot(F.col("vec"), F.col("cvec")) / denom), 6),
+        ).filter(F.col("ccos").isNotNull())
+
+    def probe_pick(frame: DataFrame) -> DataFrame:
+        # top-n_probe cells per id, CARRYING vec/__norm through the
+        # min-struct (payload fields never drive the comparison — negcos
+        # ties across cells carry the SAME row's vec/norm); the sorted
+        # collect_list of tiny (negcos, cell) structs is bounded by the
+        # candidate set (≤ n_probe·branch), never by the corpus.
+        return (
+            frame.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("ccos")).alias("negcos"), F.col("vec"), F.col("__norm")
+                    )
+                ).alias("m"),
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct((-F.col("ccos")).alias("negcos"), F.col("cell"))
+                        )
+                    ),
+                    1,
+                    n_probe,
+                ).alias("probe"),
+            )
+            .select(
+                "id",
+                F.col("m.vec").alias("vec"),
+                F.col("m.__norm").alias("__norm"),
+                F.explode(F.col("probe.cell")).alias("pcell"),
+            )
+        )
+
+    # top level: broadcast cross join over the (used) top codebook
+    top = lv[depth - 1].join(
+        F.broadcast(used[depth - 1].withColumnRenamed("parent", "cell")), "cell"
+    )
+    cur = probe_pick(scored(v.crossJoin(F.broadcast(top))))
+    # descend: candidates at level j = children of the probed cells
+    for j in range(depth - 2, 0, -1):
+        cand = lv[j].join(
+            F.broadcast(used[j].withColumnRenamed("parent", "cell")), "cell"
+        ).join(F.broadcast(routes[j].withColumnRenamed("child", "cell")), "cell")
+        cur = probe_pick(
+            scored(cur.join(F.broadcast(cand.withColumnRenamed("parent", "pcell")), "pcell"))
+        )
+    # fine level: top-1 among the probed cells' children = assignment
+    fine = lv[0].join(F.broadcast(routes[0].withColumnRenamed("child", "cell")), "cell")
+    assign = (
+        scored(cur.join(F.broadcast(fine.withColumnRenamed("parent", "pcell")), "pcell"))
+        .groupBy("id")
+        .agg(F.min(F.struct((-F.col("ccos")).alias("negcos"), F.col("cell"))).alias("m"))
+        .select("id", F.col("m.cell").alias("cell"), (-F.col("m.negcos")).alias("cent_cos"))
+    )
+    return _semdedup_from_assign(v, assign, tau, checkpoint=checkpoint)
+
+
 def semantic_dedup(
     df: DataFrame,
     tau: float = 0.99,
@@ -768,46 +928,61 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 2,
+    cell_target: int = 1024,
+    branch: int = 64,
     sample_target: int | None = None,
     checkpoint: bool = True,
 ) -> DataFrame:
     """THE semantic-dedup entry point — the route a user should get by
-    picking the obvious name. Trains a SAMPLED k-means codebook
-    (k = max(8, isqrt(n)) by default; the Lloyd passes read only
-    max(10_000, 50·k) hash-sampled rows, so the fit term is constant in
-    corpus size), a coarse codebook over it (k' = isqrt(k)), and runs
-    the hierarchical assignment route ``semantic_dedup_hier_verdicts``
-    — per-vector work n·(k' + n_probe·k/k') ~ n·3·sqrt(k) instead of the
-    exact route's n·k. Every stage broadcasts or shuffles once on cell
-    id; nothing in the composition is super-linear in n when k ∝ sqrt(n)
-    (measured: SCALE_STRESS_r10). Returns the verdict frame
+    picking the obvious name. Auto-k is CONSTANT CELL SIZE:
+    k = max(8, ceil(n / cell_target)) — k ∝ n, the SemDeDup paper's
+    regime (50k clusters for 440M embeddings), so the within-cell
+    pairwise prune stays O(n · cell_target); the round-8/9 default of
+    k = isqrt(n) left it n^1.5 (round-10 verdict item 1). The codebook
+    PYRAMID (``semantic_pyramid_ks``: each level ceil(k/branch) of the
+    one below, until ≤ branch) bounds the assignment term that k ∝ n
+    would otherwise blow up: the descent costs ~n·n_probe·branch per
+    level = n·polylog(n) total instead of the flat n·k or the 2-level
+    n·3·sqrt(k). Fits are SAMPLED at every level (``kmeans_fit``
+    sample_target, ≥50 points per centroid, deterministic hash-sample),
+    so no Lloyd pass ever scans more than the sample. Every stage
+    broadcasts or shuffles once on cell id. Returns the verdict frame
     (id, cell, cent_cos, pruned).
 
-    ``semantic_dedup_verdicts`` (exact assignment) remains available as
-    the bounded recall BASELINE for fixture-size corpora and verdict
-    audits; its n·k assignment is a measured n^1.5 scale floor when
-    k ∝ sqrt(n), so do not point it at a production corpus.
+    ``semantic_dedup_verdicts`` (exact assignment) remains the bounded
+    recall BASELINE for fixture-size corpora and verdict audits;
+    ``semantic_dedup_hier_verdicts`` is the fixed 2-level instance.
 
     One count() job derives k and the sample modulus; pass *k* (and
-    optionally *sample_target*) to skip it."""
-    import math
-
+    optionally *sample_target*) to skip it. *k* given explicitly still
+    routes through the pyramid (depth follows from k and *branch*)."""
     from graph_db_spark.operators.similarity import kmeans_fit
 
     if k is None:
-        k = max(8, math.isqrt(df.count()))
-    target = sample_target if sample_target is not None else max(10_000, 50 * k)
-    cent = kmeans_fit(
-        df, k=k, n_iters=2, id_col=id_col, vec_col=vec_col,
-        sample_target=target, checkpoint=checkpoint,
-    )
-    # sampled-fit cells are renumbered 0..k-1, so the coarse fit's
-    # legacy id<k' init stays valid over the k-row codebook
-    coarse = kmeans_fit(
-        cent, k=max(2, math.isqrt(k)), n_iters=2,
-        id_col=id_col, vec_col=vec_col, checkpoint=checkpoint,
-    )
-    return semantic_dedup_hier_verdicts(
-        df, cent, coarse, tau=tau, id_col=id_col, vec_col=vec_col,
+        ks = semantic_pyramid_ks(df.count(), cell_target=cell_target, branch=branch)
+    else:
+        ks = [k]
+        while ks[-1] > branch:
+            ks.append(max(2, -(-ks[-1] // branch)))
+    target = sample_target if sample_target is not None else max(10_000, 50 * ks[0])
+    books = [
+        kmeans_fit(
+            df, k=ks[0], n_iters=2, id_col=id_col, vec_col=vec_col,
+            sample_target=target, checkpoint=checkpoint,
+        )
+    ]
+    # sampled-fit cells are renumbered 0..k-1, so each coarser fit's
+    # init rule stays valid over the previous level's codebook; upper
+    # fits sample too (≥50 points per centroid) once levels grow past
+    # their sample target.
+    for kk in ks[1:]:
+        books.append(
+            kmeans_fit(
+                books[-1], k=kk, n_iters=2, id_col=id_col, vec_col=vec_col,
+                sample_target=max(1024, 50 * kk), checkpoint=checkpoint,
+            )
+        )
+    return semantic_dedup_tree_verdicts(
+        df, books, tau=tau, id_col=id_col, vec_col=vec_col,
         n_probe=n_probe, checkpoint=checkpoint,
     )

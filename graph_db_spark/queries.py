@@ -5211,17 +5211,19 @@ def bpe_encode_fixed_rules(spark, sf_dir):
     )
 
 
-def _kmeans_sampled_init_sql(k: int, mod: int, src: str = "e") -> str:
+def _kmeans_sampled_init_sql(k: int, mod: int, src: str = "e", pfx: str = "") -> str:
     """The sampled-fit prologue as CTEs: the deterministic int64
     hash-sample (twin of operators.similarity.kmeans_sample_pred) and the
     renumbered k-smallest-ids init — twin of kmeans_fit(sample_mod=mod).
-    Iteration CTEs then run with src='s' (codebook trains on the sample);
-    the final assignment CTEs keep reading the full corpus."""
+    Iteration CTEs then run with src='{pfx}s' (codebook trains on the
+    sample); the final assignment CTEs keep reading the full corpus.
+    *pfx* prefixes the CTE names so several independent fits (the
+    quantization-pyramid levels) can share one WITH clause."""
     return f"""
-    s AS (SELECT vec_id, v FROM {src}
+    {pfx}s AS (SELECT vec_id, v FROM {src}
           WHERE ((vec_id * 2654435761) % 4294967296) % {mod} = 0),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-           FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT {k}))"""
+    {pfx}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+           FROM (SELECT vec_id, v FROM {pfx}s ORDER BY vec_id LIMIT {k}))"""
 
 
 def _kmeans_iter_sql(n: int, p: int, src: str = "e", pfx: str = "") -> str:
@@ -5247,6 +5249,111 @@ def _kmeans_iter_sql(n: int, p: int, src: str = "e", pfx: str = "") -> str:
              FROM {pfx}c{p} o LEFT JOIN
                (SELECT cell, list(val ORDER BY dim) AS c FROM {pfx}g{n} GROUP BY cell) nn
                ON o.cell = nn.cell)"""
+
+
+def _semdedup_tree_sql(ks: list[int], mods: list[int], n_probe: int, tau: float) -> str:
+    """The full ``semantic_dedup`` route as generated CTEs, for ANY
+    pyramid depth — twin of operators.dedup.semantic_dedup composed of
+    kmeans_fit per level (sampled init, 2 Lloyd iterations) +
+    semantic_dedup_tree_verdicts (per-level child→parent routes,
+    non-vacuous probe guard, top-down n_probe descent, within-cell
+    pairwise prune). Expects the corpus CTE ``e (vec_id, v)`` to be
+    already open in the WITH clause; returns the remaining CTEs + final
+    SELECT. *ks*/*mods* are the per-level codebook sizes and fit-sample
+    moduli the Spark side derives (fine level first) — inlined, like
+    every planted-fixture oracle constant."""
+    depth = len(ks)
+    pfx = lambda i: "" if i == 0 else f"t{i}"  # noqa: E731
+    parts = []
+    for i in range(depth):
+        src = "e" if i == 0 else f"f{i}"
+        if i > 0:
+            parts.append(f"f{i} AS MATERIALIZED (SELECT cell AS vec_id, c AS v FROM {pfx(i-1)}c2)")
+        parts.append(_kmeans_sampled_init_sql(ks[i], mods[i], src=src, pfx=pfx(i)).lstrip(" \n"))
+        parts.append(_kmeans_iter_sql(1, 0, src=f"{pfx(i)}s", pfx=pfx(i)).lstrip(" \n"))
+        parts.append(_kmeans_iter_sql(2, 1, src=f"{pfx(i)}s", pfx=pfx(i)).lstrip(" \n"))
+    parts.append("n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)")
+    for i in range(depth):
+        parts.append(
+            f"L{i} AS MATERIALIZED (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm"
+            f" FROM {pfx(i)}c2)"
+        )
+    cos = lambda a, b: (  # noqa: E731
+        f"round(list_dot_product({a}.v, {b}.cv) / ({a}.nrm * {b}.cnrm), 6)"
+    )
+    if depth == 1:
+        parts.append(f"""asg AS MATERIALIZED (
+      SELECT vec_id, cell, ccos FROM (
+        SELECT n.vec_id, L0.cell, {cos('n', 'L0')} AS ccos,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {cos('n', 'L0')} DESC, L0.cell) AS rr
+        FROM n CROSS JOIN L0
+        WHERE {cos('n', 'L0')} IS NOT NULL) WHERE rr = 1)""")
+    else:
+        for i in range(depth - 1):
+            ccos = (
+                f"round(list_dot_product(c.cv, p.cv) / (c.cnrm * p.cnrm), 6)"
+            )
+            parts.append(f"""r{i} AS MATERIALIZED (
+      SELECT child, parent FROM (
+        SELECT c.cell AS child, p.cell AS parent,
+               row_number() OVER (PARTITION BY c.cell ORDER BY
+                 {ccos} DESC, p.cell) AS rr
+        FROM L{i} c CROSS JOIN L{i + 1} p) WHERE rr = 1)""")
+        parts.append("u1 AS MATERIALIZED (SELECT DISTINCT parent FROM r0)")
+        for j in range(2, depth):
+            parts.append(
+                f"u{j} AS MATERIALIZED (SELECT DISTINCT r{j-1}.parent FROM r{j-1}"
+                f" JOIN u{j-1} ON r{j-1}.child = u{j-1}.parent)"
+            )
+        t = depth - 1
+        parts.append(f"""p{t} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, tt.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, tt.cv) / (n.nrm * tt.cnrm), 6) DESC,
+                 tt.cell) AS rr
+        FROM n CROSS JOIN (SELECT L{t}.* FROM L{t}
+                           JOIN u{t} ON L{t}.cell = u{t}.parent) tt
+        WHERE round(list_dot_product(n.v, tt.cv) / (n.nrm * tt.cnrm), 6) IS NOT NULL
+      ) WHERE rr <= {n_probe})""")
+        for j in range(depth - 2, 0, -1):
+            parts.append(f"""p{j} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, L{j}.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {cos('n', f'L{j}')} DESC, L{j}.cell) AS rr
+        FROM p{j + 1} pp JOIN n ON n.vec_id = pp.vec_id
+        JOIN r{j} ON r{j}.parent = pp.cell
+        JOIN L{j} ON L{j}.cell = r{j}.child
+        JOIN u{j} ON u{j}.parent = L{j}.cell
+        WHERE {cos('n', f'L{j}')} IS NOT NULL
+      ) WHERE rr <= {n_probe})""")
+        parts.append(f"""asg AS MATERIALIZED (
+      SELECT vec_id, cell, ccos FROM (
+        SELECT n.vec_id, L0.cell, {cos('n', 'L0')} AS ccos,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 {cos('n', 'L0')} DESC, L0.cell) AS rr
+        FROM p1 pp JOIN n ON n.vec_id = pp.vec_id
+        JOIN r0 ON r0.parent = pp.cell
+        JOIN L0 ON L0.cell = r0.child
+        WHERE {cos('n', 'L0')} IS NOT NULL
+      ) WHERE rr = 1)""")
+    parts.append("""mem AS MATERIALIZED (SELECT a.vec_id, a.cell, a.ccos, n.v, n.nrm
+            FROM asg a JOIN n ON n.vec_id = a.vec_id)""")
+    parts.append(f"""pr AS (
+      SELECT DISTINCT x.vec_id FROM mem x JOIN mem y ON x.cell = y.cell
+        AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {tau})""")
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT e.vec_id, a.cell, a.ccos AS cent_cos,
+           (p.vec_id IS NOT NULL) AS pruned
+    FROM e LEFT JOIN asg a ON a.vec_id = e.vec_id
+           LEFT JOIN pr p ON p.vec_id = e.vec_id
+    """
+    )
 
 
 @q(
@@ -5506,15 +5613,7 @@ def dedup_semantic_semdedup_hier(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_semantic_default",
-    # The obvious-name entry point end to end: auto k = isqrt(n) = 31 at
-    # the oracle's sf0.01 corpus (500 base + 500 twins), sample_target
-    # 10k > n so the derived modulus is 1 (sample = corpus; the init is
-    # still the renumbered 31-smallest-ids rule), coarse k' = isqrt(31)
-    # = 5 over the fine codebook, n_probe = 2. The oracle re-derives
-    # both codebooks and the full two-level route bit-for-bit with the
-    # auto-derived constants inlined.
+_SEMDEDUP_CORPUS_SQL = (
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
     """pert AS (
       SELECT list_transform(range(0, len(v)), d ->
@@ -5523,74 +5622,14 @@ def dedup_semantic_semdedup_hier(spark, sf_dir):
       FROM base
     ),
     e AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM pert),
-    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 31)),"""
-    + _kmeans_iter_sql(1, 0)
-    + ","
-    + _kmeans_iter_sql(2, 1)
-    + """,
-    f AS (SELECT cell AS vec_id, c AS v FROM c2),
-    kc0 AS (SELECT vec_id AS cell, v AS c FROM f WHERE vec_id < 5),"""
-    + _kmeans_iter_sql(1, 0, src="f", pfx="k")
-    + ","
-    + _kmeans_iter_sql(2, 1, src="f", pfx="k")
-    + """,
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
-    co AS (SELECT cell AS ccell, c AS cov, sqrt(list_dot_product(c, c)) AS conrm FROM kc2),
-    fr AS (
-      SELECT cell, ccell FROM (
-        SELECT cent.cell, co.ccell,
-               row_number() OVER (PARTITION BY cent.cell ORDER BY
-                 round(list_dot_product(cent.cv, co.cov) / (cent.cnrm * co.conrm), 6) DESC,
-                 co.ccell) AS r
-        FROM cent CROSS JOIN co) WHERE r = 1),
-    cou AS (SELECT * FROM co WHERE ccell IN (SELECT DISTINCT ccell FROM fr)),
-    vc AS (
-      SELECT vec_id, ccell FROM (
-        SELECT n.vec_id, co.ccell,
-               row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                 round(list_dot_product(n.v, co.cov) / (n.nrm * co.conrm), 6) DESC,
-                 co.ccell) AS r
-        FROM n CROSS JOIN cou co) WHERE r <= 2),
-    asg AS (
-      SELECT vec_id, cell, ccos FROM (
-        SELECT n.vec_id, cent.cell,
-               round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) AS ccos,
-               row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
-                 cent.cell) AS r
-        FROM n JOIN vc ON vc.vec_id = n.vec_id
-        JOIN fr ON fr.ccell = vc.ccell
-        JOIN cent ON cent.cell = fr.cell) WHERE r = 1),
-    mem AS (SELECT a.vec_id, a.cell, a.ccos, n.v, n.nrm
-            FROM asg a JOIN n ON n.vec_id = a.vec_id),
-    pr AS (
-      SELECT DISTINCT x.vec_id FROM mem x JOIN mem y ON x.cell = y.cell
-        AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
-      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.99)
-    SELECT e.vec_id, a.cell, a.ccos AS cent_cos,
-           (p.vec_id IS NOT NULL) AS pruned
-    FROM e LEFT JOIN asg a ON a.vec_id = e.vec_id
-           LEFT JOIN pr p ON p.vec_id = e.vec_id
-    """,
+    """
 )
-def dedup_semantic_default(spark, sf_dir):
-    """The ``semantic_dedup`` convenience entry point (operators/dedup.py)
-    run exactly as a user would call it — one frame in, auto-derived
-    k = isqrt(n), sampled codebook fit, hierarchical assignment,
-    verdicts out. This is the route the obvious name now gets (round-8/9
-    verdict: the exact route's n·k assignment is an n^1.5 scale floor;
-    the registered exact query remains as the bounded baseline).
 
-    The oracle inlines the constants the auto-derivation produces at the
-    correctness gate's sf0.01 corpus (n=1000 → k=31, sample modulus 1,
-    k'=5) and replicates codebooks, two-level route, and prune
-    bit-for-bit — at other SFs the Spark side derives different k; the
-    oracle is pinned to the gate's scale like every planted-twin
-    fixture."""
-    from graph_db_spark.operators.dedup import semantic_dedup
 
+def _semdedup_planted_corpus(spark, sf_dir):
+    """The shared planted-twin embedding corpus (base ∪ perturbed copies)
+    every semantic-dedup query runs on — Spark twin of
+    ``_SEMDEDUP_CORPUS_SQL``."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -5604,8 +5643,72 @@ def dedup_semantic_default(spark, sf_dir):
             * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
         ).alias("embedding"),
     )
-    u = e.unionByName(pert)
+    return e.unionByName(pert)
+
+
+@q(
+    "dedup_semantic_default",
+    # The obvious-name entry point end to end under the CONSTANT-CELL
+    # auto-k rule (round-10 verdict item 1): at the gate's sf0.01 corpus
+    # (500 base + 500 twins) k = max(8, ceil(1000/1024)) = 8, the fit
+    # sample modulus is 1 (target 10k > n; init is still the renumbered
+    # 8-smallest-ids rule), and 8 ≤ branch=64 makes the pyramid depth 1
+    # — exact assignment. The generated oracle replicates the sampled
+    # fit, assignment, and prune bit-for-bit; dedup_semantic_tree below
+    # pins the multi-level descent the same entry point takes once
+    # k > branch.
+    _SEMDEDUP_CORPUS_SQL + _semdedup_tree_sql([8], [1], n_probe=2, tau=0.99),
+)
+def dedup_semantic_default(spark, sf_dir):
+    """The ``semantic_dedup`` convenience entry point (operators/dedup.py)
+    run exactly as a user would call it — one frame in, auto-derived
+    k = max(8, ceil(n/1024)) (CONSTANT cell size, k ∝ n — the SemDeDup
+    paper's 50k-clusters-for-440M regime; round-10 verdict item 1
+    retired the isqrt(n) rule whose within-cell pairwise term was
+    n^1.5), sampled codebook fits at every pyramid level, branch-64
+    top-down routing, verdicts out.
+
+    The oracle inlines the constants the auto-derivation produces at the
+    correctness gate's sf0.01 corpus (n=1000 → k=8, sample modulus 1,
+    pyramid depth 1) via the same generator that pins the deep route
+    (_semdedup_tree_sql) — at other SFs the Spark side derives different
+    k; the oracle is pinned to the gate's scale like every planted-twin
+    fixture."""
+    from graph_db_spark.operators.dedup import semantic_dedup
+
+    u = _semdedup_planted_corpus(spark, sf_dir)
     return semantic_dedup(u, tau=0.99).select(
+        F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
+    )
+
+
+@q(
+    "dedup_semantic_tree",
+    # The multi-level descent pinned at gate scale: cell_target=8 /
+    # branch=5 force the pyramid to [125, 25, 5] on the 1000-vector
+    # corpus (all fit-sample moduli 1), so the oracle replicates THREE
+    # chained sampled k-means fits, two child→parent routing levels, the
+    # non-vacuous probe guard, the n_probe=2 top-down descent, and the
+    # pairwise prune bit-for-bit — the exact machinery the default
+    # entry point engages once k > branch (n ≳ 65k at the production
+    # cell_target=1024 / branch=64).
+    _SEMDEDUP_CORPUS_SQL + _semdedup_tree_sql([125, 25, 5], [1, 1, 1], n_probe=2, tau=0.99),
+)
+def dedup_semantic_tree(spark, sf_dir):
+    """``semantic_dedup`` through a forced 3-level quantization pyramid
+    (operators/dedup.semantic_dedup_tree_verdicts): cell_target=8 /
+    branch=5 shrink the pyramid thresholds so the gate corpus exercises
+    the same arbitrary-depth route a billion-vector corpus takes at the
+    production defaults. Per-vector routing work is ~n_probe·branch per
+    level (n·polylog(n) with k ∝ n) instead of the flat n·k exact
+    assignment or the 2-level n·3·sqrt(k); the within-cell prune is
+    unchanged. Verdicts differ from the exact baseline only for vectors
+    whose true nearest fine centroid falls outside the probed subtree
+    (the IVF n_probe trade, now paid per level)."""
+    from graph_db_spark.operators.dedup import semantic_dedup
+
+    u = _semdedup_planted_corpus(spark, sf_dir)
+    return semantic_dedup(u, tau=0.99, cell_target=8, branch=5).select(
         F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
     )
 

@@ -1817,16 +1817,58 @@ def test_kmeans_sampled_fit_contract(spark):
     assert via_target == manual
 
 
-def test_semantic_dedup_default_entry_point(spark, sf_dir):
-    """The obvious-name route (round-10): one frame in, auto-k sampled
-    codebook + hierarchical assignment out — one verdict per vector, the
-    planted twins overwhelmingly pruned, and the result identical to
-    composing the pieces by hand with the same derived constants."""
-    import math
+def test_semantic_pyramid_ks():
+    """Auto-k is CONSTANT cell size (k ∝ n) and the pyramid shrinks by
+    the branch factor per level until one broadcast probe suffices."""
+    from graph_db_spark.operators.dedup import semantic_pyramid_ks
 
+    assert semantic_pyramid_ks(0) == [8]  # floor
+    assert semantic_pyramid_ks(1000) == [8]  # gate corpus: depth 1
+    assert semantic_pyramid_ks(200_000) == [196, 4]
+    ks = semantic_pyramid_ks(1_000_000_000)
+    assert ks[0] == 976_563  # ceil(1e9 / 1024): cells stay ~1024 members
+    assert all(a > b for a, b in zip(ks, ks[1:])) and ks[-1] <= 64
+    assert len(ks) == 4  # a billion vectors route in 4 broadcast levels
+    assert semantic_pyramid_ks(1000, cell_target=8, branch=5) == [125, 25, 5]
+
+
+def test_semantic_dedup_tree_generalizes_exact_and_hier(spark):
+    """The arbitrary-depth tree route collapses to the exact assignment
+    at depth 1 and to the fixed 2-level hierarchical route at depth 2 —
+    bit-for-bit, on a corpus small enough to compare all three."""
+    from graph_db_spark.operators.dedup import (
+        semantic_dedup_hier_verdicts,
+        semantic_dedup_tree_verdicts,
+        semantic_dedup_verdicts,
+    )
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: ((F.col("id") * 31 + d * 17) % 97).cast("double"),
+        ).alias("embedding"),
+    )
+    key = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
+    cent = kmeans_fit(df, k=12, n_iters=2, sample_target=10_000)
+    exact = semantic_dedup_verdicts(df, cent, tau=0.95).collect()
+    assert key(semantic_dedup_tree_verdicts(df, [cent], tau=0.95).collect()) == key(exact)
+    coarse = kmeans_fit(cent, k=4, n_iters=2)
+    hier = semantic_dedup_hier_verdicts(df, cent, coarse, tau=0.95).collect()
+    assert key(semantic_dedup_tree_verdicts(df, [cent, coarse], tau=0.95).collect()) == key(hier)
+
+
+def test_semantic_dedup_default_entry_point(spark, sf_dir):
+    """The obvious-name route (round-11 constant-cell auto-k): one frame
+    in, k = max(8, ceil(n/1024)) sampled codebook + pyramid routing out —
+    one verdict per vector, the planted twins overwhelmingly pruned, and
+    the result identical to composing the pieces by hand with the same
+    derived constants (depth 1 at this corpus: n=1000 → k=8 ≤ branch)."""
     from graph_db_spark.operators.dedup import (
         semantic_dedup,
-        semantic_dedup_hier_verdicts,
+        semantic_dedup_verdicts,
+        semantic_pyramid_ks,
     )
     from graph_db_spark.operators.similarity import kmeans_fit
 
@@ -1851,10 +1893,10 @@ def test_semantic_dedup_default_entry_point(spark, sf_dir):
     # straddles are the only misses -> at least 80% of pairs pruned
     assert pruned >= 0.8 * (n // 2)
 
-    k = max(8, math.isqrt(n))
-    cent = kmeans_fit(u, k=k, n_iters=2, sample_target=max(10_000, 50 * k))
-    coarse = kmeans_fit(cent, k=max(2, math.isqrt(k)), n_iters=2)
-    manual = semantic_dedup_hier_verdicts(u, cent, coarse, tau=0.99).collect()
+    ks = semantic_pyramid_ks(n)
+    assert ks == [8]  # constant-cell rule at gate scale: depth 1
+    cent = kmeans_fit(u, k=ks[0], n_iters=2, sample_target=max(10_000, 50 * ks[0]))
+    manual = semantic_dedup_verdicts(u, cent, tau=0.99).collect()
     key = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
     assert key(got) == key(manual)
 

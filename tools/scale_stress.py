@@ -27,6 +27,12 @@ vectors, ~600k lineitem); this suite is the evidence that the plans
 - ``semdedup``    — cluster-bounded semantic dedup (k = sqrt(n) trained
                     cells) on the same expanded embeddings; shuffle is
                     linear by design, compute n^1.5 (see inline note).
+- ``semdedup_default`` — the ``semantic_dedup`` entry point as shipped:
+                    CONSTANT-cell auto-k (k ∝ n, round-11), sampled fits
+                    at every pyramid level, branch-64 top-down routing.
+                    Records ``within_cell_pairs`` (Σ |cell|·(|cell|-1)/2,
+                    computed untimed) — the pairwise-term metric whose
+                    ratio must stay ~linear for the k ∝ n schedule.
 
 Corpus/vector generation is deterministic column arithmetic (md5 of
 (seed, position)) — no RNG state, no driver loops; the 10× frames are
@@ -169,6 +175,7 @@ def main() -> None:
         "pipeline_training_corpus", "pipeline_curated_pack",
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
+        "semdedup_default",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -515,13 +522,37 @@ def main() -> None:
         # spread for the fit-dominated ops; target ±15%)
         return [scale] if not (spread and scale == "10x") else [scale, "10x_r2", "10x_r3"]
 
+    def within_cell_pairs(verd) -> int:
+        """Σ |cell|·(|cell|-1)/2 over the verdict frame — the number of
+        within-cell cosine evaluations the pairwise prune performs. The
+        k ∝ n schedule must keep this ~linear in n (constant cell size);
+        the old isqrt(n) rule grew it n^1.5. Computed OUTSIDE the timed
+        section (it re-runs the pair-join-shaped agg) so walls stay
+        comparable across rounds. Caveat: at --fast sizes the 1x corpus
+        (2k vectors) sits under the k=8 FLOOR (cells of ~250, not
+        ~1024), so the 1x point is artificially cheap and the fast-tier
+        pairs ratio overshoots — judge the flag at full sizes, where k
+        is above the floor at every scale."""
+        row = (
+            verd.filter(F.col("cell").isNotNull())
+            .groupBy("cell")
+            .count()
+            .agg(
+                F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias("p")
+            )
+            .collect()[0]
+        )
+        return int(row["p"] or 0)
+
     for scale, factor in sd_scales if want("semdedup") else []:
         emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
         n = emb.count()
+        stash: dict = {}
 
-        def sd(e=emb, n=n):
+        def sd(e=emb, n=n, stash=stash):
             k, target, cents = sd_fit(e, n)
             verd = D.semantic_dedup_verdicts(e, cents, tau=0.95)
+            stash["verd"] = verd
             return {
                 "vectors": n,
                 "k": k,
@@ -531,6 +562,34 @@ def main() -> None:
 
         for s in spread_scales(scale):
             run("semdedup", s, sd)
+            results["semdedup"][s]["within_cell_pairs"] = within_cell_pairs(stash["verd"])
+        emb.unpersist()
+
+    # The entry point AS SHIPPED (round-11): constant-cell auto-k
+    # (k = max(8, ceil(n/1024)) — k ∝ n, so within_cell_pairs must track
+    # n, not n^1.5), per-level sampled fits, branch-64 pyramid routing.
+    sdd_scales = list(sd_scales)
+    if x30:
+        sdd_scales.append(("30x", max(300 // div, 3)))
+    for scale, factor in sdd_scales if want("semdedup_default") else []:
+        emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
+        n = emb.count()
+        stash = {}
+
+        def sdd(e=emb, n=n, stash=stash):
+            verd = D.semantic_dedup(e, tau=0.95)
+            stash["verd"] = verd
+            return {
+                "vectors": n,
+                "pyramid_ks": D.semantic_pyramid_ks(n),
+                "pruned": verd.filter(F.col("pruned")).count(),
+            }
+
+        for s in spread_scales(scale):
+            run("semdedup_default", s, sdd)
+            results["semdedup_default"][s]["within_cell_pairs"] = within_cell_pairs(
+                stash["verd"]
+            )
         emb.unpersist()
 
     # Same corpus/k, hierarchical (coarse-quantized) assignment: the fit
@@ -576,6 +635,18 @@ def main() -> None:
             # from the 10x base; >6 would be 2x over linear
             d["ratio_30x_vs_10x"] = round(d["30x"]["sec"] / d["10x"]["sec"], 2)
             d["superlinear_blowup_30x"] = d["ratio_30x_vs_10x"] > 6
+        # within-cell pairwise-work metric (semdedup family): the k ∝ n
+        # schedule must keep Σ|cell|² ~linear — a second, wall-independent
+        # blowup tripwire (round-10 verdict item 1)
+        p1 = d.get("1x", {}).get("within_cell_pairs")
+        p10 = d.get("10x", {}).get("within_cell_pairs")
+        p30 = d.get("30x", {}).get("within_cell_pairs")
+        if p1 and p10:
+            d["pairs_ratio_10x"] = round(p10 / p1, 2)
+            d["superlinear_blowup_pairs"] = d["pairs_ratio_10x"] > 20
+        if p10 and p30:
+            d["pairs_ratio_30x_vs_10x"] = round(p30 / p10, 2)
+            d["superlinear_blowup_pairs_30x"] = d["pairs_ratio_30x_vs_10x"] > 6
 
     print(json.dumps({"metric": "scale_stress", "fast": fast, "cpus": int(cpus), "ops": results}))
     spark.stop()
