@@ -14,6 +14,7 @@ from graph_db_spark.streaming.apply import (
     stream_apply_wal_durable,
     stream_dedup_near,
     stream_dedup_near_banded,
+    stream_dedup_near_banded_builtin,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -28,6 +29,7 @@ __all__ = [
     "stream_session_windows",
     "stream_dedup_near",
     "stream_dedup_near_banded",
+    "stream_dedup_near_banded_builtin",
     "load_published_snapshot",
     "stateful_user_sessions",
 ]

@@ -623,9 +623,28 @@ def stream_dedup_near_banded(
     shingles get per-doc-unique bucket keys: they never hit and never
     suppress. State is (claimant, last-activity) per live bucket, timed
     out one watermark horizon after last activity — bounded exactly like
-    ``dropDuplicatesWithinWatermark`` key state."""
+    ``dropDuplicatesWithinWatermark`` key state.
+
+    Throughput note (round-11): this operator's cost floor is the
+    per-group Python invocation of ``applyInPandasWithState`` (measured
+    391.5 s at 500k docs with ~1.5 s of it in the state-store commit);
+    ``stream_dedup_near_banded_builtin`` expresses the same claim shape
+    with built-in JVM operators at 91.9 s on the identical corpus and
+    drop set — prefer it for production ingest unless the deterministic
+    (min ts, min doc_id) claimant election this operator guarantees
+    inside a micro-batch is load-bearing."""
     from graph_db_spark.streaming.stateful import stream_bucket_first_writer_hits
 
+    exploded = _banded_bucket_rows(spark, docs_dir, n_hashes, bands, shingle_k)
+    return stream_bucket_first_writer_hits(exploded, watermark, _duration_ms(watermark))
+
+
+def _banded_bucket_rows(
+    spark: SparkSession, docs_dir: str, n_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    """The streaming (doc_id, ts, band, bkey) band-key rows both banded
+    dedup variants consume — band keys bit-for-bit identical to the
+    batch LSH form (md5 over the band's hash slice)."""
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
     rows = n_hashes // bands
@@ -656,10 +675,84 @@ def stream_dedup_near_banded(
             for b in range(bands)
         ]
     )
-    exploded = docs.select("doc_id", "ts", F.explode(band_structs).alias("bb")).select(
+    return docs.select("doc_id", "ts", F.explode(band_structs).alias("bb")).select(
         "doc_id", "ts", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    return stream_bucket_first_writer_hits(exploded, watermark, _duration_ms(watermark))
+
+
+def stream_dedup_near_banded_builtin(
+    spark: SparkSession,
+    docs_dir: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    watermark: str = "6 hours",
+) -> DataFrame:
+    """Banded streaming near-dup with NO Python in the hot loop — the
+    JVM-native A/B of ``stream_dedup_near_banded`` (round-10 verdict
+    item 3, which measured the Python route's floor as the per-group
+    ``applyInPandasWithState`` invocation: 420 s at 500k docs with only
+    ~1.5 s of it in the state-store commit).
+
+    Formulation: ``dropDuplicatesWithinWatermark`` on (band, bkey)
+    retains ONE claimant row per bucket (built-in, state-store only);
+    a stream-stream INNER self-join then matches every band row against
+    its bucket's claimant within ± one watermark horizon and emits the
+    rows whose doc differs — the hit stream. Both stateful operators
+    are JVM-side; no Arrow transfer, no per-group Python dispatch.
+    Measured A/B (SCALE_STRESS_r11, 32 cores): 17.1 s vs 38.5 s at 50k
+    docs and **91.9 s vs 391.5 s at 500k** (4.3×) with IDENTICAL drop
+    counts (500 / 4,998 planted twins); state rows 515k vs 171k (the
+    dedup keys plus both join sides — 3×, still watermark-bounded).
+    This is the route to point a production ingest at; the Python
+    operator remains the deterministic-claimant reference.
+
+    Semantics vs the Python route: the claim set has the same SIZE per
+    bucket (exactly one) and a bucketed pair always yields exactly one
+    hit, but the claimant IDENTITY within a micro-batch is
+    processing-order-dependent — ``dropDuplicatesWithinWatermark``
+    keeps the first row it happens to see, not the (min ts, min doc_id)
+    row the Python operator deterministically elects. Across batches
+    the earlier batch always claims (same as Python). Consequence: hit
+    COUNTS and planted-twin drop counts match the Python route
+    bit-for-bit only when no two same-bucket docs share a micro-batch
+    out of ts order; the deterministic batch-equivalence contract
+    (``dedup_banded_survivors`` reproduces the survivor set) holds only
+    for the Python route. The time-range join condition is symmetric
+    (|r.ts − c.ts| ≤ horizon) so an order-inverted intra-batch claim
+    still traps its partner; it also bounds BOTH join state stores to
+    one horizon, mirroring the Python operator's state timeout."""
+    horizon_ms = _duration_ms(watermark)
+    exploded = _banded_bucket_rows(spark, docs_dir, n_hashes, bands, shingle_k)
+    claims = (
+        exploded.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["band", "bkey"])
+        # the event-time watermark PROPAGATES through the dedup and the
+        # rename (re-declaring it here trips "Redefining watermark is
+        # disallowed" under multiple-stateful-operator support)
+        .select(
+            F.col("band").alias("c_band"),
+            F.col("bkey").alias("c_bkey"),
+            F.col("doc_id").alias("c_doc"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    rows = exploded.withWatermark("ts", watermark)
+    hit_window = F.expr(
+        f"ts BETWEEN c_ts - INTERVAL {horizon_ms} MILLISECONDS"
+        f" AND c_ts + INTERVAL {horizon_ms} MILLISECONDS"
+    )
+    return (
+        rows.join(
+            claims,
+            (F.col("band") == F.col("c_band"))
+            & (F.col("bkey") == F.col("c_bkey"))
+            & (F.col("doc_id") != F.col("c_doc"))
+            & hit_window,
+            "inner",
+        )
+        .select("doc_id", "ts", "band")
+    )
 
 
 def stream_curated_ingest(

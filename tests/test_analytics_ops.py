@@ -1326,6 +1326,60 @@ def test_bpe_greedy_cap1_equals_sequential_fit(spark, sf_dir):
         docs.unpersist()
 
 
+def test_stream_dedup_near_banded_builtin_matches_python_route(spark, sf_dir, tmp_path):
+    """The JVM-native banded dedup (dropDuplicatesWithinWatermark claims
+    + stream-stream join-back, round-11) drops the same doc set as the
+    Python stateful route on a corpus whose duplicate pairs straddle
+    micro-batches — the regime where both routes' claimant election is
+    deterministic (intra-batch ties are the documented divergence:
+    the built-in keeps the first row it happens to process, the Python
+    operator elects (min ts, min doc_id))."""
+    from graph_db_spark.streaming import (
+        stream_dedup_near_banded,
+        stream_dedup_near_banded_builtin,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 500
+    )
+    shorts = spark.createDataFrame(
+        [(9001, "hi", "en", "srcx", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    full = docs.unionByName(copies).unionByName(shorts).cache()
+    full.count()
+
+    def run(fn, name):
+        src = str(tmp_path / f"docs_{name}")
+        # originals in batch 1, planted copies (+500) in batch 2: claims
+        # must persist in state across batches for either route
+        full.filter(F.col("doc_id") < 60).write.parquet(src)
+        q = (
+            fn(spark, src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"hits_{name}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            full.filter(F.col("doc_id") >= 60).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            return {
+                r["doc_id"]
+                for r in spark.sql(f"SELECT DISTINCT doc_id FROM hits_{name}").collect()
+            }
+        finally:
+            q.stop()
+
+    dropped_py = run(stream_dedup_near_banded, "py")
+    dropped_builtin = run(stream_dedup_near_banded_builtin, "builtin")
+    assert dropped_builtin == dropped_py
+    assert {500 + i for i in range(5)} <= dropped_builtin
+    assert 9001 not in dropped_builtin
+
+
 def test_stream_dedup_near_banded_state_expires_with_watermark(spark, sf_dir, tmp_path):
     """The 100 TB memory claim, empirically: bucket claims age out one
     watermark horizon after last activity. A copy arriving INSIDE the

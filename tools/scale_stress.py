@@ -175,7 +175,7 @@ def main() -> None:
         "pipeline_training_corpus", "pipeline_curated_pack",
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
-        "semdedup_default",
+        "semdedup_default", "stream_dedup_banded_builtin",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -392,13 +392,21 @@ def main() -> None:
     # distinct docs dropped (planted twins ~n/100), and the state-store
     # row count (4 band buckets per doc in the single availableNow batch
     # — across batches the watermark timeout bounds it instead).
-    from graph_db_spark.streaming import stream_dedup_near_banded
+    from graph_db_spark.streaming import (
+        stream_dedup_near_banded,
+        stream_dedup_near_banded_builtin,
+    )
 
-    for scale, n in (
-        (("1x", 50_000 // div), ("10x", 500_000 // div))
-        if want("stream_dedup_banded")
-        else ()
-    ):
+    stream_variants = [("stream_dedup_banded", stream_dedup_near_banded)]
+    # JVM-native A/B (round-10 verdict item 3): dropDuplicatesWithinWatermark
+    # claims + stream-stream join-back — no Python in the hot loop
+    stream_variants.append(
+        ("stream_dedup_banded_builtin", stream_dedup_near_banded_builtin)
+    )
+    for op_name, op_fn in stream_variants:
+      if not want(op_name):
+        continue
+      for scale, n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
         tmp = tempfile.mkdtemp(prefix=f"stress_stream_{scale}_")
         try:
             synthetic_docs(spark, n).select(
@@ -409,12 +417,12 @@ def main() -> None:
                 F.length("text").cast("long").alias("n_chars"),
             ).write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
 
-            def run_stream(t=tmp, sc=scale):
+            def run_stream(t=tmp, sc=scale, fn=op_fn, op=op_name):
                 q = (
-                    stream_dedup_near_banded(spark, os.path.join(t, "docs"))
+                    fn(spark, os.path.join(t, "docs"))
                     .writeStream.outputMode("append")
                     .format("memory")
-                    .queryName(f"stress_bhits_{sc}")
+                    .queryName(f"stress_bhits_{op}_{sc}")
                     .start()
                 )
                 try:
@@ -435,7 +443,7 @@ def main() -> None:
                         else None
                     )
                     dropped = spark.sql(
-                        f"SELECT count(DISTINCT doc_id) AS n FROM stress_bhits_{sc}"
+                        f"SELECT count(DISTINCT doc_id) AS n FROM stress_bhits_{op}_{sc}"
                     ).collect()[0]["n"]
                 finally:
                     q.stop()
@@ -446,7 +454,7 @@ def main() -> None:
                     "state_commit_ms": commit_ms,
                 }
 
-            run("stream_dedup_banded", scale, run_stream)
+            run(op_name, scale, run_stream)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
