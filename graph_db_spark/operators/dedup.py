@@ -547,8 +547,26 @@ def _semdedup_from_assign(
         "cell",
         F.col("cent_cos").alias("ycc"),
     )
+    if checkpoint:
+        # Parallelize the pair stage (round-11): AQE's byte-based
+        # coalescing sees only the small member shuffle, not the
+        # |cell|-fold row amplification + per-pair HOF dot the join
+        # produces, and folds the exchange to ~1 partition; small
+        # codebooks additionally cap hash parallelism at k. See
+        # _salted_cell_join_sides. The distinct-cell count is one tiny
+        # job over the checkpointed member frame. Composition-only
+        # callers (checkpoint=False) keep the plain cell join — no jobs
+        # may run at plan-construction time there.
+        from graph_db_spark.operators.similarity import _salted_cell_join_sides
+
+        n_cells = mem.select("cell").distinct().count()
+        x, y, pair_keys = _salted_cell_join_sides(
+            x, y, n_cells, "xid", mem.sparkSession
+        )
+    else:
+        pair_keys = ["cell"]
     pruned = (
-        x.join(y, "cell")
+        x.join(y, pair_keys)
         .filter(
             (F.col("ycc") < F.col("xcc"))
             | ((F.col("ycc") == F.col("xcc")) & (F.col("yid") < F.col("xid")))
