@@ -195,7 +195,10 @@ def connected_components(
 
 
 def connected_components_star(
-    vertices: DataFrame, edges: DataFrame, max_iters: int = 50
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 50,
+    delta_frontier: bool = False,
 ) -> tuple[DataFrame, int]:
     """(labels, rounds): large-star/small-star alternation — the
     high-diameter scale path for connected components (O(log² n) rounds
@@ -213,6 +216,26 @@ def connected_components_star(
     Small-star: every neighbor v ≤ u (plus u) re-points to
     m = min(Γ⁻(u) ∪ {u}). Alternate until the edge set is stable; the
     stable state is a star per component rooted at its min id.
+
+    *delta_frontier* (round-11, default off): per round, run the two
+    star rewrites only on edges within TWO hops of a vertex whose
+    adjacency changed last round (one large∘small round moves
+    information at most two hops, so edges farther out reproduce
+    themselves — they pass through unchanged). Converged regions then
+    skip the star joins while stragglers finish. The bookkeeping costs
+    ~5 extra narrow shuffles of the edge list per round (two anti-join
+    diffs, two semi-join dilations, one incident split), so the switch
+    pays only when a large stable fraction persists across many rounds.
+    Measured (round-11, local[32]): on the DESIGNED-FAVORABLE mixture —
+    a 1M-vertex path (21 rounds) plus 200k triangle blobs that converge
+    in round 1 and should freeze — the variant is a documented NO-WIN:
+    identical components and round count, 164–180 s vs 40–46 s plain.
+    Two reasons: the bookkeeping is ~8 extra shuffles × 21 rounds, and
+    star-CC contracts the chain so aggressively that most edges stay
+    within two hops of a change until their own convergence (the stable
+    fraction the filter needs never materializes). Kept as a tested
+    opt-in; OFF on the registered query and stress paths. Components
+    are bit-identical either way (tested on path/mixed/star fixtures).
     """
     ids = vertices.select(F.col("id").cast("long").alias("id")).distinct()
     # hash-sum as DECIMAL: exact, order-independent, and immune to the
@@ -229,11 +252,36 @@ def connected_components_star(
         **_sig,
     )
     rounds = 0
+    frontier = None  # (vid) vertices whose adjacency changed last round
+
+    def _incident(edge_df: DataFrame, vset: DataFrame) -> DataFrame:
+        return edge_df.join(
+            vset.withColumnRenamed("vid", "u"), "u", "left_semi"
+        ).unionByName(
+            edge_df.join(vset.withColumnRenamed("vid", "v"), "v", "left_semi")
+        ).distinct()
+
+    def _endpoints(edge_df: DataFrame) -> DataFrame:
+        return (
+            edge_df.select(F.col("u").alias("vid"))
+            .unionByName(edge_df.select(F.col("v").alias("vid")))
+            .distinct()
+        )
+
     for _ in range(max_iters):
         rounds += 1
+        if delta_frontier and frontier is not None:
+            # active region = edges within 2 hops of last round's changes
+            act_v = frontier
+            for _h in range(2):
+                act_v = _endpoints(_incident(e, act_v))
+            act = _incident(e, act_v).localCheckpoint(eager=True)
+            stable = e.join(act, ["u", "v"], "left_anti")
+        else:
+            act, stable = e, None
         # -- large-star: full neighborhood Γ(u) ∪ {u}, re-point v > u to min
-        nbr = e.select("u", "v").unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        nbr = act.select("u", "v").unionByName(
+            act.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mmin = (
             nbr.groupBy("u")
@@ -265,12 +313,27 @@ def connected_components_star(
             .select(F.col("v").alias("x"), "m")
             .unionByName(msmall.select(F.col("u").alias("x"), "m"))
         )
-        e2, e2sig = _checkpoint_observed(
+        rewritten = (
             small.filter(F.col("x") != F.col("m"))
             .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
-            .distinct(),
+            .distinct()
+        )
+        e2, e2sig = _checkpoint_observed(
+            rewritten if stable is None else rewritten.unionByName(stable).distinct(),
             **_sig,
         )
+        if delta_frontier:
+            # next round's frontier: endpoints of the symmetric edge diff
+            prev_frontier = frontier
+            frontier = _endpoints(
+                e2.join(e, ["u", "v"], "left_anti").unionByName(
+                    e.join(e2, ["u", "v"], "left_anti")
+                )
+            ).localCheckpoint(eager=True)
+            if prev_frontier is not None:
+                release(prev_frontier)
+            if stable is not None:  # act is its own checkpoint, not e
+                release(act)
         # Convergence = edge-set fixpoint. The (count, xxhash64-sum)
         # signature rides the checkpoint action (free); a signature
         # mismatch PROVES change, so the round continues with zero extra

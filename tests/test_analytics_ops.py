@@ -802,6 +802,34 @@ def test_connected_components_star_high_diameter(spark):
     assert rounds <= 12, f"star CC took {rounds} rounds on a 512-chain"
 
 
+def test_connected_components_star_delta_frontier_identical(spark):
+    """The delta-frontier variant (round-11: star rewrites restricted to
+    edges within two hops of last round's changes, stable edges carried
+    forward) produces bit-identical components on the shapes that stress
+    the frontier logic: a long chain (changes everywhere until the end),
+    a mixed graph (early-converging blobs must FREEZE while the chain
+    keeps moving — the payoff case), and stars/singletons (converge in
+    one round, frontier empties immediately)."""
+    from graph_db_spark.pregel import connected_components_star
+
+    fixtures = {
+        "chain": [(i, i + 1) for i in range(120)],
+        "mixed": [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (20, 21)]
+        + [(100 + i, 101 + i) for i in range(60)],
+        "star": [(0, i) for i in range(1, 9)] + [(50, 51)],
+    }
+    for name, edges in fixtures.items():
+        e = spark.createDataFrame(edges, "src LONG, dst LONG")
+        vids = {x for p in edges for x in p} | {7777}
+        v = spark.createDataFrame([(i,) for i in vids], "id LONG")
+        plain_df, plain_rounds = connected_components_star(v, e)
+        delta_df, delta_rounds = connected_components_star(v, e, delta_frontier=True)
+        plain = {r["id"]: r["component"] for r in plain_df.collect()}
+        delta = {r["id"]: r["component"] for r in delta_df.collect()}
+        assert delta == plain, f"{name}: delta-frontier diverged"
+        assert delta_rounds == plain_rounds, f"{name}: round count diverged"
+
+
 def test_asof_join_grouped_tolerance(spark):
     """merge_asof fallback: tolerance + direction semantics the window
     trick can't express; matches asof_join where semantics overlap."""
