@@ -239,6 +239,9 @@ def main() -> None:
         "knn_label_agreement",
         "embedding_label_margin",
         "split_stratified_holdout",
+        # round-11: forced 3-level quantization-pyramid semantic dedup
+        # (the deep route the default entry point takes once k > branch)
+        "dedup_semantic_tree",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -74,6 +74,10 @@ AUDITED = [
     "dedup_semantic_semdedup_hier",
     "sample_cluster_balanced",
     "quality_percentile_gate",
+    # round-11: constant-cell auto-k default + forced 3-level pyramid
+    "dedup_semantic_default",
+    "dedup_semantic_tree",
+    "knn_label_agreement",
 ]
 
 NOTES = """## Notes
