@@ -5696,19 +5696,24 @@ def dedup_semantic_default(spark, sf_dir):
 )
 def dedup_semantic_tree(spark, sf_dir):
     """``semantic_dedup`` through a forced 3-level quantization pyramid
-    (operators/dedup.semantic_dedup_tree_verdicts): cell_target=8 /
-    branch=5 shrink the pyramid thresholds so the gate corpus exercises
-    the same arbitrary-depth route a billion-vector corpus takes at the
-    production defaults. Per-vector routing work is ~n_probe·branch per
-    level (n·polylog(n) with k ∝ n) instead of the flat n·k exact
-    assignment or the 2-level n·3·sqrt(k); the within-cell prune is
-    unchanged. Verdicts differ from the exact baseline only for vectors
-    whose true nearest fine centroid falls outside the probed subtree
-    (the IVF n_probe trade, now paid per level)."""
+    (operators/dedup.semantic_dedup_tree_verdicts): an explicit k=125 /
+    branch=5 pins the pyramid to [125, 25, 5] at EVERY scale factor —
+    the same ks the auto-derivation (cell_target=8) produces at the
+    gate's 1000-vector corpus, so the oracle constants hold while the
+    bench-scale run keeps a fixed fit budget instead of re-scaling k
+    with n (the auto form's k=ceil(n/8)=500 at sf0.1 cost 41 s of
+    mostly Lloyd evaluations). This exercises the same arbitrary-depth
+    route a billion-vector corpus takes at the production defaults.
+    Per-vector routing work is ~n_probe·branch per level (n·polylog(n)
+    with k ∝ n) instead of the flat n·k exact assignment or the 2-level
+    n·3·sqrt(k); the within-cell prune is unchanged. Verdicts differ
+    from the exact baseline only for vectors whose true nearest fine
+    centroid falls outside the probed subtree (the IVF n_probe trade,
+    now paid per level)."""
     from graph_db_spark.operators.dedup import semantic_dedup
 
     u = _semdedup_planted_corpus(spark, sf_dir)
-    return semantic_dedup(u, tau=0.99, cell_target=8, branch=5).select(
+    return semantic_dedup(u, tau=0.99, k=125, branch=5).select(
         F.col("id").alias("vec_id"), "cell", "cent_cos", "pruned"
     )
 
