@@ -241,7 +241,9 @@ def main() -> None:
         "split_stratified_holdout",
         # round-11: forced 3-level quantization-pyramid semantic dedup
         # (the deep route the default entry point takes once k > branch)
+        # and duplicate-cluster canonicalization (LSH pairs -> star-CC)
         "dedup_semantic_tree",
+        "dedup_duplicate_clusters",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -5719,6 +5719,106 @@ def dedup_semantic_tree(spark, sf_dir):
 
 
 @q(
+    "dedup_duplicate_clusters",
+    # Duplicate-cluster canonicalization: the verified near-dup pairs
+    # (the dedup_minhash_lsh chain, reused verbatim) become an edge
+    # list; connected components give every document a CLUSTER id =
+    # the min doc_id of its duplicate group, singletons included. The
+    # oracle closes the pair graph with a recursive CTE (transitive
+    # closure is safe at gate scale: clusters are planted-twin-sized)
+    # and takes the per-doc min reachable id — exactly the star-CC
+    # min-label contract.
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || token)) AS h0, min(md5('1|' || token)) AS h1,
+             min(md5('2|' || token)) AS h2, min(md5('3|' || token)) AS h3,
+             min(md5('4|' || token)) AS h4, min(md5('5|' || token)) AS h5,
+             min(md5('6|' || token)) AS h6, min(md5('7|' || token)) AS h7
+      FROM tok GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c JOIN tok ta ON ta.id = c.a JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    ),
+    pr AS (
+      SELECT i.a, i.b
+      FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+      WHERE i.inter >= 0.7 * (sa.sz + sb.sz - i.inter)
+    ),
+    sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b AS x, a AS y FROM pr),
+    reach AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    )
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS BIGINT) AS cluster_id,
+           d.doc_id = least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS is_canonical
+    FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_duplicate_clusters(spark, sf_dir):
+    """Duplicate-cluster canonicalization — the step a dedup pipeline
+    runs AFTER pair detection: verified MinHash near-dup pairs
+    (operators/dedup.minhash_near_dup_pairs, the same chain as
+    dedup_minhash_lsh) become an undirected graph whose connected
+    components are the duplicate groups; every document gets
+    (cluster_id = min doc_id of its group, is_canonical = it IS that
+    min). Downstream keeps exactly the canonical rows — transitive
+    duplicates (A~B, B~C but A≁C directly) collapse into ONE group,
+    which per-pair survivor rules get wrong.
+
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    near-dup docs appear), and components are resolved by
+    large-star/small-star alternation (pregel.connected_components_star,
+    O(log² n) rounds) — never a transitive-closure blowup; the closure
+    lives only in the DuckDB oracle at gate scale. The corpus joins the
+    label frame once for singleton back-fill."""
+    from graph_db_spark.pregel import connected_components_star
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3,
+        corpus_rows=_parquet_rows(sf_dir, "documents"),
+    )
+    verts = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels, _ = connected_components_star(verts, edges)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@q(
     "knn_label_agreement",
     # Mislabel screening over the labeled embedding corpus: sampled-fit
     # codebook (k=8, mod 4 — same rule as the other k-means oracles),

@@ -802,6 +802,35 @@ def test_connected_components_star_high_diameter(spark):
     assert rounds <= 12, f"star CC took {rounds} rounds on a 512-chain"
 
 
+def test_dedup_duplicate_clusters_canonicalization(spark):
+    """Verified near-dup pairs → connected components → canonical group
+    ids: a planted 3-copy chain collapses into ONE cluster labelled by
+    its min doc_id with exactly one canonical member; unrelated docs are
+    singleton clusters of themselves; a short (shingle-less) doc never
+    joins anything."""
+    from graph_db_spark.operators.dedup import minhash_near_dup_pairs
+    from graph_db_spark.pregel import connected_components_star
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    drift1 = base.replace("tok5", "DRIFT")  # near-dup of base
+    drift2 = drift1.replace("tok35", "MORE")  # near-dup of drift1 (chain)
+    other = " ".join(f"zzz{i}" for i in range(40))
+    rows = [(10, base), (11, drift1), (12, drift2), (20, other), (30, "hi")]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", n_hashes=8, bands=4,
+                                   threshold=0.7, shingle=3)
+    labels, _ = connected_components_star(
+        d.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    )
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got[10] == got[11] == got[12] == 10  # one cluster, min-id label
+    assert got[20] == 20 and got[30] == 30  # singletons stay canonical
+    canon = [i for i in (10, 11, 12) if got[i] == i]
+    assert canon == [10]  # exactly one canonical member per cluster
+
+
 def test_connected_components_star_delta_frontier_identical(spark):
     """The delta-frontier variant (round-11: star rewrites restricted to
     edges within two hops of last round's changes, stable edges carried
