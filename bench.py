@@ -244,6 +244,8 @@ def main() -> None:
         # and duplicate-cluster canonicalization (LSH pairs -> star-CC)
         "dedup_semantic_tree",
         "dedup_duplicate_clusters",
+        # round-11: matrix-free top-PC projection (power iteration)
+        "embedding_pca_scores",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -746,3 +746,107 @@ def label_centroid_margin(
             F.round(F.col("own_cos") - F.col("rival_cos"), 6).alias("margin"),
         )
     )
+
+
+def pca_power_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-principal-component scores by MATRIX-FREE power iteration —
+    the embedding-curation primitive PCA-based pipelines need
+    (dominant-direction whitening, outlier screens, spectral
+    near-duplicate axes) without ever materializing the d×d covariance:
+    each iteration computes C·v as Xᶜᵀ(Xᶜ·v)/n — one per-row dot and one
+    per-dim weighted sum, both map-side-combinable aggregations over the
+    posexploded centered corpus. Returns (id, pc1) with pc1 = the
+    centered vector's projection on the converged direction (6dp).
+
+    Deterministic and cross-engine exact, the kmeans_fit discipline:
+    per-dim means and all reduction sums go through DECIMAL (exact,
+    order-independent — a double sum would differ across partitionings)
+    with fixed rounding points (products rounded to 12dp before the
+    decimal cast, the direction renormalized and rounded to
+    *round_digits* per iteration); init v₀ = e₀ (no RNG). The sign of
+    pc1 follows the deterministic iterate, so the oracle replicates it
+    bit-for-bit. With a fixed iteration count this is a TRUNCATED power
+    method: n_iters=2 separates the dominant direction on embedding-like
+    spectra; pass more for near-degenerate top eigenvalues.
+
+    Scale shape: the corpus appears only as (id, dim, xc) triples —
+    2 narrow scans per iteration (one grouped by id, one by dim), every
+    aggregate partial-combinable, the d-row direction frame broadcast
+    back each pass; nothing quadratic, no driver collect."""
+    x = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda c: c.cast("double"))
+        ).alias("d", "val"),
+    )
+    m = (
+        x.groupBy("d")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                round_digits,
+            ).alias("m")
+        )
+    )
+    xc = x.join(F.broadcast(m), "d").select(
+        "id", "d", (F.col("val") - F.col("m")).alias("xc")
+    )
+    n_rows = df.count()
+    spark = df.sparkSession
+    v = spark.range(1).select(F.lit(0).cast("int").alias("d"), F.lit(1.0).alias("vd"))
+    dec = "decimal(38,14)"
+    for _ in range(n_iters):
+        y = (
+            xc.join(F.broadcast(v), "d")
+            .groupBy("id")
+            .agg(
+                F.sum(F.round(F.col("xc") * F.col("vd"), 12).cast(dec))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        z = (
+            xc.join(y, "id")
+            .groupBy("d")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("xc") * F.col("y"), 12).cast(dec))
+                    .cast("double")
+                    / F.lit(float(n_rows)),
+                    12,
+                ).alias("zd")
+            )
+        )
+        nrm = z.agg(
+            F.sqrt(F.sum(F.round(F.col("zd") * F.col("zd"), 12).cast(dec)).cast("double"))
+            .alias("nrm")
+        )
+        v = (
+            z.crossJoin(F.broadcast(nrm))
+            .select(
+                "d",
+                F.when(
+                    F.col("nrm") != 0, F.round(F.col("zd") / F.col("nrm"), round_digits)
+                )
+                .otherwise(F.lit(0.0))
+                .alias("vd"),
+            )
+            .localCheckpoint(eager=True)  # d rows; cuts the per-iteration plan
+        )
+    return (
+        xc.join(F.broadcast(v), "d")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("xc") * F.col("vd"), 12).cast(dec)).cast("double"),
+                6,
+            ).alias("pc1")
+        )
+    )

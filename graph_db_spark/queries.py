@@ -5718,6 +5718,63 @@ def dedup_semantic_tree(spark, sf_dir):
     )
 
 
+def _pca_iter_sql(i: int, prev_v: str, n_rows: int) -> str:
+    """One power-method iteration as CTEs — twin of the loop body in
+    operators.similarity.pca_power_scores (products rounded to 12dp
+    before the exact DECIMAL sums, direction renormalized to 9dp)."""
+    return f"""
+    y{i} AS (SELECT id, CAST(sum(CAST(round(xc * vd, 12) AS DECIMAL(38,14))) AS DOUBLE) AS y
+           FROM xc JOIN {prev_v} USING (d) GROUP BY id),
+    z{i} AS (SELECT d, round(CAST(sum(CAST(round(xc * y, 12) AS DECIMAL(38,14))) AS DOUBLE)
+                          / {float(n_rows)}, 12) AS zd
+           FROM xc JOIN y{i} USING (id) GROUP BY d),
+    n{i} AS (SELECT sqrt(CAST(sum(CAST(round(zd * zd, 12) AS DECIMAL(38,14))) AS DOUBLE)) AS nrm
+           FROM z{i}),
+    v{i} AS (SELECT d, CASE WHEN nrm <> 0 THEN round(zd / nrm, 9) ELSE 0.0 END AS vd
+           FROM z{i} CROSS JOIN n{i})"""
+
+
+@q(
+    "embedding_pca_scores",
+    # Matrix-free power iteration, replicated bit-for-bit: per-dim
+    # DECIMAL means, two Xᶜᵀ(Xᶜ·v)/n iterations with 12dp-rounded
+    # products into exact decimal sums, 9dp-renormalized direction,
+    # 6dp projection scores. n=500 at the gate corpus is inlined (the
+    # Spark side derives it with one count), init v₀ = e₀.
+    """
+    WITH x AS (
+      SELECT vec_id AS id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS val
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    m AS (SELECT d, round(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m
+          FROM x GROUP BY d),
+    xc AS (SELECT x.id, x.d, x.val - m.m AS xc FROM x JOIN m USING (d)),
+    v0 AS (SELECT 0 AS d, 1.0 AS vd),"""
+    + _pca_iter_sql(1, "v0", 500)
+    + ","
+    + _pca_iter_sql(2, "v1", 500)
+    + """
+    SELECT xc.id AS vec_id,
+           round(CAST(sum(CAST(round(xc * vd, 12) AS DECIMAL(38,14))) AS DOUBLE), 6) AS pc1
+    FROM xc JOIN v2 USING (d) GROUP BY xc.id
+    """,
+)
+def embedding_pca_scores(spark, sf_dir):
+    """Top-principal-component projection per embedding
+    (operators/similarity.pca_power_scores): the PCA primitive an
+    embedding-curation pipeline uses for dominant-direction whitening
+    and spectral outlier screens, computed matrix-free — each power
+    iteration is Xᶜᵀ(Xᶜ·v)/n as two map-side-combinable aggregations
+    over (id, dim, value) triples; the d-row direction broadcasts back.
+    No covariance matrix, no driver collect, nothing quadratic; all
+    reductions DECIMAL-exact with fixed rounding points so the oracle
+    re-derives means, both iterations, and the scores bit-for-bit."""
+    from graph_db_spark.operators.similarity import pca_power_scores
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_power_scores(e).select(F.col("id").alias("vec_id"), "pc1")
+
+
 @q(
     "dedup_duplicate_clusters",
     # Duplicate-cluster canonicalization: the verified near-dup pairs

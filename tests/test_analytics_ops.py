@@ -802,6 +802,40 @@ def test_connected_components_star_high_diameter(spark):
     assert rounds <= 12, f"star CC took {rounds} rounds on a 512-chain"
 
 
+def test_pca_power_scores_finds_dominant_direction(spark):
+    """Matrix-free power iteration on a corpus whose variance is
+    concentrated along an off-axis direction: the pc1 scores must carry
+    (far) more variance than the projection on the init axis e₀, scores
+    must be centered (mean ≈ 0 — projections of centered data), and the
+    result is deterministic across reruns."""
+    import statistics
+
+    from graph_db_spark.operators.similarity import pca_power_scores
+
+    # dominant direction ~ (1, 2, -1, 0)/√6 with large spread; tiny
+    # independent noise on the other axes
+    rows = []
+    for i in range(60):
+        t = (i - 30) * 1.0  # spread along the planted direction
+        eps = ((i * 7) % 5 - 2) * 0.01
+        rows.append((i, [t + eps, 2 * t - eps, -t + 2 * eps, eps]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    got = {r["id"]: r["pc1"] for r in pca_power_scores(df).collect()}
+    assert len(got) == 60
+    again = {r["id"]: r["pc1"] for r in pca_power_scores(df).collect()}
+    assert got == again  # deterministic
+
+    mean_pc1 = statistics.mean(got.values())
+    assert abs(mean_pc1) < 1e-6  # centered projections
+    var_pc1 = statistics.pvariance(got.values())
+    xs0 = [r[1][0] - statistics.mean(v[0] for _, v in rows) for r in rows]
+    var_e0 = statistics.pvariance(xs0)
+    # pc1 must capture (roughly) the full planted variance 6·var(t),
+    # versus var(t) along e₀ alone
+    assert var_pc1 > 4 * var_e0
+
+
 def test_dedup_duplicate_clusters_canonicalization(spark):
     """Verified near-dup pairs → connected components → canonical group
     ids: a planted 3-copy chain collapses into ONE cluster labelled by
