@@ -123,9 +123,9 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_shipping_priority(spark, sf_dir):
     """3-table join + agg + deterministic top-k. The join shuffles on the
-    keys; the final top-10 is a single-partition window over the (small)
-    aggregated set — at scale replace with orderBy().limit() which Spark
-    executes as a distributed TakeOrdered."""
+    keys; the global top-10 is orderBy().limit(), which Spark compiles to
+    TakeOrderedAndProject — per-partition top-10 + a driver merge of 10
+    rows per partition — never a single-partition window."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
@@ -139,10 +139,9 @@ def q3_shipping_priority(spark, sf_dir):
             .alias("revenue")
         )
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
     return (
-        r.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        r.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
         .select("l_orderkey", "o_orderdate", "revenue")
     )
 
@@ -1150,17 +1149,46 @@ _DRIVER_COVERED: tuple[str, ...] = (
     "pii_redact_documents", "chunk_documents_strided",
     "embedding_cosine_pairs_exact", "embedding_near_dup_pairs",
     "multimodal_features",
+    # round 11 (CORRECTNESS_r11.json — all green):
+    "doc_similar_feature_hash", "graph_landmark_distances",
+    "doc_feature_hash_embed", "quality_percentile_gate",
+    "sample_cluster_balanced", "mix_sources_temperature",
+    "split_stratified_holdout", "embedding_label_margin",
+    "knn_label_agreement", "dedup_duplicate_clusters",
+    "embedding_pca_scores", "dedup_semantic_tree", "dedup_semantic_default",
+    "dedup_semantic_semdedup_hier", "dedup_semantic_semdedup",
+    "ann_ivf_kmeans_topk", "bpe_encode_fixed_rules",
+    "dedup_minhash_signature_groups", "q21_waiting_suppliers",
+    "q20_promotion_suppliers", "q15_top_supplier",
+    "q13_customer_orders_distribution", "q11_important_inventory",
+    "q8_nation_market_share", "graph_hits_hubs_authorities",
+    "window_distribution_functions", "q22_dormant_rich_customers",
+    "q19_disjunctive_pushdown", "q16_supplier_cnt_antijoin",
+    "q14_promo_revenue_ratio", "q12_priority_case_pivot",
+    "q6_forecast_revenue", "q4_order_priority_exists",
+    "graph_jaccard_link_prediction", "graph_personalized_ppr",
+    "graph_label_propagation", "q2_min_price_supplier",
+    "q18_large_volume_customers", "q17_small_quantity_revenue",
+    "q10_returned_items", "q9_product_type_profit", "q7_volume_shipping",
+    "pipeline_curated_pack", "ann_int8_topk", "bpe_merge_pair_counts",
+    "source_token_drift", "graph_part_popularity", "dedup_simhash_banded",
+    "graph_degree_histogram", "graph_kcore_part_supplier",
 )
 
 
 def driver_order() -> list[str]:
     """Registry names with every never-driver-checked query rotated to
-    the front (newest registration first); already-covered names keep
-    registration order at the back."""
-    covered = set(_DRIVER_COVERED)
-    fresh = [n for n in REGISTRY if n not in covered]
+    the front (newest registration first); already-covered names follow
+    in coverage order (oldest driver row first), so once the fresh pool
+    is smaller than the driver's 50-query gate the LEAST-recently
+    re-verified queries rotate back into it."""
+    covered_rank = {n: i for i, n in enumerate(_DRIVER_COVERED)}
+    fresh = [n for n in REGISTRY if n not in covered_rank]
     fresh.reverse()
-    return fresh + [n for n in REGISTRY if n in covered]
+    covered = sorted(
+        (n for n in REGISTRY if n in covered_rank), key=covered_rank.__getitem__
+    )
+    return fresh + covered
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4046,8 +4074,9 @@ def q10_returned_items(spark, sf_dir):
     break on c_custkey.
 
     100 TB shape: the returnflag+date filters push to the scans; one
-    grouped agg shuffled on custkey; the global top-20 is a TakeOrdered
-    over per-partition top-20s, never a full sort."""
+    grouped agg shuffled on custkey; the global top-20 is orderBy().limit()
+    → TakeOrderedAndProject (per-partition top-20s merged on the driver),
+    never a full sort or a single-partition window."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
@@ -4065,12 +4094,7 @@ def q10_returned_items(spark, sf_dir):
             .alias("revenue")
         )
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .drop("rk")
-    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
 
 
 @q(

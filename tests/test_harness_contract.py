@@ -41,24 +41,40 @@ def test_entry_contract(spark):
     for name, sql in os_.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
-    # Driver-prefix rotation (round-10 verdict item 2): the driver
-    # oracle-checks only the FIRST 50 queries() entries, so the
-    # never-yet-driver-checked names must be rotated to the front —
-    # newest registrations first — and the highest-risk semantic /
-    # curation surface must sit inside the checked prefix.
-    prefix = list(qs)[:50]
+    # Driver-prefix rotation (round-10 verdict item 2, relaxed per the
+    # round-11 advice): the driver oracle-checks only the FIRST 50
+    # queries() entries. Assert the ORDERING property — every
+    # never-driver-checked name precedes every covered name — rather
+    # than prefix purity, which becomes unsatisfiable once fewer than
+    # 50 fresh names remain. Covered names must follow in coverage
+    # order (oldest driver row first) so re-verification rotates.
+    order = list(qs)
     from graph_db_spark.queries import _DRIVER_COVERED
 
-    assert not (set(prefix) & set(_DRIVER_COVERED)), (
-        "already-covered names crowd the driver prefix"
+    covered_rank = {n: i for i, n in enumerate(_DRIVER_COVERED)}
+    fresh_pos = [i for i, n in enumerate(order) if n not in covered_rank]
+    covered_pos = [i for i, n in enumerate(order) if n in covered_rank]
+    if fresh_pos and covered_pos:
+        assert max(fresh_pos) < min(covered_pos), (
+            "a covered name precedes a never-driver-checked name"
+        )
+    # all fresh names must fit inside the 50-row driver gate (if more
+    # than 50 accumulate, a round was skipped — flag it)
+    assert len(fresh_pos) <= 50, "fresh backlog exceeds the driver gate"
+    covered_tail = [n for n in order if n in covered_rank]
+    assert covered_tail == sorted(covered_tail, key=covered_rank.__getitem__), (
+        "covered names are not in oldest-coverage-first order"
     )
+    # the highest-risk semantic / curation surface must have a hard
+    # external row: either already driver-covered or inside the prefix.
+    prefix = set(order[:50])
     for must in (
         "dedup_semantic_default",
         "knn_label_agreement",
         "embedding_label_margin",
         "split_stratified_holdout",
     ):
-        assert must in prefix, must
+        assert must in covered_rank or must in prefix, must
 
 
 def test_bench_harness_runs_and_emits_json():

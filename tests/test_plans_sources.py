@@ -201,6 +201,20 @@ def test_part_popularity_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_tpch_global_topk_uses_take_ordered(spark, sf_dir):
+    """q3 / q10 take their global top-k via orderBy().limit() →
+    TakeOrderedAndProject (round-11 verdict item 2). A row_number() over
+    an unpartitioned window would funnel every aggregated group through
+    ONE partition at scale — assert no Window operator survives in
+    either plan."""
+    from graph_db_spark.plans import explain_str
+
+    for name in ("q3_shipping_priority", "q10_returned_items"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "Window" not in plan, (name, plan)
+
+
 def test_simhash_banded_recall_exact(spark, sf_dir):
     """Band-bucket candidates lose nothing: for Hamming <= 3 with 4
     bands, every close pair agrees on at least one band (pigeonhole), so
