@@ -584,6 +584,7 @@ def knn_label_agreement(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Embedding-space mislabel screening (the confident-learning-style
     curation signal): for each vector, the MAJORITY label among its k
@@ -623,8 +624,18 @@ def knn_label_agreement(
         F.col("id").alias("yid"), F.col("vec").alias("yv"),
         F.col("__norm").alias("yn"), F.col("lbl").alias("ylbl"), "cell",
     )
+    # the salt factor needs the codebook size; counting here would run
+    # any unmaterialized centroid plan at PLAN-CONSTRUCTION time (and a
+    # non-checkpointed kmeans_fit would execute its whole Lloyd chain
+    # twice — once for this count, once inside ivf_assign). Callers that
+    # know k pass it; only a materialized/cheap centroids frame should
+    # rely on the count() fallback.
     xm, ym, join_keys = _salted_cell_join_sides(
-        xm, ym, centroids.count(), "xid", df.sparkSession
+        xm,
+        ym,
+        int(n_cells) if n_cells is not None else centroids.count(),
+        "xid",
+        df.sparkSession,
     )
     denom = F.col("xn") * F.col("yn")
     pairs = (

@@ -5962,7 +5962,7 @@ def knn_label_agreement(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     cent = kmeans_fit(e, k=8, n_iters=2, sample_mod=4)
-    return knn_label_agreement(e, cent, k=5).select(
+    return knn_label_agreement(e, cent, k=5, n_cells=8).select(
         "id", "label", "knn_label", "n_neighbors", "agree"
     )
 

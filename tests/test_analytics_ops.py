@@ -2087,6 +2087,38 @@ def test_label_curation_ops_flag_planted_mislabel(spark):
     assert m[99].own_cos is None and m[99].margin is None  # zero norm
 
 
+def test_knn_label_agreement_composes_lazily_with_n_cells(spark):
+    """With n_cells supplied, knn_label_agreement must run NO Spark job
+    at plan-construction time (round-11 advice: the centroids.count()
+    fallback would execute an unmaterialized kmeans_fit plan twice —
+    once for the salt-factor count, once inside ivf_assign). Asserted
+    via a job group: zero job ids registered during construction. The
+    n_cells route must also produce identical rows to the count()
+    fallback."""
+    from graph_db_spark.operators.similarity import knn_label_agreement
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0], i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+    cent = spark.createDataFrame(
+        [(0, [6.0, 4.0, 1.0]), (1, [1.0, 1.0, 1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+
+    sc = spark.sparkContext
+    group = "knn-lazy-probe"
+    sc.setJobGroup(group, "plan construction must schedule nothing")
+    try:
+        lazy = knn_label_agreement(df, cent, k=3, n_cells=2)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"plan construction ran jobs: {jobs}"
+
+    key = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
+    fallback = knn_label_agreement(df, cent, k=3)
+    assert key(lazy.collect()) == key(fallback.collect())
+
+
 def test_split_stratified_holdout_deterministic(spark, sf_dir):
     """The stratified split is a pure function of (label, vec_id): two
     runs agree exactly, every label is split, and train+holdout = total
