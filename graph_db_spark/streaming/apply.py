@@ -687,42 +687,66 @@ def stream_dedup_near_banded_builtin(
     bands: int = 4,
     shingle_k: int = 3,
     watermark: str = "6 hours",
+    claim_lag: str | None = None,
 ) -> DataFrame:
     """Banded streaming near-dup with NO Python in the hot loop — the
-    JVM-native A/B of ``stream_dedup_near_banded`` (round-10 verdict
-    item 3, which measured the Python route's floor as the per-group
-    ``applyInPandasWithState`` invocation: 420 s at 500k docs with only
-    ~1.5 s of it in the state-store commit).
+    JVM-native form of ``stream_dedup_near_banded`` and the route a
+    production ingest should point at (round-10/11 verdict items: the
+    Python route's floor is the per-group ``applyInPandasWithState``
+    invocation — 391.5 s at 500k docs vs **91.9 s** here, identical
+    500 / 4,998 planted-twin drops).
 
     Formulation: ``dropDuplicatesWithinWatermark`` on (band, bkey)
-    retains ONE claimant row per bucket (built-in, state-store only);
-    a stream-stream INNER self-join then matches every band row against
-    its bucket's claimant within ± one watermark horizon and emits the
-    rows whose doc differs — the hit stream. Both stateful operators
-    are JVM-side; no Arrow transfer, no per-group Python dispatch.
-    Measured A/B (SCALE_STRESS_r11, 32 cores): 17.1 s vs 38.5 s at 50k
-    docs and **91.9 s vs 391.5 s at 500k** (4.3×) with IDENTICAL drop
-    counts (500 / 4,998 planted twins); state rows 515k vs 171k (the
-    dedup keys plus both join sides — 3×, still watermark-bounded).
-    This is the route to point a production ingest at; the Python
-    operator remains the deterministic-claimant reference.
+    retains ONE claimant row per bucket (built-in, state-store only); a
+    stream-stream INNER self-join matches every band row against its
+    bucket's claimant inside the time window, and each match emits the
+    pair's LOSER — the ``greatest`` of (row, claimant) ordered by
+    (ts, doc_id) — as the hit. Both stateful operators are JVM-side;
+    no Arrow transfer, no per-group Python dispatch.
 
-    Semantics vs the Python route: the claim set has the same SIZE per
-    bucket (exactly one) and a bucketed pair always yields exactly one
-    hit, but the claimant IDENTITY within a micro-batch is
-    processing-order-dependent — ``dropDuplicatesWithinWatermark``
-    keeps the first row it happens to see, not the (min ts, min doc_id)
-    row the Python operator deterministically elects. Across batches
-    the earlier batch always claims (same as Python). Consequence: hit
-    COUNTS and planted-twin drop counts match the Python route
-    bit-for-bit only when no two same-bucket docs share a micro-batch
-    out of ts order; the deterministic batch-equivalence contract
-    (``dedup_banded_survivors`` reproduces the survivor set) holds only
-    for the Python route. The time-range join condition is symmetric
-    (|r.ts − c.ts| ≤ horizon) so an order-inverted intra-batch claim
-    still traps its partner; it also bounds BOTH join state stores to
-    one horizon, mirroring the Python operator's state timeout."""
+    Why loser election (round-11 advice, survivor-loss hazard): the
+    claimant IDENTITY within a micro-batch is processing-order-
+    dependent — the dedup keeps the first row it happens to see per
+    bucket, NOT the (min ts, doc_id) row the Python operator elects.
+    A duplicate pair sharing several bands could therefore split its
+    claims (doc A claims some bands, doc B others), and emitting the
+    ROW side of every match would name BOTH docs as hits — a consumer
+    that drops hit doc_ids would annihilate every copy. Emitting the
+    pair's (ts, doc_id)-max instead guarantees the event-time-min doc
+    of any matched pair is NEVER a hit: exactly one side of a pair
+    survives, deterministically, whatever the claim split. Remaining
+    divergences from the Python reference, both bounded and
+    across-batch-free: (a) ≥3 same-bucket docs inside ONE micro-batch
+    with a non-minimal claimant C emit hits {max(d, C)} per member d —
+    members below C leak past the batch (later copies are still
+    trapped by the stored claim; the Python route drops all but the
+    min); (b) a LATE row whose event time precedes its bucket's stored
+    claim dethrones it (the hit names the claimant — event-time-
+    canonical survivor), where the Python route keeps the stored
+    claimant (arrival-canonical). For across-batch duplicates arriving
+    in event-time order — the planted-twin fixture and any
+    ts-monotonic ingest — drops match the Python route bit-for-bit
+    (tested); the strict batch-equivalence contract
+    (``dedup_banded_survivors`` reproduces the survivor set) remains
+    the Python route's.
+
+    State (VERDICT r11 item 6): the three stores are the dedup keys
+    (irreducible, one per live bucket), the claims join side (one row
+    per bucket, held one horizon — the dedup window itself), and the
+    ROWS join side, which is only needed to meet claims elected at or
+    after the row's own micro-batch — an event-time lag bounded by the
+    ingest's out-of-orderness, not by the dedup horizon. *claim_lag*
+    (default: the full watermark, today's safe symmetric window) sets
+    that bound: the join condition becomes
+    ``ts BETWEEN c_ts - claim_lag AND c_ts + horizon`` so rows-side
+    state ages out after *claim_lag* instead of *horizon*. Tighten it
+    to the arrival-disorder bound (e.g. the trigger interval on an
+    in-order ingest) to cut the dominant state store; a duplicate whose
+    copies arrive out of event-time order by MORE than claim_lag is
+    outside the tightened window and leaks (the same contract as the
+    watermark itself)."""
     horizon_ms = _duration_ms(watermark)
+    lag_ms = _duration_ms(claim_lag) if claim_lag is not None else horizon_ms
     exploded = _banded_bucket_rows(spark, docs_dir, n_hashes, bands, shingle_k)
     claims = (
         exploded.withWatermark("ts", watermark)
@@ -739,8 +763,11 @@ def stream_dedup_near_banded_builtin(
     )
     rows = exploded.withWatermark("ts", watermark)
     hit_window = F.expr(
-        f"ts BETWEEN c_ts - INTERVAL {horizon_ms} MILLISECONDS"
+        f"ts BETWEEN c_ts - INTERVAL {lag_ms} MILLISECONDS"
         f" AND c_ts + INTERVAL {horizon_ms} MILLISECONDS"
+    )
+    loser_is_row = F.struct(F.col("ts"), F.col("doc_id")) > F.struct(
+        F.col("c_ts"), F.col("c_doc")
     )
     return (
         rows.join(
@@ -751,7 +778,11 @@ def stream_dedup_near_banded_builtin(
             & hit_window,
             "inner",
         )
-        .select("doc_id", "ts", "band")
+        .select(
+            F.when(loser_is_row, F.col("doc_id")).otherwise(F.col("c_doc")).alias("doc_id"),
+            F.when(loser_is_row, F.col("ts")).otherwise(F.col("c_ts")).alias("ts"),
+            "band",
+        )
     )
 
 

@@ -1471,6 +1471,119 @@ def test_stream_dedup_near_banded_builtin_matches_python_route(spark, sf_dir, tm
     assert 9001 not in dropped_builtin
 
 
+def test_stream_dedup_builtin_intra_batch_pair_keeps_one_survivor(spark, sf_dir, tmp_path):
+    """Round-11 advice (survivor-loss hazard): a duplicate pair landing
+    in the SAME micro-batch may split its bucket claims between the two
+    docs — emitting the row side of every join match would then name
+    BOTH docs as hits and a consumer dropping hit doc_ids would
+    annihilate every copy. The loser election (hit = the pair's
+    (ts, doc_id)-max) must keep exactly the earlier doc, whatever
+    processing order the dedup elected claims in. Ten twin pairs, one
+    batch: every hit names the later twin, never the earlier."""
+    from graph_db_spark.streaming import stream_dedup_near_banded_builtin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    copies = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 700
+    )
+    src = str(tmp_path / "docs_intra")
+    docs.unionByName(copies).write.parquet(src)  # one batch: all together
+    q = (
+        stream_dedup_near_banded_builtin(spark, src)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hits_intra")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        hits = {
+            r["doc_id"]
+            for r in spark.sql("SELECT DISTINCT doc_id FROM hits_intra").collect()
+        }
+    finally:
+        q.stop()
+    assert {700 + i for i in range(10)} <= hits  # every later twin dropped
+    assert not (set(range(10)) & hits), (
+        f"earlier twin annihilated: {sorted(set(range(10)) & hits)}"
+    )
+
+
+def test_stream_dedup_builtin_claim_lag_bounds_rows_state(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 6: claim_lag tightens the rows-side join window
+    (ts >= c_ts - lag) so rows-side state ages out after the arrival-
+    disorder bound instead of the full dedup horizon. On an event-time-
+    ordered ingest a tight lag must drop the identical doc set — and
+    the rows-side state watermark must be lag-bounded, i.e. strictly
+    fewer state rows survive the run than under the symmetric default.
+
+    Corpus is synthetic so the EVENT-TIME span (ts = doc_id seconds,
+    originals 2 min apart over ~6.6 h) dwarfs the 10-minute watermark —
+    with the fixture docs' 1-second spacing nothing ever crosses an
+    eviction boundary and both routes retain every row. Copies sit
+    1 minute after their originals (inside any lag tested); a far-
+    future sentinel batch advances the watermark so eviction runs."""
+    from graph_db_spark.streaming import stream_dedup_near_banded_builtin
+
+    def body(i):
+        return f"synthetic corpus body number {i} with a tail for shingles"
+
+    def mkdocs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in rows],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+
+    orig_ids = [i * 120 for i in range(200)]  # 2-min spacing, ~6.6 h span
+    originals = [(i, body(i)) for i in orig_ids]
+    # copies: the original's exact text, 1 minute after it
+    copies = [(i + 60, body(i)) for i in orig_ids[-6:]]
+    copy_ids = {i for i, _ in copies}
+    sentinel = [(10_000_000, body(10_000_000))]  # far future: advances watermark
+
+    def run(name, **kw):
+        src = str(tmp_path / f"docs_{name}")
+        mkdocs(originals).coalesce(1).write.parquet(src)
+        q = (
+            stream_dedup_near_banded_builtin(
+                spark, src, watermark="10 minutes", **kw
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"hits_{name}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mkdocs(copies).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            # batch 2 runs under batch 1's closing watermark (last original
+            # minus 10 min): rows-side eviction up to wm - lag has happened,
+            # so the two routes' retained state differs HERE. The sentinel
+            # batch afterwards would wipe both sides identically.
+            state = sum(
+                op.get("numRowsTotal", 0)
+                for op in (q.lastProgress or {}).get("stateOperators", [])
+            )
+            mkdocs(sentinel).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            hits = {
+                r["doc_id"]
+                for r in spark.sql(f"SELECT DISTINCT doc_id FROM hits_{name}").collect()
+            }
+            return hits, state
+        finally:
+            q.stop()
+
+    hits_sym, state_sym = run("sym")
+    hits_lag, state_lag = run("lag", claim_lag="1 minute")
+    # identical near-dup identification: every planted copy (identical
+    # text, 1 min later) is dropped on both routes
+    assert copy_ids <= hits_lag
+    assert hits_lag == hits_sym
+    assert state_lag < state_sym, (state_lag, state_sym)
+
+
 def test_stream_dedup_near_banded_state_expires_with_watermark(spark, sf_dir, tmp_path):
     """The 100 TB memory claim, empirically: bucket claims age out one
     watermark horizon after last activity. A copy arriving INSIDE the
