@@ -84,29 +84,36 @@ def test_multimodal_features_and_frames(spark):
 
 
 def test_real_decoder_registry(spark):
-    """The 'real' slot self-upgrades PER MODALITY at import: audio always
-    has at least the stdlib WAV floor, so 'real' is always the
-    dispatcher; image/video upgrade only when their library (PIL /
-    ffprobe) is present, and unregistered modalities degrade to the
+    """The 'real' slot self-upgrades PER MODALITY at import: audio and
+    image always have at least their stdlib floors (WAV header / image
+    container headers), so 'real' is always the dispatcher; PIL and
+    soundfile override their floors when importable, video upgrades only
+    when ffprobe is present, and unregistered modalities degrade to the
     digest row."""
     from graph_db_spark.operators.multimodal import (
         DECODERS,
         TYPE_DECODERS,
+        _image_stdlib_decode,
+        _pil_decode,
         _real_decode,
         _soundfile_decode,
         _wav_stdlib_decode,
     )
 
-    # the stdlib WAV floor guarantees a real audio path everywhere
+    # the stdlib floors guarantee real audio AND image paths everywhere
     assert "wav" in DECODERS and "audio" in TYPE_DECODERS
+    assert "imghdr" in DECODERS and "image" in TYPE_DECODERS
     assert DECODERS["real"] is not _real_decode
-    for mt, key in (("image", "pil"), ("video", "ffmpeg")):
-        assert (mt in TYPE_DECODERS) == (key in DECODERS)
-    # soundfile (more formats) overrides the floor when importable
+    assert ("video" in TYPE_DECODERS) == ("ffmpeg" in DECODERS)
+    # the richer library overrides its floor when importable
     if "soundfile" in DECODERS:
         assert TYPE_DECODERS["audio"] is _soundfile_decode
     else:
         assert TYPE_DECODERS["audio"] is _wav_stdlib_decode
+    if "pil" in DECODERS:
+        assert TYPE_DECODERS["image"] is _pil_decode
+    else:
+        assert TYPE_DECODERS["image"] is _image_stdlib_decode
 
 
 def test_real_decoder_dispatch_contract():
@@ -150,6 +157,76 @@ def test_audio_decode_real_wav(spark):
     # non-WAV bytes degrade to the digest-only row, never an exception
     junk = DECODERS["wav"]("audio", b"\x00\x01junk")
     assert junk["duration_ms"] is None and junk["digest"]
+
+
+def test_image_decode_real_headers(spark):
+    """Real image decode reports true dimensions through the registry —
+    UNCONDITIONAL: the fixtures are byte-built PNG/GIF/BMP/JPEG headers
+    and the stdlib image floor parses container headers without PIL
+    (which, when present, reads the same formats and must agree)."""
+    import struct
+    import zlib
+
+    from graph_db_spark.operators.multimodal import (
+        DECODERS,
+        _image_stdlib_decode,
+        extract_features,
+    )
+
+    def png(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        raw = b"\x00" + b"\x00\x00\x00" * w  # one filter byte + RGB row
+        idat = zlib.compress(raw * h)
+        out = b"\x89PNG\r\n\x1a\n"
+        for tag, body in ((b"IHDR", ihdr), (b"IDAT", idat), (b"IEND", b"")):
+            out += struct.pack(">I", len(body)) + tag + body
+            out += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        return out
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+    def bmp(w, h):
+        row = (w * 3 + 3) & ~3
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+            + info
+            + b"\x00" * (row * h)
+        )
+
+    def jpeg(w, h):
+        sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+            + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+            + b"\xff\xd9"
+        )
+
+    fixtures = {
+        "png": (png(320, 200), 320, 200),
+        "gif": (gif(17, 11), 17, 11),
+        "bmp": (bmp(33, 21), 33, 21),
+        "jpeg": (jpeg(640, 480), 640, 480),
+    }
+    for name, (payload, w, h) in fixtures.items():
+        out = DECODERS["real"]("image", payload)
+        assert (out["width"], out["height"]) == (w, h), name
+        floor = _image_stdlib_decode("image", payload)
+        assert (floor["width"], floor["height"]) == (w, h), name
+    # junk bytes degrade to the digest-only row, never an exception
+    junk = _image_stdlib_decode("image", b"\x00\x01junk")
+    assert junk["width"] is None and junk["digest"]
+    # and the mapInPandas plumbing carries the real dims end-to-end
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(fixtures["png"][0]), {"src": "test"})],
+        "asset_id LONG, media_type STRING, payload BINARY, meta MAP<STRING,STRING>",
+    )
+    feat = extract_features(assets, decoder="imghdr").collect()[0]
+    assert (feat["width"], feat["height"]) == (320, 200)
 
 
 def test_ffprobe_decode_real_video(spark):
