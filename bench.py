@@ -187,6 +187,10 @@ def main() -> None:
         # near-dup (signature-only candidate join), LM document scoring
         "text_repetition_signals",
         "dedup_simhash_banded",
+        # round-12: the corpus-scale 64-bit/16-bit-bucket banding (the
+        # pipeline's production SimHash stage after the stage profile
+        # convicted 8-bit buckets of the n²/2^(width+1) collision term)
+        "dedup_simhash_banded_wide",
         "dedup_exact_substring_spans",
         "doc_lm_mean_prob",
         # batch-6: quantized-domain ANN + the composed curated-corpus

@@ -226,16 +226,27 @@ def minhash_near_dup_pairs(
 
 
 def simhash_bits(tok: DataFrame, n_bits: int = 32) -> DataFrame:
-    """Portable SimHash: bit j of a token's hash = parity of hex char j of
-    md5(token). Per-doc bit j = majority vote over tokens. Returns
-    (id, b0..b{n-1}) plus packed ``simhash`` string.
+    """Portable SimHash: bit j of a token's hash = parity of hex char
+    (j mod 32) of md5 chunk j div 32, where chunk 0 = md5(token) and
+    chunk c>0 = md5(token || '|' || c) — so any n_bits is available while
+    bits 0..31 stay bit-compatible with the original 32-bit form (and
+    with the DuckDB oracle, which replicates the same md5 arithmetic).
+    Per-doc bit j = majority vote over tokens. Returns (id, simhash).
 
     One groupBy with n_bits SUM aggregates (map-side combinable).
+    Signature WIDTH is the banded join's scale knob: bucket width
+    n_bits/bands must track log2(corpus) — see simhash_near_dup_pairs.
     """
-    hexed = tok.withColumn("h", F.md5(F.col("token")))
+    hexed = tok.withColumn("h0", F.md5(F.col("token")))
+    for c in range(1, (n_bits + 31) // 32):
+        hexed = hexed.withColumn(
+            f"h{c}", F.md5(F.concat(F.col("token"), F.lit(f"|{c}")))
+        )
     votes = [
         F.sum(
-            F.when(F.ascii(F.substring(F.col("h"), j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+            F.when(
+                F.ascii(F.substring(F.col(f"h{j // 32}"), j % 32 + 1, 1)) % 2 == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(n_bits)
     ]
@@ -259,6 +270,16 @@ def simhash_near_dup_pairs(
     100 TB shape: the candidate join is an equi-join on (band, bucket) —
     signatures only, never text, and no cross product anywhere. The
     Hamming verify touches candidate pairs only.
+
+    SCALE RULE (round-12, measured): random-doc bucket collisions are
+    ~n²·bands/2^(width+1), so the bucket width n_bits/bands must track
+    log2(corpus size) or the candidate set — and this operator's wall
+    time — goes quadratic. 32 bits / 4 bands = 8-bit buckets is a
+    fixture-scale setting (the 50k→500k stress measured 14× wall for
+    10× docs); 64/4 → 16-bit buckets holds ~10M docs, 128/4 → 32-bit
+    buckets holds billions. Widening the signature does not change
+    recall (pigeonhole on bands > max_hamming is width-independent);
+    it only sharpens precision.
     """
     if n_bits % bands != 0:
         raise ValueError(f"n_bits={n_bits} must divide evenly into bands={bands}")

@@ -3558,29 +3558,39 @@ def graph_degree_histogram(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_simhash_banded",
-    r"""
+def _simhash_banded_oracle(n_bits: int, bands: int, max_hamming: int) -> str:
+    """DuckDB twin of simhash_bits + simhash_near_dup_pairs at any
+    (n_bits, bands, max_hamming): bit j = parity of hex char (j mod 32)
+    of md5 chunk j div 32 (chunk 0 = md5(token), chunk c = md5(token ||
+    '|' || c)) — the exact chunked-md5 arithmetic the Spark operator
+    computes."""
+    width = n_bits // bands
+    return rf"""
     WITH t AS (SELECT doc_id AS id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
                FROM documents),
     tok AS (SELECT id, unnest(list_distinct(CASE WHEN len(tk) >= 3
               THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)] ELSE [] END)) AS token
             FROM t),
-    b AS (SELECT id, j, sum(CASE WHEN ascii(substr(md5(token), j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-          FROM tok, (SELECT unnest(range(32)) AS j) GROUP BY id, j),
+    b AS (SELECT id, j, sum(CASE WHEN ascii(substr(
+               CASE WHEN j // 32 = 0 THEN md5(token)
+                    ELSE md5(token || '|' || CAST(j // 32 AS VARCHAR)) END,
+               (j % 32) + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+          FROM tok, (SELECT unnest(range({n_bits})) AS j) GROUP BY id, j),
     sh AS (SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
            FROM b GROUP BY id),
-    bands AS (SELECT id, k, substr(simhash, k*8 + 1, 8) AS bucket
-              FROM sh, (SELECT unnest(range(4)) AS k)),
+    bands AS (SELECT id, k, substr(simhash, k*{width} + 1, {width}) AS bucket
+              FROM sh, (SELECT unnest(range({bands})) AS k)),
     cand AS (SELECT DISTINCT x.id AS a, y.id AS b
              FROM bands x JOIN bands y ON x.k = y.k AND x.bucket = y.bucket AND x.id < y.id),
     ham AS (SELECT c.a, c.b,
               CAST(list_sum([CASE WHEN substr(sa.simhash, i+1, 1) <> substr(sb.simhash, i+1, 1)
-                             THEN 1 ELSE 0 END FOR i IN range(32)]) AS INT) AS hd
+                             THEN 1 ELSE 0 END FOR i IN range({n_bits})]) AS INT) AS hd
             FROM cand c JOIN sh sa ON sa.id = c.a JOIN sh sb ON sb.id = c.b)
-    SELECT a, b, hd FROM ham WHERE hd <= 3
-    """,
-)
+    SELECT a, b, hd FROM ham WHERE hd <= {max_hamming}
+    """
+
+
+@q("dedup_simhash_banded", _simhash_banded_oracle(32, 4, 3))
 def dedup_simhash_banded(spark, sf_dir):
     """SimHash near-dup detection with the banded scale path: 32-bit
     shingle-SimHash signatures, band-bucket candidate generation (4×8-bit
@@ -3592,6 +3602,21 @@ def dedup_simhash_banded(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sigs = D.simhash_bits(D.shingles(d, "doc_id", "text", 3), n_bits=32)
     return D.simhash_near_dup_pairs(sigs, n_bits=32, bands=4, max_hamming=3)
+
+
+@q("dedup_simhash_banded_wide", _simhash_banded_oracle(64, 4, 3))
+def dedup_simhash_banded_wide(spark, sf_dir):
+    """The corpus-scale SimHash banding: 64-bit signatures, 4×16-bit
+    band buckets (same chunked-md5 bit rule and same exact-recall
+    pigeonhole as the 32-bit form). The round-12 stage profile of
+    pipeline_curated_pack measured the 8-bit buckets' n²/2^(width+1)
+    collision term at 14× wall for 10× docs (50k→500k synthetic corpus);
+    16-bit buckets keep the candidate set — and the stage — linear to
+    ~10M docs, and the width knob extends the same plan to billions
+    (operators/dedup.simhash_near_dup_pairs SCALE RULE)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.simhash_bits(D.shingles(d, "doc_id", "text", 3), n_bits=64)
+    return D.simhash_near_dup_pairs(sigs, n_bits=64, bands=4, max_hamming=3)
 
 
 @q(
@@ -3840,7 +3865,10 @@ def _curated_pack_oracle() -> str:
     rep = REGISTRY["text_repetition_signals"].oracle
     bo = REGISTRY["boilerplate_ngrams"].oracle
     de = REGISTRY["decontam_ngram_overlap"].oracle
-    du = REGISTRY["dedup_simhash_banded"].oracle
+    # 64-bit/16-bit-bucket SimHash stage (round-12): the 8-bit-bucket
+    # form's n²/2^(width+1) collision term was the pipeline's one
+    # super-linear stage at the 500k-doc stress
+    du = REGISTRY["dedup_simhash_banded_wide"].oracle
     return f"""
     WITH rep AS ({rep}),
     bo AS ({bo}),
@@ -3891,7 +3919,7 @@ def pipeline_curated_pack(spark, sf_dir):
         .withColumn("hit", F.lit(1))
     )
     dup = (
-        dedup_simhash_banded(spark, sf_dir)
+        dedup_simhash_banded_wide(spark, sf_dir)
         .select(F.col("b").alias("doc_id"))
         .distinct()
         .withColumn("isdup", F.lit(1))

@@ -185,10 +185,10 @@ def test_simhash_banded_no_cross_product(spark, sf_dir):
     (band, bucket) equi-join — no cross product anywhere in the plan."""
     from graph_db_spark.plans import explain_str
 
-    df = REGISTRY["dedup_simhash_banded"].build(spark, sf_dir)
-    plan = explain_str(df)
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for name in ("dedup_simhash_banded", "dedup_simhash_banded_wide"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
 def test_part_popularity_uses_take_ordered(spark, sf_dir):

@@ -34,6 +34,7 @@ AUDITED = [
     "funnel_click_purchase",
     "cohort_hourly_retention",
     "dedup_simhash_banded",
+    "dedup_simhash_banded_wide",
     "ann_int8_topk",
     "pipeline_curated_pack",
     "source_token_drift",

@@ -170,9 +170,10 @@ def main() -> None:
                 raise SystemExit("--only needs a comma-separated op list")
             only = set(argv[i + 1].split(","))
     KNOWN_OPS = {
-        "bfs_stats", "bfs_stats_degraded", "cc_star",
+        "bfs_stats", "bfs_stats_phases", "bfs_stats_degraded", "cc_star",
         "dedup_minhash", "dedup_minhash_byte_hint_path",
         "pipeline_training_corpus", "pipeline_curated_pack",
+        "pipeline_curated_pack_stages",
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
         "semdedup_default", "stream_dedup_banded_builtin",
@@ -219,7 +220,7 @@ def main() -> None:
         # two-point trend for the flagship: 30x turns the 10x→100x
         # extrapolation into a measured slope (round-7 verdict item 7).
         graph_scales.append(("30x", 1_875_000 // div))
-    for scale, width in graph_scales if want("bfs_stats", "bfs_stats_degraded", "cc_star") else []:
+    for scale, width in graph_scales if want("bfs_stats", "bfs_stats_phases", "bfs_stats_degraded", "cc_star") else []:
         v, e = layered_graph(spark, width=width, layers=8)
         ei = e.select(
             "src", F.lit("T").alias("idx_tag"), F.lit(None).cast("string").alias("idx_key"), "dst"
@@ -233,6 +234,46 @@ def main() -> None:
                 scale,
                 lambda s=snap: {"stats": list(s.get_stats().as_tuple())},
             )
+        if want("bfs_stats_phases") and scale in ("10x", "30x"):
+            # round-11 verdict item 4: decompose the bfs_stats shuffle
+            # into the BFS loop vs the two stats semi-joins, with the
+            # reachable-set size the broadcast guard keys on. At 30x
+            # (15M ids > the 8M guard) both phases run the shuffle
+            # branch; the loop's shuffle must be level-sized (visited +
+            # candidates + the one-time edges twin), never
+            # edge-table-x-levels (the round-11 blowup, fixed in
+            # graph.py _reachable_on).
+            def phases(s=snap):
+                edges = s.edges.select("src", "dst").persist()
+                try:
+                    sw0 = shuffle_write_bytes(spark)
+                    t0 = time.time()
+                    reach = s._reachable_on(edges, 0, 1000, True)
+                    n = reach.count()
+                    loop_s = round(time.time() - t0, 2)
+                    sw1 = shuffle_write_bytes(spark)
+                    bcast = n <= type(s).BFS_BROADCAST_MAX_IDS
+                    hint = F.broadcast if bcast else (lambda df: df)
+                    reach_src = hint(reach.withColumnRenamed("id", "src"))
+                    t0 = time.time()
+                    ne = edges.join(reach_src, "src", "left_semi").count()
+                    ni = s.edge_index.join(reach_src, "src", "left_semi").count()
+                    semi_s = round(time.time() - t0, 2)
+                    sw2 = shuffle_write_bytes(spark)
+                    return {
+                        "reachable_ids": n,
+                        "loop_sec": loop_s,
+                        "loop_shuffle_mb": round((sw1 - sw0) / 1e6, 1),
+                        "semijoin_sec": semi_s,
+                        "semijoin_shuffle_mb": round((sw2 - sw1) / 1e6, 1),
+                        "broadcast_branch": bcast,
+                        "n_edges": ne,
+                        "n_idx": ni,
+                    }
+                finally:
+                    edges.unpersist()
+
+            run("bfs_stats_phases", scale, phases)
         if scale == "30x" and not (only and "cc_star" in only):
             continue  # 30x measures the flagship only, unless cc_star
             # is explicitly targeted (--only=cc_star --x30)
@@ -339,7 +380,9 @@ def main() -> None:
 
     pipeline_ops = ("pipeline_training_corpus", "pipeline_curated_pack")
     for scale, n in (
-        (("1x", 50_000 // div), ("10x", 500_000 // div)) if want(*pipeline_ops) else ()
+        (("1x", 50_000 // div), ("10x", 500_000 // div))
+        if want(*pipeline_ops, "pipeline_curated_pack_stages")
+        else ()
     ):
         tmp = tempfile.mkdtemp(prefix=f"stress_docs_{scale}_")
         try:
@@ -361,6 +404,45 @@ def main() -> None:
                             "rows": REGISTRY[o].build(spark, t).count()
                         },
                     )
+            if want("pipeline_curated_pack_stages"):
+                # round-11 verdict item 3: the composed pipeline's 10x
+                # wall ratio read 11.18 — the one production-path row
+                # above linear. Break the plan into its four gate
+                # stages + the composed pack and time each separately
+                # (same corpus, same session) so the super-linear term
+                # is attributable to a named stage instead of the
+                # composition.
+                def stage_profile(t=tmp, sc=scale):
+                    stage_names = [
+                        "text_repetition_signals",
+                        "boilerplate_ngrams",
+                        "decontam_ngram_overlap",
+                        # the production stage: 64-bit/16-bit buckets
+                        "dedup_simhash_banded_wide",
+                        "pipeline_curated_pack",
+                    ]
+                    if sc == "1x":
+                        # the 8-bit-bucket form the round-12 profile
+                        # convicted (n²/2^(width+1) collisions: 4.9 s at
+                        # 5k docs → 77 s at 50k, 16× for 10×) — kept at
+                        # base scale only as the measured contrast; at
+                        # 10x (500k docs) it alone would cost ~25 min
+                        stage_names.insert(4, "dedup_simhash_banded")
+                    out = {}
+                    for sname in stage_names:
+                        sw0 = shuffle_write_bytes(spark)
+                        t0 = time.time()
+                        n = REGISTRY[sname].build(spark, t).count()
+                        out[sname] = {
+                            "sec": round(time.time() - t0, 2),
+                            "shuffle_mb": round(
+                                (shuffle_write_bytes(spark) - sw0) / 1e6, 1
+                            ),
+                            "rows": n,
+                        }
+                    return {"stages": out}
+
+                run("pipeline_curated_pack_stages", scale, stage_profile)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
