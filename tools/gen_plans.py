@@ -91,6 +91,17 @@ NOTES = """## Notes
   and traversals reuse them.
 - `q1` keeps 2 exchanges: one partial→final agg shuffle + result exchange;
   the agg is map-side combined (partial_sum in the plan).
+- `q3_shipping_priority` / `q10_returned_items` (round 12): the global
+  top-k is `orderBy().limit()` → TakeOrderedAndProject (per-partition
+  top-k + driver merge of k rows per partition), asserted window-free in
+  tests/test_plans_sources.py::test_tpch_global_topk_uses_take_ordered —
+  the round-11 single-partition `row_number()` window is gone.
+- `dedup_simhash_banded_wide` (round 12) is the corpus-scale banding:
+  identical plan shape to the 32-bit form (signature agg → band explode →
+  (k, bucket) self-equi-join → Hamming verify), but 16-bit buckets keep
+  candidate pairs ~n²·bands/2^17 instead of /2^9 — the measured
+  difference between a linear and a 16×-per-10× stage at 500k docs
+  (SCALE_STRESS_r12 pipeline_curated_pack_stages).
 - Dedup/ANN pipelines shuffle fixed-width keys only (md5/bucket/cell ids),
   never document bodies or raw vectors beyond the first projection; the
   multi-table LSH signatures are a scan-local Arrow-batched numpy matmul
