@@ -177,6 +177,7 @@ def main() -> None:
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
         "semdedup_default", "stream_dedup_banded_builtin",
+        "stream_dedup_builtin_claim_lag",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -539,6 +540,61 @@ def main() -> None:
             run(op_name, scale, run_stream)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- builtin route: claim_lag state bound (round-11 verdict item 6) ----
+    # The builtin route's third state store (the rows join side) is only
+    # needed to meet claims elected at or after the row's own micro-batch,
+    # so its horizon is the ingest's arrival disorder, not the dedup
+    # window. Two-batch protocol (the single-batch runs above never
+    # advance the watermark, so eviction never fires there): 90% of the
+    # corpus, then the rest — batch 2 commits under batch 1's closing
+    # watermark and evicts rows-side state older than (wm - claim_lag).
+    # Identical drops required; state_rows is the headline.
+    if want("stream_dedup_banded_builtin", "stream_dedup_builtin_claim_lag"):
+        n = 500_000 // div
+        for lag_name, lag in (("default", None), ("5min", "5 minutes")):
+            tmp = tempfile.mkdtemp(prefix=f"stress_lag_{lag_name}_")
+            try:
+                docs = synthetic_docs(spark, n).select(
+                    "doc_id",
+                    "text",
+                    F.lit("en").alias("lang"),
+                    F.lit("src").alias("source"),
+                    F.length("text").cast("long").alias("n_chars"),
+                )
+                cut = int(n * 0.9)
+                src = os.path.join(tmp, "docs")
+                docs.filter(F.col("doc_id") < cut).write.parquet(src)
+
+                def run_lag(t=src, d=docs, c=cut, lg=lag, ln=lag_name):
+                    kw = {} if lg is None else {"claim_lag": lg}
+                    q = (
+                        stream_dedup_near_banded_builtin(spark, t, **kw)
+                        .writeStream.outputMode("append")
+                        .format("memory")
+                        .queryName(f"stress_lag_{ln}")
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                        d.filter(F.col("doc_id") >= c).write.mode("append").parquet(t)
+                        q.processAllAvailable()
+                        prog = q.lastProgress
+                        state_rows = (
+                            sum(so["numRowsTotal"] for so in prog["stateOperators"])
+                            if prog and prog.get("stateOperators")
+                            else None
+                        )
+                        dropped = spark.sql(
+                            f"SELECT count(DISTINCT doc_id) AS n FROM stress_lag_{ln}"
+                        ).collect()[0]["n"]
+                    finally:
+                        q.stop()
+                    return {"dropped": dropped, "state_rows": state_rows, "claim_lag": lg or "watermark"}
+
+                run("stream_dedup_builtin_claim_lag", f"10x_{lag_name}", run_lag)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
     # -- landmark-distance index (tagged multi-source BFS) -----------------
     # graph_landmark_distances' engine op (pregel.tagged_bfs_levels) on
