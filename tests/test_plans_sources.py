@@ -250,6 +250,40 @@ def test_simhash_banded_recall_exact(spark, sf_dir):
     assert banded == exact and exact  # non-empty at sf0.001
 
 
+def test_simhash_wide_signatures_prefix_compatible(spark, sf_dir):
+    """The round-12 chunked-md5 widening must leave bits 0..31 exactly
+    as the original 32-bit form computed them (chunk 0 is md5(token)
+    unchanged): the 64-bit signature's 32-char prefix equals the 32-bit
+    signature per doc. Pins both oracle continuity and the 'widening
+    only sharpens precision' claim — banded_wide pairs at the same
+    (bands=4, max_hamming=3) must be a subset of the 32-bit pairs'
+    (a, b) set."""
+    from pyspark.sql import functions as F
+
+    from graph_db_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = D.shingles(d, "doc_id", "text", 3).localCheckpoint()
+    s32 = {r["id"]: r["simhash"] for r in D.simhash_bits(tok, n_bits=32).collect()}
+    s64 = {r["id"]: r["simhash"] for r in D.simhash_bits(tok, n_bits=64).collect()}
+    assert set(s32) == set(s64)
+    for i, sig in s64.items():
+        assert len(sig) == 64 and sig[:32] == s32[i], i
+    wide = {
+        (r["a"], r["b"])
+        for r in D.simhash_near_dup_pairs(
+            D.simhash_bits(tok, 64), 64, 4, 3
+        ).collect()
+    }
+    narrow = {
+        (r["a"], r["b"])
+        for r in D.simhash_near_dup_pairs(
+            D.simhash_bits(tok, 32), 32, 4, 3
+        ).collect()
+    }
+    assert wide <= narrow
+
+
 def test_spread_small_input_conditional(spark, sf_dir):
     """spread_small_input widens a narrow scan to cluster parallelism but
     is a no-op (no added shuffle) on an already-wide input."""
