@@ -3598,7 +3598,14 @@ def dedup_simhash_banded(spark, sf_dir):
     verify on candidates only. The SimHash complement to
     dedup_minhash_lsh: one signature pass, one signature-only equi-join,
     no cross product (shingle signatures, because unigram SimHash over a
-    shared vocabulary collapses — every doc looks like every other)."""
+    shared vocabulary collapses — every doc looks like every other).
+
+    NOTE (round 12): 8-bit buckets are a FIXTURE-SCALE setting — the
+    candidate set carries an n²·bands/2^(width+1) collision term
+    (measured 16× wall for 10× docs at 50k). Production corpora use
+    ``dedup_simhash_banded_wide`` (64-bit signatures, 16-bit buckets,
+    same recall pigeonhole); this query stays registered as the
+    measured contrast and oracle-continuity baseline."""
     d = _t(spark, sf_dir, "documents")
     sigs = D.simhash_bits(D.shingles(d, "doc_id", "text", 3), n_bits=32)
     return D.simhash_near_dup_pairs(sigs, n_bits=32, bands=4, max_hamming=3)
