@@ -250,6 +250,12 @@ def main() -> None:
         "dedup_duplicate_clusters",
         # round-11: matrix-free top-PC projection (power iteration)
         "embedding_pca_scores",
+        # round-12: RefinedWeb-style repeated-line removal with doc
+        # reconstruction, token-budget shard manifest (two-level
+        # distributed prefix sum), SCD2 gaps-and-islands intervals
+        "dedup_repeated_lines",
+        "shard_manifest_by_tokens",
+        "scd2_user_status_intervals",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -6528,3 +6528,241 @@ def doc_similar_feature_hash(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: corpus-curation breadth — repeated-line removal, token-budget
+# shard manifests, SCD2 interval compression
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_repeated_lines",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    ln AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             array_to_string(t[(u.i*3+1):(u.i*3+3)], ' ') AS line
+      FROM tk, UNNEST(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)),
+    df AS (
+      SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n_docs
+      FROM ln GROUP BY md5(line))
+    SELECT l.doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_lines,
+           CAST(coalesce(sum(CASE WHEN f.n_docs < 2
+                                  THEN len(string_split(l.line, ' ')) END), 0)
+                AS BIGINT) AS kept_tokens,
+           md5(coalesce(string_agg(CASE WHEN f.n_docs < 2 THEN l.line END,
+                                   ' ' ORDER BY l.i), '')) AS clean_md5
+    FROM ln l JOIN df f ON md5(l.line) = f.lh
+    GROUP BY l.doc_id
+    """,
+)
+def dedup_repeated_lines(spark, sf_dir):
+    """Corpus-wide repeated-line removal (the RefinedWeb / CCNet line-level
+    exact dedup, Penedo et al. 2023 §3.3): segment every document into
+    fixed 3-token "lines" (the fixture text has no newlines, so the
+    segmenter stands in for the line splitter), count how many DISTINCT
+    documents each line occurs in, drop every line that appears in >= 2
+    documents, and reconstruct the cleaned document from the surviving
+    lines in their original order. Output per doc: segment counts, kept
+    token count, and an md5 fingerprint of the reconstructed text (the
+    fingerprint makes the value-hash sensitive to reconstruction ORDER,
+    not just the drop set).
+
+    100 TB shape: the line-frequency table groups on md5(line) — a
+    fixed-width key, so the df shuffle never carries raw line text —
+    and is map-side combinable; the join back to the exploded lines is
+    a hash equi-join on the same key (no broadcast assumption: at web
+    scale the duplicated-line table is itself huge); reconstruction is
+    one per-doc grouped agg over (pos, line) pairs. Nothing is
+    quadratic, no cross-document state beyond the df counts.
+    """
+    from graph_db_spark.functions.text import ws_tokens
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("t"))
+    n_seg = F.ceil(F.size("t") / F.lit(3.0))
+    segs = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.concat_ws(" ", F.slice("t", (i - F.lit(1)) * 3 + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = tk.select(
+        "doc_id", F.posexplode(segs).alias("i", "line")
+    ).withColumn("lh", F.md5("line"))
+    df_tab = lines.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    joined = lines.join(df_tab, "lh")
+    keep_line = F.when(F.col("n_docs") < 2, F.col("line"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_lines"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") < 2, F.size(F.split("line", " ")))),
+                F.lit(0),
+            ).cast("long").alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("n_docs") < 2,
+                                    F.struct(F.col("i"), F.col("line")),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select("doc_id", "n_lines", "n_dup_lines", "kept_tokens", "clean_md5")
+    )
+
+
+@q(
+    "shard_manifest_by_tokens",
+    r"""
+    WITH nt AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    run AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id) AS running
+      FROM nt)
+    SELECT doc_id, n_tok,
+           CAST(floor((running - n_tok) / 2048.0) AS BIGINT) AS shard_id
+    FROM run
+    """,
+)
+def shard_manifest_by_tokens(spark, sf_dir):
+    """Token-budget shard manifest (the training-shard writer pattern):
+    assign documents, in deterministic doc_id order, to output shards of
+    ~2048 tokens each — shard_id = floor(start_offset / budget) where
+    start_offset is the global running token total before the doc. The
+    manifest is what a distributed shard writer consumes to emit
+    fixed-budget training files with stable, reproducible shard
+    membership.
+
+    The global running sum is the textbook two-level distributed prefix
+    sum, NOT a global unpartitioned window (the q3/q10 round-11 lesson:
+    "no partition defined" moves the corpus through one task): documents
+    are range-bucketed by doc_id (bucket width from the parquet footer
+    row count, zero jobs at plan time), stage 1 computes per-bucket token
+    totals (map-side combinable), stage 2 turns the tiny bucket-total
+    frame into exclusive bucket offsets with a triangular self-join
+    (B^2 rows at B=256 — no window, no collect, stays lazy), and stage 3
+    adds a WITHIN-bucket running sum (window partitioned by bucket) to
+    the broadcast bucket offset. offset + local_running = the exact
+    global running sum because the bucket function floor(doc_id / W) is
+    monotone in doc_id.
+    """
+    from graph_db_spark.session import spread_small_input
+
+    budget = 2048.0
+    n_rows = max(1, _parquet_rows(sf_dir, "documents"))
+    width = max(1, -(-n_rows // 256))  # ceil; ~256 contiguous id ranges
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
+    nt = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n_tok"),
+        (F.col("doc_id") / F.lit(width)).cast("long").alias("bucket"),
+    )
+    totals = nt.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    prior = totals.select(F.col("bucket").alias("pb"), F.col("btot").alias("ptot"))
+    offsets = (
+        totals.join(prior, F.col("pb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("ptot"), F.lit(0)).alias("offset"))
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    return (
+        nt.join(F.broadcast(offsets), "bucket")
+        .withColumn("running", F.col("offset") + F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor((F.col("running") - F.col("n_tok")) / F.lit(budget))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+@q(
+    "scd2_user_status_intervals",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events),
+    isl AS (
+      SELECT user_id, event_type,
+             min(ts) AS valid_from,
+             min(event_id) AS first_event,
+             count(*) AS n_events
+      FROM r GROUP BY user_id, event_type, rn - rt)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, first_event) AS valid_to,
+           n_events
+    FROM isl
+    """,
+)
+def scd2_user_status_intervals(spark, sf_dir):
+    """SCD2 interval build from an event log (gaps-and-islands): compress
+    each user's event stream into maximal runs of consecutive identical
+    event_type, emitting one validity interval [valid_from, valid_to)
+    per run — valid_to = the next run's start, NULL for the user's
+    current (open) state. The rn - rt island key is the classic
+    row_number-difference trick: consecutive rows of one type share it,
+    any interleaving row of another type breaks it.
+
+    100 TB shape: every window is partitioned by user_id (never global),
+    so state is bounded by one user's history per task; the island
+    collapse is a grouped agg on (user, type, island) — map-side
+    combinable; ordering ties are broken by the unique event_id so the
+    intervals are reproducible run to run.
+    """
+    e = _t(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias("isl"),
+    )
+    isl = r.groupBy("user_id", "event_type", "isl").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_id").alias("first_event"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_next = W.partitionBy("user_id").orderBy("valid_from", "first_event")
+    return isl.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+        "n_events",
+    )

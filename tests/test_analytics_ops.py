@@ -2323,3 +2323,99 @@ def test_split_stratified_holdout_deterministic(spark, sf_dir):
     total = sum(r.n_vecs for r in a.values())
     held = sum(r.n_holdout for r in a.values())
     assert 0 < held < total  # ~10%: nonvacuous on the fixture
+
+
+# ---------------------------------------------------------------------------
+# Round 12: repeated-line removal, shard manifest, SCD2 intervals
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_repeated_lines_drops_shared_segments(spark, tmp_path):
+    """A 3-token segment shared by two docs is dropped from BOTH; unique
+    segments survive and the reconstruction preserves original order."""
+    from graph_db_spark.queries import REGISTRY
+
+    rows = [
+        # docs 1 and 2 share the segment "a b c" (positions differ);
+        # every other segment is unique to its doc
+        (1, "a b c x1 y1 z1"),
+        (2, "p2 q2 r2 a b c"),
+        (3, "u3 v3 w3 m3 n3 o3"),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_repeated_lines"].build(spark, str(tmp_path)).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["n_lines"] == 2 and out[1]["n_dup_lines"] == 1
+    assert out[1]["kept_tokens"] == 3
+    assert out[1]["clean_md5"] == md5("x1 y1 z1")
+    assert out[2]["n_dup_lines"] == 1 and out[2]["clean_md5"] == md5("p2 q2 r2")
+    assert out[3]["n_dup_lines"] == 0
+    # doc 3 keeps both segments in order
+    assert out[3]["clean_md5"] == md5("u3 v3 w3 m3 n3 o3")
+
+
+def test_shard_manifest_matches_global_running_sum(spark, sf_dir):
+    """The two-level (bucket offset + within-bucket window) running sum
+    must equal the naive global cumulative sum doc for doc, and shard
+    token totals must respect the budget rule (every shard except
+    possibly the last spans >= budget tokens from its first doc's start
+    offset)."""
+    from graph_db_spark.queries import REGISTRY
+
+    got = (
+        REGISTRY["shard_manifest_by_tokens"].build(spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    )
+    run = 0
+    budget = 2048
+    for r in got:
+        assert r["shard_id"] == run // budget, r
+        run += r["n_tok"]
+    # shard ids are non-decreasing in doc order and start at 0
+    sids = [r["shard_id"] for r in got]
+    assert sids[0] == 0 and all(a <= b for a, b in zip(sids, sids[1:]))
+
+
+def test_scd2_intervals_partition_user_history(spark, sf_dir):
+    """Per user: intervals are chronological, non-overlapping, chain
+    valid_to -> next valid_from, exactly one open interval, and the
+    n_events total equals the user's event count."""
+    from collections import defaultdict
+
+    from graph_db_spark.queries import REGISTRY
+
+    rows = REGISTRY["scd2_user_status_intervals"].build(spark, sf_dir).collect()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert set(by_user) == set(n_events)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: (r["valid_from"], r["event_type"]))
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1, uid
+        assert sum(r["n_events"] for r in ivs) == n_events[uid]
+        closed = [r for r in ivs if r["valid_to"] is not None]
+        for r in closed:
+            assert r["valid_from"] <= r["valid_to"], (uid, r)
+        # the set of valid_to values = the set of non-first valid_from
+        # values (intervals chain with no gaps)
+        froms = sorted(r["valid_from"] for r in ivs)[1:]
+        tos = sorted(r["valid_to"] for r in closed)
+        assert froms == tos, uid

@@ -79,6 +79,12 @@ AUDITED = [
     "dedup_semantic_default",
     "dedup_semantic_tree",
     "knn_label_agreement",
+    # round-12: line-level exact dedup (hash-keyed df join), the
+    # two-level distributed prefix-sum shard manifest (must show NO
+    # unpartitioned window), SCD2 islands (user-partitioned windows)
+    "dedup_repeated_lines",
+    "shard_manifest_by_tokens",
+    "scd2_user_status_intervals",
 ]
 
 NOTES = """## Notes
