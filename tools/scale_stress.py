@@ -174,6 +174,7 @@ def main() -> None:
         "dedup_minhash", "dedup_minhash_byte_hint_path",
         "pipeline_training_corpus", "pipeline_curated_pack",
         "pipeline_curated_pack_stages",
+        "dedup_repeated_lines", "shard_manifest_by_tokens",
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
         "semdedup_default", "stream_dedup_banded_builtin",
@@ -379,7 +380,15 @@ def main() -> None:
 
     from graph_db_spark.queries import REGISTRY
 
-    pipeline_ops = ("pipeline_training_corpus", "pipeline_curated_pack")
+    pipeline_ops = (
+        "pipeline_training_corpus",
+        "pipeline_curated_pack",
+        # round-12 documents-table ops: line-level dedup explodes ~27
+        # segments/doc (md5-keyed df join — must stay linear), and the
+        # shard manifest's two-level prefix sum must stay flat
+        "dedup_repeated_lines",
+        "shard_manifest_by_tokens",
+    )
     for scale, n in (
         (("1x", 50_000 // div), ("10x", 500_000 // div))
         if want(*pipeline_ops, "pipeline_curated_pack_stages")
