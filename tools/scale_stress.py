@@ -189,7 +189,17 @@ def main() -> None:
     div = 10 if fast else 1
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
-        app_name="scale_stress", cpus=cpus, extra_conf={"spark.ui.enabled": "true"}
+        app_name="scale_stress",
+        cpus=cpus,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the shuffle-delta probe reads cumulative stage totals from
+            # the UI REST API; the default 1000-stage retention buffer
+            # overflows mid-suite and the delta goes NEGATIVE (observed
+            # in the r12 full run's semdedup rows) — retain enough
+            # stages for the whole suite
+            "spark.ui.retainedStages": "50000",
+        },
     )
 
     def want(*ops: str) -> bool:
