@@ -424,12 +424,24 @@ def kmeans_fit(
         fit = v.filter(kmeans_sample_pred(F.col("id"), sample_mod)) if sample_mod > 1 else v
         # k smallest sampled ids, renumbered to cells 0..k-1.
         # orderBy+limit is a TakeOrderedAndProject (per-partition top-k,
-        # driver merge of k rows); the window then runs over k rows only.
-        w_init = W.orderBy("id")
+        # driver merge of k rows); the rank-by-id renumbering is a
+        # triangular self-join over those k rows (k² tiny comparisons,
+        # same pattern as shard_manifest_by_tokens' bucket offsets) —
+        # NOT a global row_number() window, so the plan carries no
+        # single-partition window exchange and Spark's "No Partition
+        # Defined" warning stays reserved for genuinely unbounded
+        # global windows (round-12: this one k-row window was emitting
+        # it ~28× per k-means-family plan in the sweep).
+        top = fit.orderBy("id").limit(k).select("id", "v")
+        prior = top.select(F.col("id").alias("pid"))
         cent = (
-            fit.orderBy("id")
-            .limit(k)
-            .select((F.row_number().over(w_init) - 1).alias("cell"), F.col("v").alias("c"))
+            top.join(prior, F.col("pid") < F.col("id"), "left")
+            .groupBy("id")
+            .agg(
+                F.count("pid").cast("int").alias("cell"),
+                F.first("v").alias("c"),
+            )
+            .select("cell", "c")
         )
         v_fit = fit
     else:

@@ -124,6 +124,19 @@ NOTES = """## Notes
   single-partition window.
 - `funnel_click_purchase` / `cohort_hourly_retention` shuffle on user_id
   only; the range predicate is applied post-join inside codegen.
+- `shard_manifest_by_tokens` (round 12): the global running token sum is
+  a TWO-LEVEL prefix sum — per-bucket totals → triangular self-join for
+  exclusive bucket offsets (B² tiny rows, no window, lazy) → a window
+  partitioned BY BUCKET for the local cumsum. The plan must show no
+  unpartitioned window (the q3/q10 lesson applied at design time, not
+  retrofitted); the only broadcast is the ~256-row offset table.
+- `dedup_repeated_lines` (round 12) groups and joins the corpus's line
+  table on `md5(line)` — fixed-width keys, never raw text — so the df
+  shuffle is ~2 KB/doc regardless of line length; reconstruction is one
+  per-doc grouped agg over (pos, line) structs.
+- `scd2_user_status_intervals` (round 12): all three windows partition
+  by user_id — per-task state is one user's history, never a global
+  sort.
 - `dedup_semantic_semdedup` / `dsir_importance_weights` cut their plans
   with an eager localCheckpoint at the natural share point (the assigned
   member frame / the per-(doc, bucket) counts): several downstream
