@@ -256,6 +256,9 @@ def main() -> None:
         "dedup_repeated_lines",
         "shard_manifest_by_tokens",
         "scd2_user_status_intervals",
+        # round-12: asymmetric incremental ingest dedup (new batch vs
+        # duplicate-free store; store x store candidates pruned pre-verify)
+        "dedup_incremental_new_vs_store",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

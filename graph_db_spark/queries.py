@@ -6766,3 +6766,93 @@ def scd2_user_status_intervals(spark, sf_dir):
         F.lead("valid_from").over(w_next).alias("valid_to"),
         "n_events",
     )
+
+
+@q(
+    "dedup_incremental_new_vs_store",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || token)) AS h0, min(md5('1|' || token)) AS h1,
+             min(md5('2|' || token)) AS h2, min(md5('3|' || token)) AS h3,
+             min(md5('4|' || token)) AS h4, min(md5('5|' || token)) AS h5,
+             min(md5('6|' || token)) AS h6, min(md5('7|' || token)) AS h7
+      FROM tok GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cut AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS c FROM documents),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+      JOIN cut ON r.id >= cut.c
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c JOIN tok ta ON ta.id = c.a
+      JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    ),
+    ver AS (
+      SELECT i.a, i.b,
+             round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+      WHERE i.inter >= 0.7 * (sa.sz + sb.sz - i.inter)
+    )
+    SELECT b AS doc_id, min(a) AS dup_of,
+           arg_min(jaccard, a) AS jaccard, count(*) AS n_dups
+    FROM ver GROUP BY b
+    """,
+)
+def dedup_incremental_new_vs_store(spark, sf_dir):
+    """Incremental ingest dedup: drop NEW documents that near-dup the
+    already-deduplicated STORE or an earlier arrival in the same batch —
+    the production shape for continuous corpus growth, where the store
+    side is assumed duplicate-free and must never be re-verified against
+    itself. New = the top 20% of doc_ids (the "arriving batch"); store =
+    the rest. Output per dropped arrival: its canonical duplicate
+    (minimum matching id — store docs sort first, so a store match
+    always wins over a same-batch one), that pair's Jaccard, and the
+    total match count.
+
+    The candidate prune is ASYMMETRIC and happens BEFORE the Jaccard
+    verify: the banded equi-join's pairs are filtered to b >= cutoff
+    while still signature-only rows, so store x store candidates — the
+    quadratically dominant class on a mature corpus — never reach the
+    token-intersection join at all. At 100 TB the store side reads its
+    PERSISTED signature/band table (signatures are one-time per doc;
+    the fixture recomputes them only because it ships raw text), the
+    band join keys on fixed-width md5 buckets, and per-batch cost is
+    |batch| x bands lookups + verification of the surviving candidates
+    — independent of store size beyond the equi-join's hash lookup.
+    """
+    n = _parquet_rows(sf_dir, "documents")
+    cutoff = (n * 8) // 10
+    d = _t(spark, sf_dir, "documents")
+    tok = D.shingles(d, "doc_id", "text", 3)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(tok, 8), 8, 4, corpus_rows=n)
+    pairs = D.jaccard_verify(cands.filter(F.col("b") >= cutoff), tok, 0.7)
+    return pairs.groupBy("b").agg(
+        F.min("a").alias("dup_of"),
+        F.min_by("jaccard", "a").alias("jaccard"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select(F.col("b").alias("doc_id"), "dup_of", "jaccard", "n_dups")

@@ -2419,3 +2419,47 @@ def test_scd2_intervals_partition_user_history(spark, sf_dir):
         froms = sorted(r["valid_from"] for r in ivs)[1:]
         tos = sorted(r["valid_to"] for r in closed)
         assert froms == tos, uid
+
+
+def test_incremental_dedup_new_batch_only(spark, tmp_path):
+    """Only arrivals (doc_id >= cutoff) can be dropped; a store twin wins
+    as canonical over a same-batch twin; store x store duplicates are
+    ignored entirely."""
+    from graph_db_spark.queries import REGISTRY
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    vbase = "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"
+    rows = [
+        # store (cutoff = 8): ids 0..7 — 0 and 1 are store-side twins
+        # on a DISJOINT vocabulary (must NOT be reported), 2 matches
+        # arrival 8
+        (0, vbase + " s0"),
+        (1, vbase + " s0"),
+        (2, base + " s2"),
+        (3, "u3 " * 12),
+        (4, "u4 " * 12),
+        (5, "u5 " * 12),
+        (6, "u6 " * 12),
+        (7, "u7 " * 12),
+        # arrivals: 8 duplicates store doc 2; 9 duplicates 8 (same batch,
+        # but its canonical must be the STORE doc 2 = min matching id)
+        (8, base + " s2"),
+        (9, base + " s2"),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_incremental_new_vs_store"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == {8, 9}  # store twins 0/1 never surface
+    assert got[8]["dup_of"] == 2 and got[8]["jaccard"] == 1.0
+    assert got[9]["dup_of"] == 2  # store canonical beats same-batch 8
+    assert got[9]["n_dups"] == 2  # matched both store 2 and arrival 8

@@ -85,6 +85,7 @@ AUDITED = [
     "dedup_repeated_lines",
     "shard_manifest_by_tokens",
     "scd2_user_status_intervals",
+    "dedup_incremental_new_vs_store",
 ]
 
 NOTES = """## Notes

@@ -175,6 +175,7 @@ def main() -> None:
         "pipeline_training_corpus", "pipeline_curated_pack",
         "pipeline_curated_pack_stages",
         "dedup_repeated_lines", "shard_manifest_by_tokens",
+        "dedup_incremental_new_vs_store",
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
         "semdedup_default", "stream_dedup_banded_builtin",
@@ -398,6 +399,8 @@ def main() -> None:
         # shard manifest's two-level prefix sum must stay flat
         "dedup_repeated_lines",
         "shard_manifest_by_tokens",
+        # asymmetric incremental dedup: new-batch-vs-store prune
+        "dedup_incremental_new_vs_store",
     )
     for scale, n in (
         (("1x", 50_000 // div), ("10x", 500_000 // div))
