@@ -597,3 +597,25 @@ def test_exact_substring_spans_plan_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in jplan, jplan
     assert "BroadcastNestedLoopJoin" not in jplan, jplan
     assert "partial_count" in jplan, jplan
+
+
+def test_round12_windows_are_partitioned(spark, sf_dir):
+    """shard_manifest_by_tokens (two-level prefix sum) and
+    scd2_user_status_intervals must never plan an UNPARTITIONED window —
+    the q3/q10 single-partition funnel, applied at design time. In the
+    plan string a partitioned spec leads with its partition columns
+    (`windowspecdefinition(bucket#…, doc_id#… ASC …`); an unpartitioned
+    one leads straight with a sort spec."""
+    import re
+
+    from graph_db_spark.plans import explain_str
+
+    for name in ("shard_manifest_by_tokens", "scd2_user_status_intervals"):
+        plan = explain_str(REGISTRY[name].build(spark, sf_dir))
+        specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        assert specs, name  # the window is load-bearing in both plans
+        for first_arg in specs:
+            assert "ASC NULLS" not in first_arg and "DESC NULLS" not in first_arg, (
+                name,
+                first_arg,
+            )
