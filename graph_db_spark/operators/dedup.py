@@ -18,6 +18,8 @@ north-star LLM-pipeline operators from BASELINE.json.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from graph_db_spark.functions.text import WHITESPACE, shingle_array, ws_tokens
@@ -120,6 +122,32 @@ def row_minhash_signature(text, n_hashes: int = 8, k: int = 3):
 LSH_BROADCAST_MAX_DOCS = 20_000
 
 
+def band_bucket_rows(sigs: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band, bkey) LSH bucket rows from a MinHash signature frame —
+    the shared banding of ``lsh_candidate_pairs`` and the persisted
+    signature store. All band keys come from ONE projection + explode (a
+    single scan of the signature frame instead of one union branch per
+    band); each bkey is the md5 of the band's rows_per_band signature
+    slots, so buckets are fixed-width 32-char keys whatever the text."""
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
+    rows = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)])
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     n_hashes: int = 8,
@@ -137,25 +165,7 @@ def lsh_candidate_pairs(
     rationale. None (size unknown) leaves the choice to Spark; callers
     that know the corpus pass the count (``minhash_near_dup_pairs`` does).
     """
-    if n_hashes % bands != 0:
-        raise ValueError(f"n_hashes={n_hashes} must divide evenly into bands={bands}")
-    rows = n_hashes // bands
-    # All band keys in one projection + explode — a single scan of the
-    # signature frame instead of one union branch per band.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)])
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
+    banded = band_bucket_rows(sigs, n_hashes, bands)
     left = banded.select("band", "bkey", F.col("id").alias("a"))
     right = banded.select("band", "bkey", F.col("id").alias("b"))
     if corpus_rows is not None and corpus_rows > LSH_BROADCAST_MAX_DOCS:
@@ -223,6 +233,146 @@ def minhash_near_dup_pairs(
     sigs = minhash_signatures(tok, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands, corpus_rows=n_docs)
     return jaccard_verify(cands, tok, threshold)
+
+
+def signature_store_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+) -> None:
+    """Materialize the store side's near-dup index ONCE, at ingest-commit
+    time — the reference's write-time-index principle (indexes are paid
+    when a node is inserted, Graph.hs:57-61) applied to the incremental
+    dedup flagship. Two parquet tables under *path*:
+
+      bands/  (id, band, bkey) — banded MinHash bucket rows, the
+              candidate-join side; sorted within files by (band, bkey)
+              so parquet min/max row-group stats line up with the join
+              key (a runtime bloom/DPP filter can then skip row groups).
+      sizes/  (id, sz)         — shingle-set sizes, serving the
+              size-ratio prefilter: jaccard(a,b) >= t forces
+              min(|a|,|b|) >= t * max(|a|,|b|), so candidate pairs
+              violating it are dropped from SIGNATURE-ONLY data before
+              any store text is re-read.
+
+    Shingling + MinHash run once per document here and never again:
+    ``incremental_near_dup_vs_store`` serves every later batch from
+    these tables, so per-batch cost stops paying the store-side
+    recompute that dominated the unpersisted fixture at 10× store size
+    (SCALE_STRESS_r12 ratio 13.5). Append-only by contract — after a
+    batch is admitted, its rows are appended with the same parameters
+    (bit-identical signatures: every hash is md5 over the token text)."""
+    tok = (
+        shingles(docs, id_col, text_col, shingle)
+        if shingle > 1
+        else tokens(docs, id_col, text_col)
+    )
+    sigs = minhash_signatures(tok, n_hashes)
+    band_bucket_rows(sigs, n_hashes, bands).sortWithinPartitions("band", "bkey").write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(path, "bands"))
+    tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(path, "sizes"))
+
+
+def incremental_near_dup_vs_store(
+    spark,
+    store_path: str,
+    arrivals: DataFrame,
+    store_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) between an arriving batch and a
+    persisted, already-deduplicated store — b is always an arrival; a is
+    a store doc or an earlier same-batch arrival (ids encode ingest
+    order: every store id < every arrival id, so ``a < b`` both orients
+    pairs and keeps store×store — the quadratically dominant class —
+    impossible by construction). Result-identical to the recompute route
+    (``lsh_candidate_pairs`` + ``jaccard_verify`` over the full corpus
+    with the ``b >= cutoff`` prune): signatures are deterministic md5
+    minima, so persisting them changes WHERE they come from, not what
+    they are (pytest asserts route equality).
+
+    Per-batch cost at 100 TB, stage by stage:
+      1. shingle + sign the BATCH only (|batch| work);
+      2. broadcast the batch's band rows (|batch|·bands fixed-width
+         rows) against the persisted bands/ table — a broadcast hash
+         join, so the store side is a columnar SCAN with no shuffle and
+         no signature recompute, whatever the store size;
+      3. size-ratio prefilter on persisted sizes/ — candidates that
+         cannot reach *threshold* die as (id, sz) rows;
+      4. only surviving store candidates' text is re-read (broadcast
+         semi-join on id pushes the candidate set into the store scan)
+         and re-shingled for the exact Jaccard verify — work
+         proportional to TRUE near-dups, not to the store.
+    The one store-size-linear term left is the columnar scan in (2)/(4)
+    — bytes-cheap and shuffle-free; everything shuffled is batch-sized.
+
+    *store_docs* supplies candidate text for stage 4 (production: the
+    corpus table the store index was built from)."""
+    a_tok = (
+        shingles(arrivals, id_col, text_col, shingle)
+        if shingle > 1
+        else tokens(arrivals, id_col, text_col)
+    )
+    a_band = band_bucket_rows(minhash_signatures(a_tok, n_hashes), n_hashes, bands)
+    a_sizes = a_tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    s_band = spark.read.parquet(os.path.join(store_path, "bands"))
+    s_sizes = spark.read.parquet(os.path.join(store_path, "sizes"))
+
+    # The arrivals side is the batch — always the broadcast side. Collisions
+    # of ANY doc seen so far (store ∪ batch) against a batch doc become
+    # candidates; a < b orients them and excludes store×store entirely.
+    right = F.broadcast(
+        a_band.select("band", "bkey", F.col("id").alias("b"))
+    )
+    cands = (
+        s_band.unionByName(a_band)
+        .select("band", "bkey", F.col("id").alias("a"))
+        .join(right, ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # Size-ratio prune on signature-store data alone: |a∩b| <= min(sza,szb)
+    # and |a∪b| >= max(sza,szb), so jaccard <= min/max — pairs under the
+    # threshold can be dropped before any text is touched.
+    sizes = s_sizes.unionByName(a_sizes)
+    cands = (
+        cands.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(
+            F.least("sza", "szb") >= threshold * F.greatest("sza", "szb")
+        )
+        .select("a", "b")
+    )
+    # Stage 4: re-shingle ONLY the store docs that survived as candidates.
+    cand_store_ids = cands.select(F.col("a").alias(id_col)).distinct()
+    s_cand_tok = (
+        shingles(
+            store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi"),
+            id_col,
+            text_col,
+            shingle,
+        )
+        if shingle > 1
+        else tokens(
+            store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi"),
+            id_col,
+            text_col,
+        )
+    )
+    return jaccard_verify(cands, a_tok.unionByName(s_cand_tok), threshold)
 
 
 def simhash_bits(tok: DataFrame, n_bits: int = 32) -> DataFrame:

@@ -368,6 +368,18 @@ def kmeans_fit(
     """Distributed Lloyd's k-means → (vec_id = cell, embedding = centroid),
     the trained-centroid source for ``ivf_cosine_topk``.
 
+    **Precondition: ``id_col`` values must be UNIQUE.** Two internals
+    assume it (round-12 advice): the sampled-init renumbering ranks the
+    k seed rows by ``count(pid)`` over a strict ``pid < id`` triangular
+    join — duplicate ids would share a rank, so ``groupBy(id)`` would
+    silently merge seeds and train a corrupted codebook with < k cells;
+    and ``orderBy(id).limit(k)`` is evaluated independently on both
+    sides of that self-join, deterministic only because the sort key
+    never ties. Callers with possibly-duplicated ids must dedupe first
+    (``df.groupBy(id_col).agg(F.first(vec_col))``); every in-repo
+    caller feeds parquet primary keys (vec_id / doc_id), which are
+    unique by construction.
+
     Deterministic and cross-engine exact (no RNG, no FP drift):
     - init = the vectors with id < k (k-means++ would add RNG; the
       sampled mode below seeds from the hash-sample instead);

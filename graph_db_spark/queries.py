@@ -1173,6 +1173,31 @@ _DRIVER_COVERED: tuple[str, ...] = (
     "pipeline_curated_pack", "ann_int8_topk", "bpe_merge_pair_counts",
     "source_token_drift", "graph_part_popularity", "dedup_simhash_banded",
     "graph_degree_histogram", "graph_kcore_part_supplier",
+    # round 12 (CORRECTNESS_r12.json — 49 green; `agg_collect_sorted_lists`
+    # recorded `err` (driver canonicalizer could not hash its former
+    # array<string> column) and is deliberately NOT listed, so it rotates
+    # to the front of round 13's gate and earns its green row with the
+    # now-scalar output):
+    "dedup_incremental_new_vs_store", "scd2_user_status_intervals",
+    "shard_manifest_by_tokens", "dedup_repeated_lines",
+    "dedup_simhash_banded_wide", "sample_stratified_sources",
+    "boilerplate_ngrams", "doc_lm_mean_prob", "text_repetition_signals",
+    "sketch_countmin_heavy_tokens", "sketch_kmv_distinct_tokens",
+    "dsir_importance_weights", "mix_sources_weighted", "pack_sequences",
+    "decontam_ngram_overlap", "histogram_event_values",
+    "anomaly_zscore_events", "embedding_quantize_int8", "bigram_cond_probs",
+    "training_examples_window", "tfidf_top_terms", "token_pmi_pairs",
+    "vocab_top_tokens", "pipeline_training_corpus",
+    "dedup_survivors_minhash", "window_rolling_1h_user",
+    "cohort_hourly_retention", "embedding_dim_stats",
+    "funnel_click_purchase", "unpivot_part_metrics", "window_range_frame",
+    "json_extract_events", "graph_triangle_count", "ann_ivf_topk",
+    "sample_hash_documents", "token_count_bpe", "ann_lsh_topk",
+    "graph_pagerank", "graph_sssp_weighted", "sliding_window_events",
+    "ngram_char_jaccard", "having_filter_nations", "date_arithmetic_orders",
+    "string_match_filters", "percentiles_by_segment",
+    "window_lead_lag_ntile", "correlated_above_nation_avg",
+    "agg_grouping_sets", "agg_cube_status_priority",
 )
 
 
@@ -2394,7 +2419,7 @@ def cohort_hourly_retention(spark, sf_dir):
     "agg_collect_sorted_lists",
     """
     SELECT n_regionkey AS regionkey,
-           list(n_name ORDER BY n_name) AS nations,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
            CAST(len(list(n_name)) AS INT) AS n_nations
     FROM nation GROUP BY n_regionkey
     """,
@@ -2402,10 +2427,14 @@ def cohort_hourly_retention(spark, sf_dir):
 def agg_collect_sorted_lists(spark, sf_dir):
     """Array aggregation with deterministic ordering: collect_list is
     order-nondeterministic under parallelism, so the engine-portable form
-    sorts the collected array (DuckDB's list(x ORDER BY x) twin)."""
+    sorts the collected array (DuckDB's string_agg(x, '|' ORDER BY x)
+    twin). The sorted array is joined to a flat '|'-delimited string so
+    the top-level output schema stays scalar — driver hash harnesses
+    (pandas-based canonicalizers) cannot hash array cells, and the
+    registry lint rejects array/map/struct output columns outright."""
     n = _t(spark, sf_dir, "nation")
     return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
         F.size(F.collect_list("n_name")).alias("n_nations"),
     )
 
@@ -6798,7 +6827,9 @@ def scd2_user_status_intervals(spark, sf_dir):
       UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
       UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
     ),
-    cut AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS c FROM documents),
+    -- integer arithmetic, matching Spark's (n*8)//10 exactly: floor(n*0.8)
+    -- goes through a binary double and can disagree near integer crossings
+    cut AS (SELECT (count(*) * 8) // 10 AS c FROM documents),
     cand AS (
       SELECT DISTINCT l.id AS a, r.id AS b
       FROM banded l

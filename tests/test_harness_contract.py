@@ -77,6 +77,27 @@ def test_entry_contract(spark):
         assert must in covered_rank or must in prefix, must
 
 
+def test_registry_outputs_are_scalar(spark, sf_dir):
+    """Registry output-type lint (round-12 verdict item 4): every query's
+    top-level output schema must be scalar — no array/map/struct columns.
+    The driver's pandas-based canonicalizer hashes cells with
+    ``sort_values``, which raises ``TypeError: unhashable type`` on
+    container cells; round 12's ``agg_collect_sorted_lists`` recorded the
+    only-ever red driver row exactly this way (right answer, unhashable
+    output). Flatten with array_join / to_json before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from graph_db_spark.queries import REGISTRY
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        df = spec.build(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 def test_bench_harness_runs_and_emits_json():
     """bench.py at sf0.001 must complete and print one parsable JSON line
     with no errors — the exact failure mode that silently killed two

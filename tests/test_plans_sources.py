@@ -619,3 +619,24 @@ def test_round12_windows_are_partitioned(spark, sf_dir):
                 name,
                 first_arg,
             )
+        # Structural second detector (round-12 advice: the literal
+        # 'ASC NULLS' first-arg check would pass vacuously if a Spark
+        # version changed sort-order rendering; both forms validated
+        # against pyspark 4.1.2). A formatted-plan Window node prints
+        #   Arguments: [funcs], [partitionSpec], [orderSpec]
+        # when partitioned, but only TWO bracket groups —
+        #   Arguments: [funcs], [orderSpec]
+        # — when the partition spec is empty. Require every Window
+        # node's Arguments line to carry the three-group tail with a
+        # non-empty partition group.
+        sections = re.split(r"(?m)^(\(\d+\) \w+)", plan)
+        for header, body in zip(sections[1::2], sections[2::2]):
+            if not re.match(r"\(\d+\) Window", header):
+                continue
+            m = re.search(r"(?m)^Arguments: (.+)$", body)
+            assert m, (name, header)
+            assert re.search(r"\], \[[^\[\]]+\], \[[^\[\]]+\]$", m.group(1)), (
+                name,
+                header,
+                m.group(1),
+            )

@@ -32,6 +32,15 @@ def normalize(df):
             if v == int(v) and abs(v) < 1e15:
                 return f"{v:.6f}"
             return f"{v:.6f}"
+        if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+            # The driver's pandas-based canonicalizer cannot hash container
+            # cells (round-12 `agg_collect_sorted_lists` err). Fail loudly
+            # here instead of masking with str(): queries must emit scalar
+            # top-level columns (array_join / to_json before returning).
+            raise TypeError(
+                f"container cell {type(v).__name__} in output — driver "
+                "canonicalizer cannot hash it; flatten to a scalar column"
+            )
         return str(v)
 
     rows = sorted(tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None))

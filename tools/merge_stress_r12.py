@@ -43,7 +43,10 @@ for name, row in targeted["ops"].items():
         "ran in a contended host window (see merge_stress_r12.py header)",
     )
 
-ops["_notes"] = {
+# Sibling top-level key, NOT a pseudo-op inside ops: consumers iterate
+# ops.items() as op -> measurement rows, and a metadata dict there would
+# crash or miscount them (round-12 advice).
+notes = {
     "shuffle_negative_readings": (
         "in-suite shuffle_write_mb for the late semdedup rows went negative: "
         "the UI REST stage buffer (spark.ui.retainedStages default 1000) "
@@ -68,6 +71,7 @@ print(
             "cpus": full["cpus"],
             "round": 12,
             "ops": ops,
+            "notes": notes,
         }
     )
 )
