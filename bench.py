@@ -52,11 +52,22 @@ def main() -> None:
     sentinel_start = sentinel()
     sentinel_start = min(sentinel_start, sentinel())  # best-of-2, like the queries
 
+    # Mid-suite contention trace (round-12 verdict item 6): the start/end
+    # sentinel pair missed a co-tenant window that inflated three adjacent
+    # MID-suite entries. One probe every 10 timed entries (~0.1 s quiet,
+    # ≈1 s total overhead) timestamps contention against entry order, so a
+    # reader can tell "this entry ran slow" from "the machine was busy when
+    # this entry ran". Recorded in the sidecar; the compact line carries
+    # only the max.
+    sentinel_trace: list[list] = []
+
     def timed(name, fn, repeats: int = 1):
         # best-of-N (criterion-style): the machine hosts co-tenant round
         # tasks whose load spikes otherwise dominate single measurements.
         # Per-query fault isolation: one broken query must never kill the
         # whole suite — record the error and keep benchmarking the rest.
+        if len(times) % 10 == 9:
+            sentinel_trace.append([len(times), sentinel()])
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -259,6 +270,9 @@ def main() -> None:
         # round-12: asymmetric incremental ingest dedup (new batch vs
         # duplicate-free store; store x store candidates pruned pre-verify)
         "dedup_incremental_new_vs_store",
+        # round-13: the production route — store signatures persisted once,
+        # per-batch cost independent of store size
+        "dedup_incremental_persisted_store",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage
@@ -286,7 +300,15 @@ def main() -> None:
     # not absorb — whichever family member ran first used to eat it
     # (round-4 judge: pipeline_training_corpus 21.9 s cold vs 6.3 s warm).
     # One untimed pass here puts every timed run in steady state.
-    for name in ("dedup_minhash_lsh", "pipeline_training_corpus", "pipeline_curated_pack"):
+    # dedup_incremental_persisted_store also rides here: its one-time
+    # signature-store build (ensure_signature_store, cached on the fixture
+    # fingerprint) must be write-time cost, not part of the timed batch.
+    for name in (
+        "dedup_minhash_lsh",
+        "pipeline_training_corpus",
+        "pipeline_curated_pack",
+        "dedup_incremental_persisted_store",
+    ):
         try:
             force(REGISTRY[name].build(spark, sf_dir))
         except Exception:  # noqa: BLE001
@@ -363,7 +385,16 @@ def main() -> None:
         "cpus": int(cpus),
         # Co-tenant load probe: wall-time of a fixed 1-partition no-IO task
         # at suite start/end (~0.1 s alone; multiples under contention).
-        "sentinel_sec": {"start": sentinel_start, "end": sentinel_end},
+        "sentinel_sec": {
+            "start": sentinel_start,
+            "end": sentinel_end,
+            # worst mid-suite probe (one every 10 entries) — a quiet
+            # start/end pair with an inflated mid value marks a co-tenant
+            # window INSIDE the suite (the r12 false-regression shape)
+            "mid_max": max((s for _, s in sentinel_trace), default=None),
+        },
+        # [entry_index, sec] pairs for attributing contention to suite order
+        "sentinel_trace": sentinel_trace,
         "env": {"pyspark": pyspark.__version__, "python": sys.version.split()[0]},
     }
     if errors:
@@ -393,6 +424,8 @@ def main() -> None:
     def _line(dp: int, provenance: bool, keep: int | None) -> str:
         compact = dict(out, queries={k: round(v, dp) for k, v in times.items()})
         compact.pop("env", None)
+        compact.pop("sentinel_trace", None)  # sidecar-only (the compact
+        # line keeps just sentinel_sec.mid_max)
         if not provenance:
             compact.pop("n_index_entries", None)
             compact.pop("cpus", None)

@@ -291,6 +291,7 @@ def incremental_near_dup_vs_store(
     bands: int = 4,
     threshold: float = 0.7,
     shingle: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a, b, jaccard) between an arriving batch and a
     persisted, already-deduplicated store — b is always an arrival; a is
@@ -319,7 +320,18 @@ def incremental_near_dup_vs_store(
     — bytes-cheap and shuffle-free; everything shuffled is batch-sized.
 
     *store_docs* supplies candidate text for stage 4 (production: the
-    corpus table the store index was built from)."""
+    corpus table the store index was built from).
+
+    *checkpoint* (default True) localCheckpoints the pruned candidate
+    set — a handful of (a, b) longs. The Jaccard verify references the
+    candidate frame from FIVE subtrees (pair join, both token sides via
+    the store-candidate semi-join, both size joins), and without the
+    cut Catalyst re-instantiates the whole bands-scan + broadcast-join
+    pipeline under each one (measured 8.5 s vs ~3 s for 10 surviving
+    pairs at a 50k store). Same caveats as ``kmeans_fit``: the
+    candidate join EXECUTES at plan-construction time and localCheckpoint
+    blocks die with executors — pass checkpoint=False when composing
+    plans or on preemptible executors."""
     a_tok = (
         shingles(arrivals, id_col, text_col, shingle)
         if shingle > 1
@@ -356,6 +368,8 @@ def incremental_near_dup_vs_store(
         )
         .select("a", "b")
     )
+    if checkpoint:
+        cands = cands.localCheckpoint()
     # Stage 4: re-shingle ONLY the store docs that survived as candidates.
     cand_store_ids = cands.select(F.col("a").alias(id_col)).distinct()
     s_cand_tok = (

@@ -2463,3 +2463,59 @@ def test_incremental_dedup_new_batch_only(spark, tmp_path):
     assert got[8]["dup_of"] == 2 and got[8]["jaccard"] == 1.0
     assert got[9]["dup_of"] == 2  # store canonical beats same-batch 8
     assert got[9]["n_dups"] == 2  # matched both store 2 and arrival 8
+
+    # Persisted-store route (round-12 verdict item 3): identical rows from
+    # the signature-store path — store signatures read from parquet, store
+    # text re-shingled only for surviving candidates.
+    per = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_incremental_persisted_store"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert {k: tuple(v) for k, v in per.items()} == {
+        k: tuple(v) for k, v in got.items()
+    }
+
+
+def test_incremental_dedup_persisted_matches_recompute(spark, sf_dir):
+    """Route equality on the real fixture corpus: the persisted
+    signature-store plan and the full-recompute plan must produce the
+    same (doc_id, dup_of, jaccard, n_dups) rows — persisting the store's
+    MinHash index changes where signatures come from, never what they
+    are. Also pins the batch plan's shape: the candidate join broadcasts
+    the ARRIVALS side, so the store's band table is scanned, not
+    shuffled, and never re-signed."""
+    from graph_db_spark.plans import explain_str
+    from graph_db_spark.queries import REGISTRY
+
+    rec = REGISTRY["dedup_incremental_new_vs_store"].build(spark, sf_dir)
+    per = REGISTRY["dedup_incremental_persisted_store"].build(spark, sf_dir)
+    assert sorted(map(tuple, rec.collect())) == sorted(map(tuple, per.collect()))
+
+    # Plan shape, on the uncheckpointed form (the default localCheckpoint
+    # cut hides the candidate subtree behind an ExistingRDD): arrivals
+    # bands broadcast, store bands read from the persisted parquet — no
+    # store-side min(md5(...)) signature agg anywhere.
+    from graph_db_spark.operators.dedup import incremental_near_dup_vs_store
+    from graph_db_spark.queries import (
+        _parquet_rows,
+        ensure_signature_store,
+    )
+    from pyspark.sql import functions as F
+
+    n = _parquet_rows(sf_dir, "documents")
+    cutoff = (n * 8) // 10
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_path = ensure_signature_store(spark, sf_dir, cutoff)
+    raw = incremental_near_dup_vs_store(
+        spark,
+        store_path,
+        arrivals=d.filter(F.col("doc_id") >= cutoff),
+        store_docs=d.filter(F.col("doc_id") < cutoff),
+        threshold=0.7,
+        checkpoint=False,
+    )
+    plan = explain_str(raw)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "sig_stores" in plan, plan

@@ -175,11 +175,11 @@ def main() -> None:
         "pipeline_training_corpus", "pipeline_curated_pack",
         "pipeline_curated_pack_stages",
         "dedup_repeated_lines", "shard_manifest_by_tokens",
-        "dedup_incremental_new_vs_store",
+        "dedup_incremental_new_vs_store", "incremental_dedup_store",
         "landmark_distances", "ann_ivf_kmeans", "stream_dedup_banded",
         "exact_substring_spans", "semdedup", "semdedup_hier",
         "semdedup_default", "stream_dedup_banded_builtin",
-        "stream_dedup_builtin_claim_lag",
+        "stream_dedup_builtin_claim_lag", "stream_dedup_loser_ab",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -469,6 +469,78 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- persisted signature store: batch cost vs STORE size ---------------
+    # Round-12 verdict item 3: demonstrate (not argue) the docstring's
+    # batch-cost-independent-of-store claim. FIXED batch of 10k arrivals
+    # against a 50k (1x) vs 500k (10x) persisted store; per-batch wall on
+    # the persisted route should be ~flat (the only store-linear term is
+    # the columnar scan of bands/ + sizes/), while the recompute route —
+    # which re-shingles and re-signs the store every batch — scales with
+    # the store. Planted twins are batch-local (ids ≡ 1 mod 100 twin
+    # id-1), so expected drops are IDENTICAL across store scales and
+    # between routes: any divergence is a correctness bug, not noise.
+    if want("incremental_dedup_store"):
+        from graph_db_spark.operators.dedup import (
+            incremental_near_dup_vs_store,
+            jaccard_verify,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+            signature_store_write,
+        )
+
+        batch_n = 10_000 // div
+        for scale, store_n in (("1x", 50_000 // div), ("10x", 500_000 // div)):
+            tmp = tempfile.mkdtemp(prefix=f"stress_sigstore_{scale}_")
+            try:
+                n_total = store_n + batch_n
+                docs_path = os.path.join(tmp, "documents.parquet")
+                synthetic_docs(spark, n_total).write.parquet(docs_path)
+                d = spark.read.parquet(docs_path)
+                store_docs = d.filter(F.col("doc_id") < store_n)
+                arrivals = d.filter(F.col("doc_id") >= store_n)
+                store_path = os.path.join(tmp, "sig_store")
+
+                # one-time write-side cost (amortized across all batches)
+                run(
+                    "incremental_dedup_store",
+                    f"{scale}_index_build",
+                    lambda: {
+                        "store_docs": store_n,
+                        "built": signature_store_write(store_docs, store_path) or True,
+                    },
+                )
+
+                def persisted_batch():
+                    pairs = incremental_near_dup_vs_store(
+                        spark, store_path, arrivals, store_docs, threshold=0.7
+                    )
+                    return {
+                        "store_docs": store_n,
+                        "batch_docs": batch_n,
+                        "dropped": pairs.select("b").distinct().count(),
+                    }
+
+                run("incremental_dedup_store", f"{scale}_batch_persisted", persisted_batch)
+
+                def recompute_batch():
+                    tok = shingles(d, "doc_id", "text", 3)
+                    cands = lsh_candidate_pairs(
+                        minhash_signatures(tok, 8), 8, 4, corpus_rows=n_total
+                    )
+                    pairs = jaccard_verify(
+                        cands.filter(F.col("b") >= store_n), tok, 0.7
+                    )
+                    return {
+                        "store_docs": store_n,
+                        "batch_docs": batch_n,
+                        "dropped": pairs.select("b").distinct().count(),
+                    }
+
+                run("incremental_dedup_store", f"{scale}_batch_recompute", recompute_batch)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
     # -- exact-substring span coverage at corpus scale ---------------------
     # duplicated_span_coverage (Lee et al. criterion, round-8 windowed
     # single-compute shape) on the generated corpus: the planted twins
@@ -560,6 +632,48 @@ def main() -> None:
                 }
 
             run(op_name, scale, run_stream)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- builtin route: loser-election cost A/B (round-12 verdict item 5) --
+    # The r12 readings (118.3 s loser-emit vs 91.9 s r11 row-emit at 500k)
+    # came from DIFFERENT sessions; the execution diff is only the final
+    # projection over the (rare) matched rows, so the delta is suspected
+    # noise. Same-session A/B with _emit_loser toggled isolates it:
+    # identical corpus, identical plan up to the last select.
+    if want("stream_dedup_loser_ab"):
+        n = 500_000 // div
+        tmp = tempfile.mkdtemp(prefix="stress_loserab_")
+        try:
+            synthetic_docs(spark, n).select(
+                "doc_id",
+                "text",
+                F.lit("en").alias("lang"),
+                F.lit("src").alias("source"),
+                F.length("text").cast("long").alias("n_chars"),
+            ).write.parquet(os.path.join(tmp, "docs"))
+            for variant, emit_loser in (("loser", True), ("row_r11", False)):
+
+                def run_ab(t=tmp, v=variant, el=emit_loser):
+                    q = (
+                        stream_dedup_near_banded_builtin(
+                            spark, os.path.join(t, "docs"), _emit_loser=el
+                        )
+                        .writeStream.outputMode("append")
+                        .format("memory")
+                        .queryName(f"stress_loserab_{v}")
+                        .start()
+                    )
+                    try:
+                        q.processAllAvailable()
+                        dropped = spark.sql(
+                            f"SELECT count(DISTINCT doc_id) AS n FROM stress_loserab_{v}"
+                        ).collect()[0]["n"]
+                    finally:
+                        q.stop()
+                    return {"dropped": dropped, "emit_loser": el}
+
+                run("stream_dedup_loser_ab", f"10x_{variant}", run_ab)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
