@@ -273,6 +273,9 @@ def main() -> None:
         # round-13: the production route — store signatures persisted once,
         # per-batch cost independent of store size
         "dedup_incremental_persisted_store",
+        # round-13: asymmetric containment (quote/subset) verify on LSH
+        # candidates
+        "dedup_containment_pairs",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

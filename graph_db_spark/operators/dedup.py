@@ -207,6 +207,48 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    pairs: DataFrame, tok: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Exact set CONTAINMENT |A∩B| / min(|A|,|B|) over token sets, computed
+    only for candidate pairs — the asymmetric near-dup criterion (quote /
+    subset detection: a short doc embedded verbatim in a long one scores
+    containment ≈ 1 while its Jaccard ≈ |A|/|B| can be arbitrarily low).
+    Returns (a, b, containment, jaccard) for pairs with containment ≥
+    *threshold*; jaccard rides along so consumers can separate true twins
+    (both high) from subset pairs (containment high, Jaccard low).
+
+    Same shuffle discipline as ``jaccard_verify``: one batch-bounded
+    intersection count per candidate pair, sizes from a map-side-combinable
+    count agg — never an all-pairs comparison. Candidate recall is the
+    generator's contract: MinHash-LSH candidates under-recall LOW-Jaccard
+    containment pairs (banding collides on Jaccard, not containment); at
+    100 TB a containment-first pipeline feeds this verifier from a
+    bottom-k sketch of the SMALLER side's shingles instead."""
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = tok.select(F.col("id").alias("a"), "token")
+    tb = tok.select(F.col("id").alias("b"), "token")
+    inter = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(F.col("inter") >= threshold * F.least("sza", "szb"))
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter") / F.least("sza", "szb"), 6).alias("containment"),
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -356,6 +398,14 @@ def incremental_near_dup_vs_store(
         .select("a", "b")
         .distinct()
     )
+    if checkpoint:
+        # Cut BEFORE the size joins: the raw candidate frame's plan-time
+        # size estimate derives from the full store scan, so Catalyst
+        # would shuffle the store-sized sizes union against it (measured
+        # 21.9 MB shuffle at a 500k store — the one store-linear shuffle
+        # in the batch). Checkpointed, the frame is a tiny ExistingRDD
+        # with exact stats and every downstream join broadcasts it.
+        cands = cands.localCheckpoint()
     # Size-ratio prune on signature-store data alone: |a∩b| <= min(sza,szb)
     # and |a∪b| >= max(sza,szb), so jaccard <= min/max — pairs under the
     # threshold can be dropped before any text is touched.
@@ -369,6 +419,8 @@ def incremental_near_dup_vs_store(
         .select("a", "b")
     )
     if checkpoint:
+        # Second cut after the prune: the surviving pairs feed FIVE verify
+        # subtrees; one sizes-scan here buys shuffle-free reuse below.
         cands = cands.localCheckpoint()
     # Stage 4: re-shingle ONLY the store docs that survived as candidates.
     cand_store_ids = cands.select(F.col("a").alias(id_col)).distinct()

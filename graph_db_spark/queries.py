@@ -6889,6 +6889,72 @@ def dedup_incremental_new_vs_store(spark, sf_dir):
     ).select(F.col("b").alias("doc_id"), "dup_of", "jaccard", "n_dups")
 
 
+@q(
+    "dedup_containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || token)) AS h0, min(md5('1|' || token)) AS h1,
+             min(md5('2|' || token)) AS h2, min(md5('3|' || token)) AS h3,
+             min(md5('4|' || token)) AS h4, min(md5('5|' || token)) AS h5,
+             min(md5('6|' || token)) AS h6, min(md5('7|' || token)) AS h7
+      FROM tok GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c JOIN tok ta ON ta.id = c.a
+      JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(i.inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment,
+           round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+    WHERE i.inter >= 0.8 * least(sa.sz, sb.sz)
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup (quote / subset detection): exact
+    |A∩B| / min(|A|,|B|) on MinHash-LSH candidate pairs, with Jaccard
+    alongside so twins (both high) separate from subset pairs
+    (containment high, Jaccard low). The criterion Lee et al.-style
+    pipelines use for embedded-quotation suppression, where symmetric
+    Jaccard misses a short doc copied wholesale into a long one.
+    Candidate recall is LSH's (Jaccard-banded) — the honest recall tier
+    for this generator; see ``containment_verify``'s docstring for the
+    containment-native generator a 100 TB pipeline would feed it from."""
+    n = _parquet_rows(sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
+    tok = D.shingles(d, "doc_id", "text", 3)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(tok, 8), 8, 4, corpus_rows=n)
+    return D.containment_verify(cands, tok, 0.8)
+
+
 def _signature_store_path(sf_dir: str, cutoff: int, n_hashes: int, bands: int, shingle: int) -> str:
     """Cache location for the persisted dedup signature store of a fixture
     split — keyed like ``tpch_graph_persisted``'s snapshot store on the

@@ -86,6 +86,12 @@ AUDITED = [
     "shard_manifest_by_tokens",
     "scd2_user_status_intervals",
     "dedup_incremental_new_vs_store",
+    # round-13: the persisted-store route (the final plan is the verify
+    # stage over the localCheckpoint cut — candidate discovery's
+    # broadcast/scan shape is asserted in
+    # test_incremental_dedup_persisted_matches_recompute on the
+    # uncheckpointed form)
+    "dedup_incremental_persisted_store",
 ]
 
 NOTES = """## Notes

@@ -652,7 +652,17 @@ def main() -> None:
                 F.lit("src").alias("source"),
                 F.length("text").cast("long").alias("n_chars"),
             ).write.parquet(os.path.join(tmp, "docs"))
-            for variant, emit_loser in (("loser", True), ("row_r11", False)):
+            # ABAB within one session: the first full-scale A/B read 133.7
+            # vs 115.9 s in A-then-B order while the fast run read 19.1 vs
+            # 30.0 in the SAME order — ordering/warm-up effects are of the
+            # same magnitude as the difference, so take two interleaved
+            # repeats and compare best-of per variant.
+            for variant, emit_loser in (
+                ("loser", True),
+                ("row_r11", False),
+                ("loser_rep", True),
+                ("row_r11_rep", False),
+            ):
 
                 def run_ab(t=tmp, v=variant, el=emit_loser):
                     q = (
