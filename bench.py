@@ -276,6 +276,9 @@ def main() -> None:
         # round-13: asymmetric containment (quote/subset) verify on LSH
         # candidates
         "dedup_containment_pairs",
+        # round-13: incremental semantic dedup vs the persisted codebook +
+        # cell-partitioned member index (no re-fit, touched cells only)
+        "dedup_semantic_incremental_store",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

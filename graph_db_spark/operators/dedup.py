@@ -441,6 +441,115 @@ def incremental_near_dup_vs_store(
     return jaccard_verify(cands, a_tok.unionByName(s_cand_tok), threshold)
 
 
+def semantic_store_write(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 2,
+    sample_mod: int | None = None,
+) -> None:
+    """Persist the semantic-dedup index of an already-deduplicated
+    embedding corpus — the write-time-index principle applied to the
+    SemDeDup family (the round-13 twin of ``signature_store_write``).
+    Two parquet tables under *path*:
+
+      centroids/ (cell, cvec, cnorm)      — the trained codebook (k rows)
+      members/   (id, vec, nrm) BY cell   — store vectors with their
+                 assignment, PARTITIONED on cell so a batch that touches
+                 c cells scans exactly c directories (static partition
+                 pruning; at 50k-cell scale this is the difference
+                 between reading the corpus and reading the batch's
+                 neighborhoods)
+
+    The Lloyd fit runs ONCE here (k, n_iters, sample_mod — the
+    ``kmeans_fit`` contract, decimal-exact and RNG-free so an oracle
+    replicates the codebook bit-for-bit); later batches only pay a
+    broadcast assignment against the k persisted centroids."""
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    cent = kmeans_fit(
+        embeddings, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+        sample_mod=sample_mod,
+    )
+    c = _norm_frame(cent, id_col, vec_col, "cell", "cvec").withColumnRenamed(
+        "__norm", "cnorm"
+    )
+    c.write.mode("errorifexists").parquet(os.path.join(path, "centroids"))
+    v = _norm_frame(embeddings, id_col, vec_col, "id", "vec")
+    (
+        _assign_nearest(v, c)
+        .join(v, "id")
+        .select("cell", "id", "vec", F.col("__norm").alias("nrm"))
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "members"))
+    )
+
+
+def incremental_semantic_vs_store(
+    spark,
+    store_path: str,
+    arrivals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.99,
+) -> DataFrame:
+    """Semantic near-dup pairs (a, b, cos) between an arriving embedding
+    batch and a persisted store — b is always an arrival; a is a store
+    vector or an earlier same-batch arrival (ids encode ingest order,
+    mirroring ``incremental_near_dup_vs_store``). The store is never
+    compared against itself, and the Lloyd fit is never re-run: arrivals
+    are assigned to the PERSISTED centroids by one broadcast
+    nearest-cosine pick, then pairwise-verified only within their cells
+    against (store members of touched cells) ∪ (earlier batch members).
+
+    Per-batch cost at scale: |batch|·k broadcast assignment (no
+    shuffle), a driver-side read of the ≤k touched cell ids (bounded by
+    the codebook, like the BPE fit heads), a members/ scan statically
+    pruned to those cell directories, and a within-cell equi-join whose
+    pairwise term is |batch|·|touched-cell members| — independent of the
+    store's total size for any batch that does not touch every cell.
+    Centroid staleness is the operator's documented drift contract: new
+    arrivals are quantized by the store's codebook until the owner
+    re-fits and re-publishes (same as any IVF index)."""
+    cent = spark.read.parquet(os.path.join(store_path, "centroids"))
+    a = _norm_frame(arrivals, id_col, vec_col, "id", "vec")
+    asg = _assign_nearest(a, cent)
+    batch = asg.join(a, "id").select(
+        "cell", "id", "vec", F.col("__norm").alias("nrm")
+    ).localCheckpoint()
+    touched = [r["cell"] for r in batch.select("cell").distinct().collect()]
+    members = (
+        spark.read.parquet(os.path.join(store_path, "members"))
+        .filter(F.col("cell").isin(touched))
+        .select("cell", "id", "vec", "nrm")
+        .unionByName(batch)
+    )
+    x = batch.select(
+        F.col("cell"), F.col("id").alias("b"), F.col("vec").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    y = members.select(
+        F.col("cell"), F.col("id").alias("a"), F.col("vec").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    from graph_db_spark.functions.vector import dot
+
+    denom = F.col("an") * F.col("bn")
+    return (
+        x.join(y, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos",
+            F.round(F.when(denom != 0, dot(F.col("av"), F.col("bv")) / denom), 6),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("a", "b", "cos")
+    )
+
+
 def simhash_bits(tok: DataFrame, n_bits: int = 32) -> DataFrame:
     """Portable SimHash: bit j of a token's hash = parity of hex char
     (j mod 32) of md5 chunk j div 32, where chunk 0 = md5(token) and

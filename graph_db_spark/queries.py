@@ -6955,16 +6955,16 @@ def dedup_containment_pairs(spark, sf_dir):
     return D.containment_verify(cands, tok, 0.8)
 
 
-def _signature_store_path(sf_dir: str, cutoff: int, n_hashes: int, bands: int, shingle: int) -> str:
-    """Cache location for the persisted dedup signature store of a fixture
-    split — keyed like ``tpch_graph_persisted``'s snapshot store on the
-    ABSOLUTE data path plus (mtime_ns, size) of every documents parquet
-    file plus the index parameters, so a regenerated fixture or changed
-    banding never serves a stale index."""
+def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
+    """Cache location for a persisted dedup index (signature or semantic)
+    of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot
+    store on the ABSOLUTE data path plus (mtime_ns, size) of every source
+    parquet file plus the index parameters, so a regenerated fixture or
+    changed parameters never serve a stale index."""
     import hashlib
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     fp = hashlib.sha256(os.path.abspath(src).encode())
     paths = [src] if os.path.isfile(src) else sorted(
         os.path.join(dp, f)
@@ -6975,7 +6975,7 @@ def _signature_store_path(sf_dir: str, cutoff: int, n_hashes: int, bands: int, s
     for p in paths:
         st = os.stat(p)
         fp.update(f"{os.path.relpath(p, src)}|{st.st_mtime_ns}|{st.st_size}\n".encode())
-    fp.update(f"cut={cutoff}|nh={n_hashes}|b={bands}|sh={shingle}".encode())
+    fp.update(params.encode())
     root = os.environ.get(
         "SPARK_GRAFT_SNAPSHOT_ROOT",
         os.path.join(
@@ -6997,7 +6997,9 @@ def ensure_signature_store(
     import shutil
     import uuid
 
-    path = _signature_store_path(sf_dir, cutoff, n_hashes, bands, shingle)
+    path = _dedup_store_path(
+        sf_dir, "documents", f"cut={cutoff}|nh={n_hashes}|b={bands}|sh={shingle}"
+    )
     if os.path.isdir(path):
         return path
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -7011,6 +7013,120 @@ def ensure_signature_store(
         # concurrent publisher won — identical content by construction
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def ensure_semantic_store(
+    spark, sf_dir: str, k: int = 8, n_iters: int = 2, sample_mod: int = 4
+) -> str:
+    """Build-once publish of the semantic dedup index (codebook +
+    cell-partitioned members) over the fixture embeddings: scratch write,
+    atomic rename, skip when published. Returns the path."""
+    import os
+    import shutil
+    import uuid
+
+    path = _dedup_store_path(sf_dir, "embeddings", f"k={k}|it={n_iters}|mod={sample_mod}")
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    D.semantic_store_write(e, tmp, k=k, n_iters=n_iters, sample_mod=sample_mod)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@q(
+    "dedup_semantic_incremental_store",
+    # The oracle re-derives the persisted index bit-for-bit: the sampled
+    # codebook (same CTEs as every kmeans-family oracle), the store
+    # members' nearest-centroid assignment, the arrivals' assignment to
+    # the SAME centroids (no re-fit), and the within-cell y.id < x.id
+    # pairwise >= tau verify restricted to arrival x's.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    "e AS (SELECT vec_id, v FROM base),"
+    + _kmeans_sampled_init_sql(8, 4)
+    + ","
+    + _kmeans_iter_sql(1, 0, src="s")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="s")
+    + """,
+    arr AS (
+      SELECT list_transform(range(0, len(v)), d ->
+               v[d + 1] + 0.005 * CAST(((d * 31 + vec_id) % 5) - 2 AS DOUBLE)) AS v,
+             vec_id + 100000 AS vec_id
+      FROM base WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT list_transform(range(0, len(v)), d -> v[len(v) - d]) AS v,
+             vec_id + 200000 AS vec_id
+      FROM base WHERE vec_id % 2 = 1
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+          UNION ALL
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) FROM arr),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, cent.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n CROSS JOIN cent) WHERE r = 1),
+    mem AS (SELECT a.vec_id, a.cell, n.v, n.nrm
+            FROM asg a JOIN n ON n.vec_id = a.vec_id),
+    pairs AS (
+      SELECT y.vec_id AS a, x.vec_id AS b,
+             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos
+      FROM mem x JOIN mem y ON x.cell = y.cell AND y.vec_id < x.vec_id
+      WHERE x.vec_id >= 100000
+        AND round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.99)
+    SELECT b AS vec_id, min(a) AS dup_of, arg_min(cos, a) AS cos,
+           count(*) AS n_dups
+    FROM pairs GROUP BY b
+    """,
+)
+def dedup_semantic_incremental_store(spark, sf_dir):
+    """Incremental SEMANTIC dedup against a persisted index — the
+    embedding-family twin of ``dedup_incremental_persisted_store``
+    (round-13 arc: indexes paid at write time, Graph.hs:57-61). The
+    store's codebook + cell-partitioned member table are built once
+    (``ensure_semantic_store``); the arriving batch — perturbed twins of
+    the even store vectors (must be caught) plus reversed vectors of the
+    odd ones (novel, must mostly pass) — pays one broadcast assignment
+    and a within-TOUCHED-cell verify, never a Lloyd re-fit and never a
+    store×store comparison. Output per dropped arrival: canonical
+    duplicate (min matching id — store beats same-batch), its cosine,
+    match count."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    store_path = ensure_semantic_store(spark, sf_dir, k=8, n_iters=2, sample_mod=4)
+    pert = e.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, d: x
+            + F.lit(0.005) * (((d * 31 + F.col("vec_id")) % 5) - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    rev = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + F.lit(200000)).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    pairs = D.incremental_semantic_vs_store(
+        spark, store_path, pert.unionByName(rev), tau=0.99
+    )
+    return pairs.groupBy("b").agg(
+        F.min("a").alias("dup_of"),
+        F.min_by("cos", "a").alias("cos"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select(F.col("b").alias("vec_id"), "dup_of", "cos", "n_dups")
 
 
 @q(

@@ -2565,6 +2565,32 @@ def test_incremental_dedup_new_batch_only(spark, tmp_path):
     }
 
 
+def test_semantic_incremental_store_catches_planted_twins(spark, sf_dir):
+    """The persisted semantic index route: perturbed twins of even store
+    vectors must be caught with their ORIGINAL as canonical (store beats
+    same-batch); only arrivals may appear; reversed 'novel' arrivals are
+    allowed through except where reversal happens to stay tau-close."""
+    from graph_db_spark.queries import REGISTRY
+
+    rows = REGISTRY["dedup_semantic_incremental_store"].build(spark, sf_dir).collect()
+    assert rows, "no verdicts at all — the planted twins must be caught"
+    assert all(r["vec_id"] >= 100000 for r in rows)  # store never dropped
+    pert = [r for r in rows if 100000 <= r["vec_id"] < 200000]
+    # ~all perturbed twins are caught, canonical = their store original
+    exact = sum(
+        1 for r in pert if r["dup_of"] == r["vec_id"] - 100000 and r["cos"] >= 0.99
+    )
+    assert exact >= 0.9 * len(pert) and len(pert) > 0
+    # the cached store path serves the second call (build-once publish)
+    import os
+
+    from graph_db_spark.queries import ensure_semantic_store
+
+    p1 = ensure_semantic_store(spark, sf_dir)
+    p2 = ensure_semantic_store(spark, sf_dir)
+    assert p1 == p2 and os.path.isdir(os.path.join(p1, "members"))
+
+
 def test_incremental_dedup_persisted_matches_recompute(spark, sf_dir):
     """Route equality on the real fixture corpus: the persisted
     signature-store plan and the full-recompute plan must produce the
