@@ -379,7 +379,18 @@ def incremental_near_dup_vs_store(
         if shingle > 1
         else tokens(arrivals, id_col, text_col)
     )
+    if checkpoint:
+        # The batch's token/signature pipeline feeds the broadcast side,
+        # the union side, AND every verify subtree — uncut, Catalyst
+        # re-instantiates the shingle explode + 8×md5 pipeline for each
+        # (profiled: ~23 s per instantiation at a 10k-doc batch, ×3).
+        # Both cuts are batch-sized; production appends exactly these
+        # rows to the store after admission, so computing them once is
+        # the write-time-index flow anyway.
+        a_tok = a_tok.localCheckpoint()
     a_band = band_bucket_rows(minhash_signatures(a_tok, n_hashes), n_hashes, bands)
+    if checkpoint:
+        a_band = a_band.localCheckpoint()
     a_sizes = a_tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     s_band = spark.read.parquet(os.path.join(store_path, "bands"))
     s_sizes = spark.read.parquet(os.path.join(store_path, "sizes"))
@@ -424,20 +435,35 @@ def incremental_near_dup_vs_store(
         cands = cands.localCheckpoint()
     # Stage 4: re-shingle ONLY the store docs that survived as candidates.
     cand_store_ids = cands.select(F.col("a").alias(id_col)).distinct()
+    if checkpoint:
+        # With the candidate set materialized, push the id list INTO the
+        # store scan as a literal predicate: parquet min/max row-group
+        # stats then prune the store's text read to the groups holding
+        # candidates (an id-sorted layout reads ~candidate-count groups,
+        # not the corpus — the point-lookup pattern a production store
+        # serves from its primary-key order). Bounded: candidates survive
+        # two prunes (banding + size-ratio), so the list is at most a few
+        # × the batch's true near-dup count; the 1M guard keeps an
+        # adversarial all-dup batch on the semi-join path instead of
+        # shipping a huge IN-list through the driver.
+        ids = [r[0] for r in cand_store_ids.limit(1_000_001).collect()]
+        if len(ids) <= 1_000_000:
+            fetched = store_docs.filter(F.col(id_col).isin(ids))
+        else:
+            fetched = store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi")
+    else:
+        fetched = store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi")
     s_cand_tok = (
-        shingles(
-            store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi"),
-            id_col,
-            text_col,
-            shingle,
-        )
+        shingles(fetched, id_col, text_col, shingle)
         if shingle > 1
-        else tokens(
-            store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi"),
-            id_col,
-            text_col,
-        )
+        else tokens(fetched, id_col, text_col)
     )
+    if checkpoint:
+        # candidate-bounded (|candidate store docs| × shingles): cutting it
+        # pins the verify joins' size estimates to reality, so AQE
+        # broadcasts the tiny sides instead of shuffling the batch token
+        # table against a store-inflated estimate.
+        s_cand_tok = s_cand_tok.localCheckpoint()
     return jaccard_verify(cands, a_tok.unionByName(s_cand_tok), threshold)
 
 
@@ -449,6 +475,7 @@ def semantic_store_write(
     k: int = 8,
     n_iters: int = 2,
     sample_mod: int | None = None,
+    sample_target: int | None = None,
 ) -> None:
     """Persist the semantic-dedup index of an already-deduplicated
     embedding corpus — the write-time-index principle applied to the
@@ -471,7 +498,7 @@ def semantic_store_write(
 
     cent = kmeans_fit(
         embeddings, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
-        sample_mod=sample_mod,
+        sample_mod=sample_mod, sample_target=sample_target,
     )
     c = _norm_frame(cent, id_col, vec_col, "cell", "cvec").withColumnRenamed(
         "__norm", "cnorm"

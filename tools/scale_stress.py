@@ -180,6 +180,7 @@ def main() -> None:
         "exact_substring_spans", "semdedup", "semdedup_hier",
         "semdedup_default", "stream_dedup_banded_builtin",
         "stream_dedup_builtin_claim_lag", "stream_dedup_loser_ab",
+        "semantic_incremental_store",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -912,6 +913,68 @@ def main() -> None:
         for s in spread_scales(scale):
             run("semdedup_hier", s, sd_hier)
         emb.unpersist()
+
+    # -- persisted semantic index: batch cost vs STORE size ----------------
+    # Round-13 twin of incremental_dedup_store for the embedding family:
+    # FIXED batch (the factor-3 expansion = 6,000 vectors, identical at
+    # every scale, each a bit-identical copy of a store member so drops
+    # are deterministic) against a 20k (1x) vs 200k (10x) persisted
+    # semantic index. Index build pays the constant-cell kmeans once
+    # (k = max(8, n/1024), sampled fit); per-batch is a broadcast
+    # assignment + a members scan pruned to touched cells + a
+    # |batch|·|cell| pairwise — cell size is constant under the k ∝ n
+    # schedule, so per-batch wall should be ~flat modulo the scan.
+    if want("semantic_incremental_store"):
+        from graph_db_spark.operators.dedup import (
+            incremental_semantic_vs_store,
+            semantic_store_write,
+        )
+
+        batch = (
+            expanded_embeddings(spark, SF_DIR, 3)
+            .select((F.col("vec_id") + F.lit(10_000_000_000)).alias("vec_id"), "embedding")
+            .repartition(int(cpus))
+            .persist()
+        )
+        batch_n = batch.count()
+        for scale, factor in sd_scales:
+            emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
+            n = emb.count()
+            k = max(8, n // 1024)
+            tmp = tempfile.mkdtemp(prefix=f"stress_semstore_{scale}_")
+            store_path = os.path.join(tmp, "sem_store")
+            try:
+                run(
+                    "semantic_incremental_store",
+                    f"{scale}_index_build",
+                    lambda e=emb, p=store_path, kk=k, nn=n: {
+                        "vectors": nn,
+                        "k": kk,
+                        "built": semantic_store_write(
+                            e, p, k=kk, n_iters=2,
+                            sample_target=max(10_000, 50 * kk),
+                        )
+                        or True,
+                    },
+                )
+                run(
+                    "semantic_incremental_store",
+                    f"{scale}_batch_persisted",
+                    lambda p=store_path, nn=n: {
+                        "vectors": nn,
+                        "batch_vectors": batch_n,
+                        "dropped": incremental_semantic_vs_store(
+                            spark, p, batch, tau=0.95
+                        )
+                        .select("b")
+                        .distinct()
+                        .count(),
+                    },
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            emb.unpersist()
+        batch.unpersist()
 
     # -- scaling verdict ---------------------------------------------------
     for op, d in results.items():
