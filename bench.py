@@ -314,6 +314,7 @@ def main() -> None:
         "pipeline_training_corpus",
         "pipeline_curated_pack",
         "dedup_incremental_persisted_store",
+        "dedup_semantic_incremental_store",
     ):
         try:
             force(REGISTRY[name].build(spark, sf_dir))
