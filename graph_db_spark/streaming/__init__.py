@@ -15,6 +15,7 @@ from graph_db_spark.streaming.apply import (
     stream_dedup_near,
     stream_dedup_near_banded,
     stream_dedup_near_banded_builtin,
+    stream_dedup_vs_store,
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -30,6 +31,7 @@ __all__ = [
     "stream_dedup_near",
     "stream_dedup_near_banded",
     "stream_dedup_near_banded_builtin",
+    "stream_dedup_vs_store",
     "load_published_snapshot",
     "stateful_user_sessions",
 ]

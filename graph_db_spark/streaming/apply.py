@@ -836,6 +836,50 @@ def stream_curated_ingest(
     )
 
 
+def stream_dedup_vs_store(
+    spark: SparkSession,
+    docs_dir: str,
+    store_path: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming ingest dedup against a PERSISTED signature store — a
+    STREAM-STATIC equi-join, the streaming face of
+    ``operators.dedup.incremental_near_dup_vs_store`` and the third leg
+    of the write-time-index arc (batch persisted route, semantic index,
+    this). Each arriving document's band keys (row-local MinHash — no
+    aggregation, so usable inside the streaming projection) probe the
+    store's bands/ parquet directly.
+
+    STATELESS by construction: the static side is a plain relation, so
+    there is no watermark, no state store, and nothing to age out — the
+    only stateful dedup concern (arrival-vs-arrival) is deliberately NOT
+    this operator's job (compose with ``stream_dedup_near_banded*`` for
+    that; production ingests run store-probe first, intra-stream dedup
+    second). Emits signature-level hits (doc_id, ts, band, store_id) —
+    the banded recall tier (``dedup_banded_survivors``'s contract); the
+    exact Jaccard confirm happens in the admission batch, where
+    candidate text is fetched by id. Band keys are bit-identical to the
+    store writer's (md5 over '|'-joined signature slots on both paths),
+    so the probe is exact w.r.t. the batch route's candidate set
+    (pytest asserts set equality). At 100 TB: the static side reloads
+    per micro-batch (fixed-width keys, columnar scan); pin the store
+    with a bucketed layout or Delta/Iceberg file pruning to serve it as
+    an index rather than a scan."""
+    exploded = _banded_bucket_rows(spark, docs_dir, n_hashes, bands, shingle_k)
+    store = spark.read.parquet(os.path.join(store_path, "bands")).select(
+        F.col("band").alias("s_band"),
+        F.col("bkey").alias("s_bkey"),
+        F.col("id").alias("store_id"),
+    )
+    return exploded.join(
+        store,
+        (F.col("band") == F.col("s_band")) & (F.col("bkey") == F.col("s_bkey")),
+        "inner",
+    ).select("doc_id", "ts", "band", "store_id")
+
+
 def stream_click_error_join(
     spark: SparkSession,
     events_dir: str,

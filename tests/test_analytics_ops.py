@@ -1635,6 +1635,87 @@ def test_stream_dedup_near_banded_builtin_matches_python_route(spark, sf_dir, tm
     assert 9001 not in dropped_builtin
 
 
+def test_stream_dedup_vs_store_matches_batch_candidates(spark, sf_dir, tmp_path):
+    """STREAM-STATIC store probe (round-13): arriving docs' band keys
+    joined against the persisted signature store must produce EXACTLY
+    the batch route's arrival-vs-store candidate set (band keys are
+    bit-identical md5s on both paths), statelessly — no watermark, no
+    state store. Shingle-less docs (__nosig__ fallback) never hit."""
+    from graph_db_spark.operators.dedup import (
+        band_bucket_rows,
+        minhash_signatures,
+        shingles,
+        signature_store_write,
+    )
+    from graph_db_spark.streaming import stream_dedup_vs_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    store_docs = docs.filter(F.col("doc_id") < 60)
+    store_path = str(tmp_path / "sig_store")
+    signature_store_write(store_docs, store_path)
+
+    # arrivals: copies of 5 store docs (+500 — must hit their originals),
+    # 40 novel docs, and one shingle-less doc (must never hit)
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 500
+    )
+    novel = docs.filter(F.col("doc_id") >= 60)
+    shorts = spark.createDataFrame(
+        [(9001, "hi", "en", "srcx", 2)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    arrivals = copies.unionByName(novel).unionByName(shorts)
+    src = str(tmp_path / "arrivals")
+    arrivals.write.parquet(src)
+
+    q = (
+        stream_dedup_vs_store(spark, src, store_path)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("store_hits")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["band"], r["store_id"])
+            for r in spark.sql(
+                "SELECT doc_id, band, store_id FROM store_hits"
+            ).collect()
+        }
+        # the query carries NO stateful operator
+        prog = q.lastProgress
+        assert not (prog or {}).get("stateOperators"), prog
+    finally:
+        q.stop()
+
+    # batch twin of the probe: arrival bands x store bands equi-join
+    a_band = band_bucket_rows(
+        minhash_signatures(shingles(arrivals, "doc_id", "text", 3), 8), 8, 4
+    )
+    s_band = band_bucket_rows(
+        minhash_signatures(shingles(store_docs, "doc_id", "text", 3), 8), 8, 4
+    )
+    want = {
+        (r["doc_id"], r["band"], r["store_id"])
+        for r in a_band.join(
+            s_band.select(
+                F.col("band"), F.col("bkey"), F.col("id").alias("store_id")
+            ),
+            ["band", "bkey"],
+        )
+        .select(F.col("id").alias("doc_id"), "band", "store_id")
+        .collect()
+    }
+    assert got == want
+    hit_docs = {d for d, _, _ in got}
+    assert {500 + i for i in range(5)} <= hit_docs  # every copy hits
+    assert 9001 not in hit_docs  # shingle-less never hits
+    # each copy's original is among its hits
+    for i in range(5):
+        assert any(d == 500 + i and s == i for d, _b, s in got)
+
+
 def test_stream_dedup_builtin_intra_batch_pair_keeps_one_survivor(spark, sf_dir, tmp_path):
     """Round-11 advice (survivor-loss hazard): a duplicate pair landing
     in the SAME micro-batch may split its bucket claims between the two
