@@ -279,6 +279,8 @@ def main() -> None:
         # round-13: incremental semantic dedup vs the persisted codebook +
         # cell-partitioned member index (no re-fit, touched cells only)
         "dedup_semantic_incremental_store",
+        # round-13: exact-recall similarity join (prefix filtering)
+        "dedup_prefix_filter_pairs",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_db_spark.functions.text import WHITESPACE, shingle_array, ws_tokens
 
@@ -465,6 +465,74 @@ def incremental_near_dup_vs_store(
         # table against a store-inflated estimate.
         s_cand_tok = s_cand_tok.localCheckpoint()
     return jaccard_verify(cands, a_tok.unionByName(s_cand_tok), threshold)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT-RECALL Jaccard similarity join via prefix filtering (the
+    PPJoin family — Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008):
+    every pair with jaccard ≥ *threshold* is guaranteed a candidate,
+    unlike MinHash-LSH's probabilistic banding. Returns (a, b, jaccard).
+
+    Principle: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so each
+    side needs overlap α(X) = ceil(t·|X|). Order every doc's tokens by a
+    GLOBAL canonical order (ascending document frequency, ties on token
+    text) and keep each doc's first |X| − α(X) + 1 tokens — its prefix.
+    Two sets meeting the overlap bound MUST share a prefix token
+    (pigeonhole on the canonical order), so the candidate join runs on
+    prefix tokens only.
+
+    Scale shape: the df-ascending order makes prefixes a doc's RAREST
+    tokens, so the equi-join's per-key fan-out is bounded by those
+    tokens' df — the skew a raw token self-join would have on stopword
+    shingles is designed out. Three shuffles total (df count and sizes
+    are map-side-combinable; the per-doc rank window partitions on id —
+    never unpartitioned), then the candidate-only exact verify. The
+    LSH route stays the cheaper probe at mega-corpus scale (prefixes
+    still grow with corpus); this is the exactness tier for when recall
+    guarantees matter (eval-set decontamination, legal/compliance
+    dedup)."""
+    tok = (
+        shingles(df, id_col, text_col, shingle)
+        if shingle > 1
+        else tokens(df, id_col, text_col)
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    pref = (
+        tok.join(dfreq, "token")
+        .select("id", "token", F.row_number().over(w).alias("pos"))
+        .join(sizes, "id")
+        # ceil(t·|X|) as float-ceil on BOTH engines (IEEE doubles agree);
+        # prefix keeps pos ≤ |X| − α + 1
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        )
+        .select("id", "token")
+    )
+    cands = (
+        pref.select(F.col("id").alias("a"), "token")
+        .join(pref.select(F.col("id").alias("b"), "token"), "token")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # sound size-ratio prune before the exact verify (J ≥ t forces
+    # min/max ≥ t) — candidate-only joins against the tiny sizes agg
+    cands = (
+        cands.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(F.least("sza", "szb") >= threshold * F.greatest("sza", "szb"))
+        .select("a", "b")
+    )
+    return jaccard_verify(cands, tok, threshold)
 
 
 def semantic_store_write(

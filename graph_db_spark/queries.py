@@ -6955,6 +6955,67 @@ def dedup_containment_pairs(spark, sf_dir):
     return D.containment_verify(cands, tok, 0.8)
 
 
+@q(
+    "dedup_prefix_filter_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    pos AS (
+      SELECT t.id, t.token,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.token) AS pos
+      FROM tok t JOIN dfq d ON d.token = t.token
+    ),
+    pref AS (
+      SELECT p.id, p.token
+      FROM pos p JOIN sz ON sz.id = p.id
+      WHERE p.pos <= sz.sz - CAST(ceil(sz.sz * 0.7) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM pref l JOIN pref r ON l.token = r.token AND l.id < r.id
+    ),
+    sized AS (
+      SELECT c.a, c.b FROM cand c
+      JOIN sz sa ON sa.id = c.a JOIN sz sb ON sb.id = c.b
+      WHERE least(sa.sz, sb.sz) >= 0.7 * greatest(sa.sz, sb.sz)
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM sized c JOIN tok ta ON ta.id = c.a
+      JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+    WHERE i.inter >= 0.7 * (sa.sz + sb.sz - i.inter)
+    """,
+)
+def dedup_prefix_filter_pairs(spark, sf_dir):
+    """Exact-recall Jaccard similarity join (prefix filtering, the
+    PPJoin family) at t = 0.7 — the recall-GUARANTEED tier next to
+    ``dedup_minhash_lsh``'s probabilistic banding: every qualifying pair
+    is a candidate by the pigeonhole on the global df-ascending token
+    order, so this is the route for decontamination-grade exactness.
+    The result is a superset-or-equal of the LSH route's verified pairs
+    at the same threshold (pytest asserts it)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold=0.7, shingle=3)
+
+
 def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     """Cache location for a persisted dedup index (signature or semantic)
     of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot

@@ -2646,6 +2646,38 @@ def test_incremental_dedup_new_batch_only(spark, tmp_path):
     }
 
 
+def test_prefix_filter_exact_recall_superset_of_lsh(spark, sf_dir):
+    """Prefix filtering guarantees every jaccard >= t pair is a candidate
+    (pigeonhole on the global df order); MinHash-LSH banding is
+    probabilistic. At the same threshold the prefix route's verified
+    pairs must therefore be a superset-or-equal of the LSH route's, and
+    every common pair must carry the identical exact jaccard."""
+    from graph_db_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        jaccard_verify,
+        minhash_signatures,
+        prefix_filter_jaccard_pairs,
+        shingles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(d, "doc_id", "text", 0.7, 3).collect()
+    }
+    tok = shingles(d, "doc_id", "text", 3)
+    lsh = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_verify(
+            lsh_candidate_pairs(minhash_signatures(tok, 8), 8, 4), tok, 0.7
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k in lsh:
+        assert lsh[k] == exact[k]
+    assert exact, "fixture corpus has known near-dup pairs at 0.7"
+
+
 def test_semantic_incremental_store_catches_planted_twins(spark, sf_dir):
     """The persisted semantic index route: perturbed twins of even store
     vectors must be caught with their ORIGINAL as canonical (store beats

@@ -610,7 +610,13 @@ def test_round12_windows_are_partitioned(spark, sf_dir):
 
     from graph_db_spark.plans import explain_str
 
-    for name in ("shard_manifest_by_tokens", "scd2_user_status_intervals"):
+    # round-13: dedup_prefix_filter_pairs' per-doc rank window joins the
+    # same guarantee (partitioned on id — the df-order prefix rank)
+    for name in (
+        "shard_manifest_by_tokens",
+        "scd2_user_status_intervals",
+        "dedup_prefix_filter_pairs",
+    ):
         plan = explain_str(REGISTRY[name].build(spark, sf_dir))
         specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
         assert specs, name  # the window is load-bearing in both plans

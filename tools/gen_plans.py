@@ -92,6 +92,11 @@ AUDITED = [
     # test_incremental_dedup_persisted_matches_recompute on the
     # uncheckpointed form)
     "dedup_incremental_persisted_store",
+    # round-13: exact-recall prefix-filtering join (id-partitioned rank
+    # window, rare-token candidate join, no cartesian anywhere)
+    "dedup_prefix_filter_pairs",
+    "dedup_containment_pairs",
+    "dedup_semantic_incremental_store",
 ]
 
 NOTES = """## Notes
