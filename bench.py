@@ -281,6 +281,8 @@ def main() -> None:
         "dedup_semantic_incremental_store",
         # round-13: exact-recall similarity join (prefix filtering)
         "dedup_prefix_filter_pairs",
+        # round-13: duration-weighted signal average (lead window + DECIMAL)
+        "event_time_weighted_avg",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

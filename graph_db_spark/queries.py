@@ -7016,6 +7016,66 @@ def dedup_prefix_filter_pairs(spark, sf_dir):
     return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", threshold=0.7, shingle=3)
 
 
+@q(
+    "event_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(date_part('epoch', ts) * 1e6) AS BIGINT) AS ts_us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events),
+    w AS (
+      SELECT user_id, v,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+               - ts_us AS dur
+      FROM e)
+    SELECT user_id,
+           round(CAST(sum(v * dur) AS DOUBLE) / sum(dur), 6) AS tw_avg,
+           CAST(sum(dur) AS BIGINT) AS span_us
+    FROM w WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING sum(dur) > 0
+    """,
+)
+def event_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of a sampled signal per user — the
+    observability/finance aggregate (each reading holds until the next
+    one, so it weighs by holding duration, not sample count; a sensor
+    that reports rarely at a high value is not drowned out by a chatty
+    one). Duration arithmetic in exact integer microseconds, the
+    weighted sum in DECIMAL (order-independent across partitionings),
+    one user-partitioned lead window + one grouped agg — two shuffles on
+    user_id that AQE can plan as a single exchange reuse. The last
+    reading per user has no successor and drops out (standard
+    left-open convention); users whose every duration is zero
+    (all-simultaneous events) are excluded by the HAVING guard."""
+    from graph_db_spark.session import load_events
+
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    dur = base.select(
+        "user_id",
+        "v",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur"),
+    )
+    return (
+        dur.filter(F.col("dur").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("dur")).cast("double") / F.sum("dur"), 6
+            ).alias("tw_avg"),
+            F.sum("dur").alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+    )
+
+
 def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     """Cache location for a persisted dedup index (signature or semantic)
     of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot

@@ -2678,6 +2678,49 @@ def test_prefix_filter_exact_recall_superset_of_lsh(spark, sf_dir):
     assert exact, "fixture corpus has known near-dup pairs at 0.7"
 
 
+def test_prefix_filter_equals_bruteforce_all_pairs(spark):
+    """The exactness property LSH cannot have: on an adversarial
+    small-alphabet corpus (heavy shingle sharing, df ties, twin docs,
+    sub-k shorties), the prefix-filter route's verified pairs equal the
+    BRUTE-FORCE all-pairs jaccard >= t set exactly — same pairs, same
+    6dp jaccards."""
+    from graph_db_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    words = [f"w{i}" for i in range(7)]
+    rows = []
+    for i in range(30):
+        toks = [words[(i * 3 + j * (1 + i % 4)) % 7] for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    rows.append((100, rows[4][1]))            # exact twin of doc 4
+    rows.append((101, rows[7][1] + " w0"))    # near twin of doc 7
+    rows.append((102, "w1 w2"))               # sub-k: no shingles
+
+    def shingle_set(text, k=3):
+        t = text.split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)} if len(t) >= k else set()
+
+    t = 0.7
+    want = {}
+    for (ia, ta), (ib, tb) in (
+        ((a, b) for a in rows for b in rows if a[0] < b[0])
+    ):
+        sa, sb = shingle_set(ta), shingle_set(tb)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        uni = len(sa | sb)
+        if inter >= t * uni:
+            want[(ia, ib)] = round(inter / uni, 6)
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(df, "doc_id", "text", t, 3).collect()
+    }
+    assert got == want
+    assert (4, 100) in got and got[(4, 100)] == 1.0
+
+
 def test_semantic_incremental_store_catches_planted_twins(spark, sf_dir):
     """The persisted semantic index route: perturbed twins of even store
     vectors must be caught with their ORIGINAL as canonical (store beats
