@@ -283,6 +283,8 @@ def main() -> None:
         "dedup_prefix_filter_pairs",
         # round-13: duration-weighted signal average (lead window + DECIMAL)
         "event_time_weighted_avg",
+        # round-13: product-quantization ANN (ADC lookup-sum scan)
+        "ann_pq_adc_topk",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

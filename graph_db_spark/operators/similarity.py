@@ -219,6 +219,137 @@ def lsh_near_dup_pairs(
     )
 
 
+def _sq_l2(a, b):
+    """Squared L2 between two array columns as the sequential fold every
+    kmeans/PQ oracle replicates with list_sum(list_transform(...))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 2,
+    n_codes: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    dim: int | None = None,
+) -> list[DataFrame]:
+    """Product-quantization codebooks (Jégou et al. 2011, the FAISS `PQ`
+    index): split the vector into *m* contiguous subspaces and train an
+    independent k-means codebook (``kmeans_fit`` — decimal-exact,
+    RNG-free, oracle-replicable) of *n_codes* codewords in each. Returns
+    m centroid frames [(cell, cvec)], each k rows, checkpointed by
+    kmeans_fit. Memory story at scale: a d-dim float32 vector becomes m
+    log2(n_codes)-bit codes — at m=16, k=256 a 768-dim embedding drops
+    3072 → 16 bytes, the standard billion-vector regime.
+
+    *dim* (default: probed from one row like ``ivf``'s dimension probe)
+    must be divisible by m; subspace s covers columns
+    [s·dim/m, (s+1)·dim/m)."""
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide evenly into m={m} subspaces")
+    w = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
+        )
+        books.append(
+            kmeans_fit(
+                sub, k=n_codes, n_iters=n_iters, sample_mod=sample_mod
+            ).select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: per subspace, the L2-nearest codeword (ties on cell id —
+    the kmeans assignment contract). Returns (id, c0..c{m-1}). Each
+    subspace assignment is one broadcast of the k-row codebook into the
+    corpus scan + a min-struct agg — no shuffle beyond the id group."""
+    m = len(books)
+    dim_w: list[int] = []
+    out = None
+    for s, cb in enumerate(books):
+        w = len(cb.select("cvec").head()[0])
+        start = sum(dim_w) + 1
+        dim_w.append(w)
+        v = df.select(
+            F.col(id_col).alias("id"), F.slice(F.col(vec_col), start, w).alias("vec")
+        )
+        enc = (
+            v.crossJoin(F.broadcast(cb))
+            .withColumn("d", _sq_l2(F.col("vec"), F.col("cvec")))
+            .groupBy("id")
+            .agg(F.min(F.struct("d", "cell")).alias("mm"))
+            .select("id", F.col("mm.cell").alias(f"c{s}"))
+        )
+        out = enc if out is None else out.join(enc, "id")
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    books: list[DataFrame],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: the corpus is seen ONLY through
+    its codes; each query precomputes an m×n_codes distance table against
+    the codebooks (tiny, broadcast), and a candidate's approximate
+    distance is the SUM of table lookups — the trick that makes
+    billion-scale scans memory-bandwidth-bound instead of FLOP-bound.
+    Returns (qid, nid, adc) top-k per query, (adc, nid) tie-broken,
+    distances rounded 9dp for cross-engine hash stability. Self-matches
+    (nid = qid) are excluded."""
+    coded = pq_encode(df, books, id_col, vec_col)
+    m = len(books)
+    dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
+    adc = None
+    for s, cb in enumerate(books):
+        start = sum(dim_w[:s]) + 1
+        qd = (
+            queries.select(
+                F.col(id_col).alias("qid"),
+                F.slice(F.col(vec_col), start, dim_w[s]).alias("qv"),
+            )
+            .crossJoin(F.broadcast(cb))
+            .select(
+                "qid",
+                F.col("cell").alias(f"c{s}"),
+                F.round(_sq_l2(F.col("qv"), F.col("cvec")), 9).alias(f"d{s}"),
+            )
+        )
+        adc = coded.join(F.broadcast(qd), f"c{s}") if adc is None else adc.join(
+            F.broadcast(qd), ["qid", f"c{s}"]
+        )
+    total = F.round(sum(F.col(f"d{s}") for s in range(m)), 9)
+    scored = adc.filter(F.col("id") != F.col("qid")).select(
+        "qid", F.col("id").alias("nid"), total.alias("adc")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        scored.select("qid", "nid", "adc", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "adc")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -7076,6 +7076,85 @@ def event_time_weighted_avg(spark, sf_dir):
     )
 
 
+@q(
+    "ann_pq_adc_topk",
+    # The oracle re-derives BOTH subspace codebooks bit-for-bit (the
+    # kmeans CTE machinery, prefixed per subspace), the per-vector code
+    # assignment (unrounded L2, cell tie-break — the kmeans assignment
+    # convention), each query's m×k distance table (9dp), and the ADC
+    # lookup-sum top-k. Ties are everywhere by construction (16 distinct
+    # code combos), so the (adc, nid) tie-break carries the whole order.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    "e1 AS (SELECT vec_id, v[1:32] AS v FROM base),\n"
+    "e2 AS (SELECT vec_id, v[33:64] AS v FROM base),"
+    + _kmeans_sampled_init_sql(4, 4, src="e1", pfx="p")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="ps", pfx="p")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="ps", pfx="p")
+    + ","
+    + _kmeans_sampled_init_sql(4, 4, src="e2", pfx="q")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="qs", pfx="q")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="qs", pfx="q")
+    + """,
+    enc1 AS (SELECT vec_id, cell AS c0 FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e1 e, pc2 c) WHERE rn = 1),
+    enc2 AS (SELECT vec_id, cell AS c1 FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e2 e, qc2 c) WHERE rn = 1),
+    qd1 AS (SELECT e.vec_id AS qid, c.cell AS c0,
+                   round(list_sum(list_transform(range(len(e.v)), i ->
+                     (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))), 9) AS d0
+            FROM e1 e, pc2 c WHERE e.vec_id < 5),
+    qd2 AS (SELECT e.vec_id AS qid, c.cell AS c1,
+                   round(list_sum(list_transform(range(len(e.v)), i ->
+                     (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))), 9) AS d1
+            FROM e2 e, qc2 c WHERE e.vec_id < 5),
+    adc AS (
+      SELECT q0.qid, x.vec_id AS nid, round(q0.d0 + q1.d1, 9) AS adc
+      FROM (SELECT a.vec_id, a.c0, b.c1 FROM enc1 a JOIN enc2 b USING (vec_id)) x
+      JOIN qd1 q0 ON q0.c0 = x.c0
+      JOIN qd2 q1 ON q1.c1 = x.c1 AND q1.qid = q0.qid
+      WHERE x.vec_id <> q0.qid)
+    SELECT qid, nid, adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+      FROM adc)
+    WHERE rk <= 5
+    """,
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (Jégou et al.
+    2011 — the FAISS PQ index): m=2 subspaces × 4 codewords trained by
+    the decimal-exact sampled kmeans, corpus seen only through its
+    codes, query-to-codeword distance tables broadcast, candidate
+    distance = sum of table lookups. The memory-bandwidth scale path for
+    billion-vector corpora (768-dim float32 → m bytes); here the m×k
+    tables make every distance a 2-lookup sum, so the scan does no
+    per-dimension arithmetic at all. Top-5 per query, (adc, nid)
+    tie-broken — with 16 code combos ties are the common case and the
+    tie-break carries the order (the oracle replicates codebooks,
+    codes, tables, and cut identically)."""
+    from graph_db_spark.operators.similarity import pq_adc_topk, pq_fit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = pq_fit(e, m=2, n_codes=4, n_iters=2, sample_mod=4)
+    return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), books, k=5)
+
+
 def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     """Cache location for a persisted dedup index (signature or semantic)
     of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot

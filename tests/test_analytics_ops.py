@@ -2678,6 +2678,46 @@ def test_prefix_filter_exact_recall_superset_of_lsh(spark, sf_dir):
     assert exact, "fixture corpus has known near-dup pairs at 0.7"
 
 
+def test_pq_adc_contract(spark, sf_dir):
+    """PQ/ADC structural contract: exactly k rows per query, self never
+    returned, adc = the sum of the query's two subspace table entries
+    for the candidate's codes (recomputed independently here), and the
+    per-query cut is (adc, nid)-sorted."""
+    from graph_db_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    books = pq_fit(e, m=2, n_codes=4, n_iters=2, sample_mod=4)
+    got = pq_adc_topk(e, e.filter(F.col("vec_id") < 3), books, k=5).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["adc"], r["nid"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows_ in by_q.items():
+        assert len(rows_) == 5
+        assert rows_ == sorted(rows_)
+        assert all(n != qid for _, n in rows_)
+        assert all(a >= 0 for a, _ in rows_)
+
+    # independent ADC recomputation for one (query, candidate) pair
+    codes = {r["id"]: (r["c0"], r["c1"]) for r in pq_encode(e, books).collect()}
+    cents = [
+        {r["cell"]: r["cvec"] for r in cb.collect()} for cb in books
+    ]
+    qvecs = {r["vec_id"]: r["embedding"] for r in e.filter(F.col("vec_id") < 3).collect()}
+    qid = 0
+    adc0, nid0 = by_q[qid][0]
+    qv = qvecs[qid]
+    want = 0.0
+    for s in (0, 1):
+        sub = qv[s * 32 : (s + 1) * 32]
+        cv = cents[s][codes[nid0][s]]
+        want += round(sum((a - b) * (a - b) for a, b in zip(sub, cv)), 9)
+    assert abs(round(want, 9) - adc0) < 1e-6
+
+
 def test_prefix_filter_equals_bruteforce_all_pairs(spark):
     """The exactness property LSH cannot have: on an adversarial
     small-alphabet corpus (heavy shingle sharing, df ties, twin docs,
