@@ -97,6 +97,8 @@ AUDITED = [
     "dedup_prefix_filter_pairs",
     "dedup_containment_pairs",
     "dedup_semantic_incremental_store",
+    "ann_pq_adc_topk",
+    "event_time_weighted_avg",
 ]
 
 NOTES = """## Notes
