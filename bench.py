@@ -285,6 +285,8 @@ def main() -> None:
         "event_time_weighted_avg",
         # round-13: product-quantization ANN (ADC lookup-sum scan)
         "ann_pq_adc_topk",
+        # round-13: exact-recall containment join (one-sided prefix)
+        "dedup_containment_exact_pairs",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

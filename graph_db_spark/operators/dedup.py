@@ -535,6 +535,65 @@ def prefix_filter_jaccard_pairs(
     return jaccard_verify(cands, tok, threshold)
 
 
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT-RECALL containment join — the candidate generator
+    ``containment_verify``'s docstring promises (LSH banding collides on
+    Jaccard and structurally under-recalls low-Jaccard subset pairs).
+    Returns (a, b, containment, jaccard) for every pair with
+    |A∩B| / min(|A|,|B|) ≥ *threshold*.
+
+    Principle: C(A,B) ≥ t needs overlap ≥ ceil(t·|X|) for X the SMALLER
+    side, so X's df-ordered prefix (|X| − ceil(t·|X|) + 1 rarest tokens)
+    must intersect the OTHER side's FULL token set — pigeonhole again,
+    but one-sided: candidates come from joining every doc's prefix
+    against the full (id, token) table. Exact recall follows because
+    every qualifying pair is generated with X = its smaller member (the
+    join is run symmetrically; a<b orientation dedups).
+
+    Scale shape vs the Jaccard prefix join: the full-side fan-out per
+    prefix token is that token's df — still bounded by the df-ascending
+    prefix choice, but heavier than prefix×prefix (the price of catching
+    a 10-token quote inside a 10k-token document). At 100 TB, partition
+    the full token table by token and let AQE skew-split the residual
+    hot keys; the verify stays candidate-only."""
+    tok = (
+        shingles(df, id_col, text_col, shingle)
+        if shingle > 1
+        else tokens(df, id_col, text_col)
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    pref = (
+        tok.join(dfreq, "token")
+        .select("id", "token", F.row_number().over(w).alias("pos"))
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+        )
+        .select("id", "token")
+    )
+    # prefix side × FULL side, both orientations folded into a<b; the
+    # smaller member's prefix hit is guaranteed for every qualifying pair
+    cands = (
+        pref.select(F.col("id").alias("x"), "token")
+        .join(tok.select(F.col("id").alias("y"), "token"), "token")
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    return containment_verify(cands, tok, threshold)
+
+
 def semantic_store_write(
     embeddings: DataFrame,
     path: str,

@@ -7155,6 +7155,63 @@ def ann_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(e, e.filter(F.col("vec_id") < 5), books, k=5)
 
 
+@q(
+    "dedup_containment_exact_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    pos AS (
+      SELECT t.id, t.token,
+             row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.token) AS pos
+      FROM tok t JOIN dfq d ON d.token = t.token
+    ),
+    pref AS (
+      SELECT p.id, p.token
+      FROM pos p JOIN sz ON sz.id = p.id
+      WHERE p.pos <= sz.sz - CAST(ceil(sz.sz * 0.8) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT least(l.id, r.id) AS a, greatest(l.id, r.id) AS b
+      FROM pref l JOIN tok r ON l.token = r.token AND l.id <> r.id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c JOIN tok ta ON ta.id = c.a
+      JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b,
+           round(i.inter * 1.0 / least(sa.sz, sb.sz), 6) AS containment,
+           round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+    WHERE i.inter >= 0.8 * least(sa.sz, sb.sz)
+    """,
+)
+def dedup_containment_exact_pairs(spark, sf_dir):
+    """Exact-recall containment join at t = 0.8 — the one-sided prefix
+    pigeonhole (smaller side's rarest tokens vs the other side's FULL
+    set), completing the containment story: ``dedup_containment_pairs``
+    verifies over Jaccard-banded LSH candidates (its honest recall
+    tier), this route GUARANTEES every qualifying subset/quote pair.
+    Superset-or-equal of the LSH-fed query's rows at the same threshold;
+    brute-force equality pinned in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    return D.prefix_filter_containment_pairs(d, "doc_id", "text", 0.8, 3)
+
+
 def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     """Cache location for a persisted dedup index (signature or semantic)
     of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot

@@ -2761,6 +2761,49 @@ def test_prefix_filter_equals_bruteforce_all_pairs(spark):
     assert (4, 100) in got and got[(4, 100)] == 1.0
 
 
+def test_containment_prefix_equals_bruteforce_all_pairs(spark):
+    """The containment join's exactness, including the regime LSH
+    structurally misses: a SHORT doc quoted wholesale inside a LONG one
+    (containment 1.0, Jaccard tiny). Prefix-vs-full candidates + verify
+    must equal brute-force all-pairs containment >= t exactly."""
+    from graph_db_spark.operators.dedup import prefix_filter_containment_pairs
+
+    words = [f"w{i}" for i in range(9)]
+    rows = []
+    for i in range(24):
+        toks = [words[(i * 5 + j * (1 + i % 3)) % 9] for j in range(10)]
+        rows.append((i, " ".join(toks)))
+    # a short doc and a long doc QUOTING it verbatim (LSH's blind spot)
+    quote = "w0 w3 w6 w1 w4"
+    rows.append((200, quote))
+    rows.append((201, " ".join(f"z{j}" for j in range(40)) + " " + quote))
+    rows.append((202, rows[3][1]))  # exact twin
+
+    def shingle_set(text, k=3):
+        t = text.split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)} if len(t) >= k else set()
+
+    t = 0.8
+    want = {}
+    for (ia, ta), (ib, tb) in ((a, b) for a in rows for b in rows if a[0] < b[0]):
+        sa, sb = shingle_set(ta), shingle_set(tb)
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter >= t * min(len(sa), len(sb)):
+            want[(ia, ib)] = round(inter / min(len(sa), len(sb)), 6)
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in prefix_filter_containment_pairs(df, "doc_id", "text", t, 3).collect()
+    }
+    assert got == want
+    # the quote pair is caught with containment 1.0 despite tiny Jaccard
+    assert got[(200, 201)] == 1.0
+    assert (3, 202) in got and got[(3, 202)] == 1.0
+
+
 def test_semantic_incremental_store_catches_planted_twins(spark, sf_dir):
     """The persisted semantic index route: perturbed twins of even store
     vectors must be caught with their ORIGINAL as canonical (store beats
