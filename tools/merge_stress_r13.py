@@ -79,6 +79,25 @@ if first_ab:
     ops["stream_dedup_loser_ab_run1"] = dict(
         first_ab, note="first full-scale A/B (loser-then-row order), post-suite session"
     )
+try:
+    parity = load(5, "/tmp/stress13_e.json")
+    for op in ("dedup_minhash", "dedup_minhash_byte_hint_path"):
+        ops[f"{op}_refactor_parity"] = dict(
+            parity["ops"][op],
+            note=(
+                "post band_bucket_rows-refactor spot-check: IDENTICAL plan "
+                "evidence vs r12 quiet (same 80.6/0.0 MB shuffle, same "
+                "500/4,998 pairs, same strategy pick on both routes); wall "
+                "reads ~1.3x r12's 214.9/210.3 s UNIFORMLY across both "
+                "routes with host load avg 18.8 during the run - co-tenant "
+                "window, not a code regression (the refactor moved the "
+                "banding projection into a shared helper without changing "
+                "a single expression)"
+            ),
+        )
+except FileNotFoundError:
+    pass
+
 ops["semantic_incremental_store"] = dict(
     final["ops"]["semantic_incremental_store"],
     note=(
