@@ -287,6 +287,8 @@ def main() -> None:
         "ann_pq_adc_topk",
         # round-13: exact-recall containment join (one-sided prefix)
         "dedup_containment_exact_pairs",
+        # round-13: composed IVF-PQ index (probe prune + ADC lookup sum)
+        "ann_ivfpq_topk",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

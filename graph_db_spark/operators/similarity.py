@@ -350,6 +350,81 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    books: list[DataFrame],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two FAISS index halves composed — a coarse k-means
+    quantizer prunes the scan to each query's *n_probe* nearest cells
+    (the IVF half), and within them candidates are scored by the PQ/ADC
+    lookup sum (the memory half). Per query the work drops from N ADC
+    sums to N·(n_probe/k_coarse) — the standard billion-vector recipe.
+    This composition encodes RAW vectors (FAISS's no-residual option);
+    the production refinement — PQ on residuals v − coarse_centroid,
+    one distance table per (query, probed cell) — changes constants,
+    not the plan shape. Deterministic end to end: L2 assignments
+    tie-break on cell, the probe list on (distance, cell), the final
+    cut on (adc, nid); *coarse* comes from ``kmeans_fit`` and *books*
+    from ``pq_fit``, so a SQL oracle re-derives everything."""
+    cc = coarse.select(
+        F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")
+    )
+    # corpus → coarse cell (unrounded L2, tie on cell — kmeans convention)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    corpus_cells = (
+        v.crossJoin(F.broadcast(cc))
+        .withColumn("d", _sq_l2(F.col("vec"), F.col("ccvec")))
+        .groupBy("id")
+        .agg(F.min(F.struct("d", "ccell")).alias("mm"))
+        .select("id", F.col("mm.ccell").alias("ccell"))
+    )
+    # query → n_probe nearest coarse cells
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    wp = W.partitionBy("qid").orderBy(F.col("d").asc(), F.col("ccell").asc())
+    probes = (
+        qv.crossJoin(F.broadcast(cc))
+        .withColumn("d", _sq_l2(F.col("qvec"), F.col("ccvec")))
+        .select("qid", "ccell", F.row_number().over(wp).alias("pr"))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "ccell")
+    )
+    coded = pq_encode(df, books, id_col, vec_col).join(corpus_cells, "id")
+    m = len(books)
+    dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
+    adc = coded.join(F.broadcast(probes), "ccell")
+    for s, cb in enumerate(books):
+        start = sum(dim_w[:s]) + 1
+        qd = (
+            queries.select(
+                F.col(id_col).alias("qid"),
+                F.slice(F.col(vec_col), start, dim_w[s]).alias("qv"),
+            )
+            .crossJoin(F.broadcast(cb))
+            .select(
+                "qid",
+                F.col("cell").alias(f"c{s}"),
+                F.round(_sq_l2(F.col("qv"), F.col("cvec")), 9).alias(f"d{s}"),
+            )
+        )
+        adc = adc.join(F.broadcast(qd), ["qid", f"c{s}"])
+    total = F.round(sum(F.col(f"d{s}") for s in range(m)), 9)
+    scored = adc.filter(F.col("id") != F.col("qid")).select(
+        "qid", F.col("id").alias("nid"), total.alias("adc")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        scored.select("qid", "nid", "adc", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "adc")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -7212,6 +7212,108 @@ def dedup_containment_exact_pairs(spark, sf_dir):
     return D.prefix_filter_containment_pairs(d, "doc_id", "text", 0.8, 3)
 
 
+@q(
+    "ann_ivfpq_topk",
+    # Oracle re-derives all THREE codebooks (coarse IVF on full vectors +
+    # two PQ subspaces), the corpus coarse assignment, each query's
+    # n_probe=2 probe list, the PQ codes and distance tables, and the
+    # pruned ADC top-k — the complete IVF-PQ index, cross-engine exact.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    "e0 AS (SELECT vec_id, v FROM base),\n"
+    "e1 AS (SELECT vec_id, v[1:32] AS v FROM base),\n"
+    "e2 AS (SELECT vec_id, v[33:64] AS v FROM base),"
+    + _kmeans_sampled_init_sql(4, 4, src="e0", pfx="r")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="rs", pfx="r")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="rs", pfx="r")
+    + ","
+    + _kmeans_sampled_init_sql(4, 4, src="e1", pfx="p")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="ps", pfx="p")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="ps", pfx="p")
+    + ","
+    + _kmeans_sampled_init_sql(4, 4, src="e2", pfx="q")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="qs", pfx="q")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="qs", pfx="q")
+    + """,
+    ccell AS (SELECT vec_id, cell AS ccell FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e0 e, rc2 c) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cell AS ccell FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e0 e, rc2 c WHERE e.vec_id < 5) WHERE rn <= 2),
+    enc1 AS (SELECT vec_id, cell AS c0 FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e1 e, pc2 c) WHERE rn = 1),
+    enc2 AS (SELECT vec_id, cell AS c1 FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e2 e, qc2 c) WHERE rn = 1),
+    qd1 AS (SELECT e.vec_id AS qid, c.cell AS c0,
+                   round(list_sum(list_transform(range(len(e.v)), i ->
+                     (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))), 9) AS d0
+            FROM e1 e, pc2 c WHERE e.vec_id < 5),
+    qd2 AS (SELECT e.vec_id AS qid, c.cell AS c1,
+                   round(list_sum(list_transform(range(len(e.v)), i ->
+                     (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))), 9) AS d1
+            FROM e2 e, qc2 c WHERE e.vec_id < 5),
+    adc AS (
+      SELECT pr.qid, x.vec_id AS nid, round(q0.d0 + q1.d1, 9) AS adc
+      FROM (SELECT a.vec_id, a.c0, b.c1, cc.ccell
+            FROM enc1 a JOIN enc2 b USING (vec_id)
+            JOIN ccell cc USING (vec_id)) x
+      JOIN probes pr ON pr.ccell = x.ccell
+      JOIN qd1 q0 ON q0.qid = pr.qid AND q0.c0 = x.c0
+      JOIN qd2 q1 ON q1.qid = pr.qid AND q1.c1 = x.c1
+      WHERE x.vec_id <> pr.qid)
+    SELECT qid, nid, adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+      FROM adc)
+    WHERE rk <= 5
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed index (the billion-vector FAISS recipe): a coarse
+    4-cell k-means quantizer prunes each query's scan to its n_probe=2
+    nearest cells, and within them candidates are scored by the PQ/ADC
+    lookup sum — per-query work N·(n_probe/k_coarse) table lookups
+    instead of N full-dimension distances. All three codebooks (coarse +
+    2 subspaces), assignments, probe lists, tables, and the (adc, nid)
+    tie-broken cut are deterministic and re-derived bit-for-bit by the
+    oracle. Raw-vector PQ codes (FAISS's no-residual option); residual
+    encoding is the documented production refinement."""
+    from graph_db_spark.operators.similarity import ivfpq_adc_topk, kmeans_fit, pq_fit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    coarse = kmeans_fit(e, k=4, n_iters=2, sample_mod=4)
+    books = pq_fit(e, m=2, n_codes=4, n_iters=2, sample_mod=4)
+    return ivfpq_adc_topk(
+        e, e.filter(F.col("vec_id") < 5), coarse, books, k=5, n_probe=2
+    )
+
+
 def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     """Cache location for a persisted dedup index (signature or semantic)
     of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot

@@ -2718,6 +2718,70 @@ def test_pq_adc_contract(spark, sf_dir):
     assert abs(round(want, 9) - adc0) < 1e-6
 
 
+def test_ivfpq_contract(spark, sf_dir):
+    """IVF-PQ = the full PQ/ADC ranking RESTRICTED to each query's probed
+    coarse cells: every returned neighbor lies in a probed cell, carries
+    the same adc the unpruned PQ scan assigns that pair, and the
+    per-query list is the (adc, nid)-sorted head of the restricted
+    candidate set."""
+    from graph_db_spark.operators.similarity import (
+        _sq_l2,
+        ivfpq_adc_topk,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    coarse = kmeans_fit(e, k=4, n_iters=2, sample_mod=4)
+    books = pq_fit(e, m=2, n_codes=4, n_iters=2, sample_mod=4)
+    qs = e.filter(F.col("vec_id") < 3)
+    got = ivfpq_adc_topk(e, qs, coarse, books, k=5, n_probe=2).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["adc"], r["nid"]))
+    for qid, rows_ in by_q.items():
+        assert len(rows_) == 5 and rows_ == sorted(rows_)
+        assert all(n != qid for _, n in rows_)
+
+    # adc agreement with the unpruned scan (full PQ over the corpus,
+    # k large enough to cover every returned pair)
+    full = {
+        (r["qid"], r["nid"]): r["adc"]
+        for r in pq_adc_topk(e, qs, books, k=10_000).collect()
+    }
+    for r in got:
+        assert full[(r["qid"], r["nid"])] == r["adc"]
+
+    # probed-cell membership: recompute coarse assignment + probes
+    cc = coarse.select(F.col("vec_id").alias("ccell"), F.col("embedding").alias("ccvec"))
+    v = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    cells = {
+        r["id"]: r["ccell"]
+        for r in v.crossJoin(F.broadcast(cc))
+        .withColumn("d", _sq_l2(F.col("vec"), F.col("ccvec")))
+        .groupBy("id")
+        .agg(F.min(F.struct("d", "ccell")).alias("mm"))
+        .select("id", F.col("mm.ccell").alias("ccell"))
+        .collect()
+    }
+    qcells = (
+        qs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .crossJoin(F.broadcast(cc))
+        .withColumn("d", _sq_l2(F.col("vec"), F.col("ccvec")))
+        .collect()
+    )
+    probe_sets: dict = {}
+    for r in qcells:
+        probe_sets.setdefault(r["id"], []).append((r["d"], r["ccell"]))
+    probe_sets = {q: {c for _, c in sorted(v_)[:2]} for q, v_ in probe_sets.items()}
+    for r in got:
+        assert cells[r["nid"]] in probe_sets[r["qid"]], r
+
+
 def test_prefix_filter_equals_bruteforce_all_pairs(spark):
     """The exactness property LSH cannot have: on an adversarial
     small-alphabet corpus (heavy shingle sharing, df ties, twin docs,
