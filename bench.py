@@ -49,8 +49,19 @@ def main() -> None:
         spark.range(0, 20_000_000, numPartitions=1).selectExpr("sum(id)").collect()
         return round(time.time() - t0, 3)
 
+    def sentinel_wide() -> float:
+        # ALL-CORES probe (round-13 blind spot: two co-tenant windows
+        # inflated 32-core stages 12-60% while the 1-core sentinel read
+        # QUIET — a ~6-core co-tenant barely queues one task but steals
+        # a fifth of a 32-wide stage). Same no-IO sum, 32 partitions:
+        # ~0.1 s alone, and it degrades in proportion to stolen cores.
+        t0 = time.time()
+        spark.range(0, 640_000_000, numPartitions=32).selectExpr("sum(id)").collect()
+        return round(time.time() - t0, 3)
+
     sentinel_start = sentinel()
     sentinel_start = min(sentinel_start, sentinel())  # best-of-2, like the queries
+    sentinel_wide_start = min(sentinel_wide(), sentinel_wide())
 
     # Mid-suite contention trace (round-12 verdict item 6): the start/end
     # sentinel pair missed a co-tenant window that inflated three adjacent
@@ -67,7 +78,7 @@ def main() -> None:
         # Per-query fault isolation: one broken query must never kill the
         # whole suite — record the error and keep benchmarking the rest.
         if len(times) % 10 == 9:
-            sentinel_trace.append([len(times), sentinel()])
+            sentinel_trace.append([len(times), sentinel(), sentinel_wide()])
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -384,6 +395,7 @@ def main() -> None:
 
     sentinel_end = sentinel()
     sentinel_end = min(sentinel_end, sentinel())
+    sentinel_wide_end = min(sentinel_wide(), sentinel_wide())
 
     total = round(sum(times.values()), 3)
     import pyspark
@@ -408,9 +420,17 @@ def main() -> None:
             # worst mid-suite probe (one every 10 entries) — a quiet
             # start/end pair with an inflated mid value marks a co-tenant
             # window INSIDE the suite (the r12 false-regression shape)
-            "mid_max": max((s for _, s in sentinel_trace), default=None),
+            "mid_max": max((s[1] for s in sentinel_trace), default=None),
+            # ALL-CORES twin of each value: catches partial co-tenants
+            # that slow wide stages while the 1-core probe stays quiet
+            # (the r13 blind spot — two suite runs 12-60% inflated at
+            # quiet narrow sentinels)
+            "wide_start": sentinel_wide_start,
+            "wide_end": sentinel_wide_end,
+            "wide_mid_max": max((s[2] for s in sentinel_trace), default=None),
         },
-        # [entry_index, sec] pairs for attributing contention to suite order
+        # [entry_index, narrow_sec, wide_sec] triples for attributing
+        # contention to suite order
         "sentinel_trace": sentinel_trace,
         "env": {"pyspark": pyspark.__version__, "python": sys.version.split()[0]},
     }
