@@ -434,7 +434,19 @@ def incremental_near_dup_vs_store(
         # subtrees; one sizes-scan here buys shuffle-free reuse below.
         cands = cands.localCheckpoint()
     # Stage 4: re-shingle ONLY the store docs that survived as candidates.
-    cand_store_ids = cands.select(F.col("a").alias(id_col)).distinct()
+    # `a` can also be an earlier SAME-BATCH arrival (a < b over store ∪
+    # batch); those ids can never match store_docs, so semi-join the
+    # candidate set against the store's tiny sizes/ index first (round-13
+    # advice) — the list pushed into the scan holds only ids the scan can
+    # actually serve.
+    # (the store's sizes/ index is the BIG side: stream its id-only
+    # columnar scan against the broadcast candidate set, never the
+    # reverse)
+    cand_store_ids = s_sizes.select(F.col("id").alias(id_col)).join(
+        F.broadcast(cands.select(F.col("a").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
     if checkpoint:
         # With the candidate set materialized, push the id list INTO the
         # store scan as a literal predicate: parquet min/max row-group
@@ -443,11 +455,13 @@ def incremental_near_dup_vs_store(
         # not the corpus — the point-lookup pattern a production store
         # serves from its primary-key order). Bounded: candidates survive
         # two prunes (banding + size-ratio), so the list is at most a few
-        # × the batch's true near-dup count; the 1M guard keeps an
-        # adversarial all-dup batch on the semi-join path instead of
-        # shipping a huge IN-list through the driver.
-        ids = [r[0] for r in cand_store_ids.limit(1_000_001).collect()]
-        if len(ids) <= 1_000_000:
+        # × the batch's true near-dup count; the 10k guard (round-13
+        # advice: keep the literal list InSet-friendly and far under plan
+        # -size limits) keeps an adversarial all-dup batch on the
+        # semi-join path instead of shipping a huge IN-list through the
+        # driver.
+        ids = [r[0] for r in cand_store_ids.limit(10_001).collect()]
+        if len(ids) <= 10_000:
             fetched = store_docs.filter(F.col(id_col).isin(ids))
         else:
             fetched = store_docs.join(F.broadcast(cand_store_ids), id_col, "left_semi")
@@ -465,6 +479,42 @@ def incremental_near_dup_vs_store(
         # table against a store-inflated estimate.
         s_cand_tok = s_cand_tok.localCheckpoint()
     return jaccard_verify(cands, a_tok.unionByName(s_cand_tok), threshold)
+
+
+def _df_ordered_prefix(tok: DataFrame, threshold: float):
+    """Shared prefix stage of the two exact-recall joins: order each
+    doc's tokens by GLOBAL ascending document frequency (ties on token
+    text) and keep the first |X| − α(X) + 1 — the pigeonhole prefix for
+    overlap bound α(X) = ceil(t·|X|). Returns (pref, sizes).
+
+    α is computed in INTEGER arithmetic (round-13 advice): *threshold*
+    is snapped to an exact rational num/den (Fraction.limit_denominator
+    — 0.7 → 7/10, 0.8 → 4/5) and α = (sz·num + den − 1) DIV den. The
+    former float route ``ceil(sz * t)`` can land a 0.5-ulp ABOVE an
+    exact integer (Python: 10 * 0.7 == 7.000000000000001, so ceil = 8,
+    not 7), shortening the prefix by one token and silently dropping a
+    qualifying pair — breaking EXACT RECALL in a way the cross-engine
+    gate can't see because the oracle's float ceil errs identically.
+    Oracle twins use the same rational (``(sz*7 + 9) // 10`` etc.)."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = fr.numerator, fr.denominator
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "token")
+    pref = (
+        tok.join(dfreq, "token")
+        .select("id", "token", F.row_number().over(w).alias("pos"))
+        .join(sizes, "id")
+        # SQL DIV is exact 64-bit integer division — no double rounding
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.expr(f"(sz * {num} + {den - 1}) DIV {den}") + 1
+        )
+        .select("id", "token")
+    )
+    return pref, sizes
 
 
 def prefix_filter_jaccard_pairs(
@@ -502,21 +552,7 @@ def prefix_filter_jaccard_pairs(
         if shingle > 1
         else tokens(df, id_col, text_col)
     )
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "token")
-    pref = (
-        tok.join(dfreq, "token")
-        .select("id", "token", F.row_number().over(w).alias("pos"))
-        .join(sizes, "id")
-        # ceil(t·|X|) as float-ceil on BOTH engines (IEEE doubles agree);
-        # prefix keeps pos ≤ |X| − α + 1
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-        )
-        .select("id", "token")
-    )
+    pref, sizes = _df_ordered_prefix(tok, threshold)
     cands = (
         pref.select(F.col("id").alias("a"), "token")
         .join(pref.select(F.col("id").alias("b"), "token"), "token")
@@ -567,19 +603,7 @@ def prefix_filter_containment_pairs(
         if shingle > 1
         else tokens(df, id_col, text_col)
     )
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "token")
-    pref = (
-        tok.join(dfreq, "token")
-        .select("id", "token", F.row_number().over(w).alias("pos"))
-        .join(sizes, "id")
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-        )
-        .select("id", "token")
-    )
+    pref, _sizes = _df_ordered_prefix(tok, threshold)
     # prefix side × FULL side, both orientations folded into a<b; the
     # smaller member's prefix hit is guaranteed for every qualifying pair
     cands = (

@@ -23,6 +23,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+#: Hard cap on a single image's decoded pixel-buffer size (256 MiB ≈ a
+#: 9000×9000 RGBA frame). Dimensions are attacker-controlled bytes in a
+#: dirty corpus; anything larger degrades to a NULL-payload row instead
+#: of allocating executor memory on a forged IHDR.
+_MAX_DECODED_BYTES = 256 << 20
+
 ASSET_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -220,12 +226,27 @@ def _png_decode_pixels(payload: bytes):
         i += 12 + ln
     if not (w and h and channels and idat):
         return None
+    stride = w * channels
+    expected = (stride + 1) * h
+    # Untrusted-corpus guards (round-13 advice): the exact raw size is
+    # known from IHDR before inflating, so (a) refuse absurd declared
+    # dimensions outright (a 4-byte IHDR edit can declare 2^31 pixels),
+    # and (b) inflate with a hard output cap — a crafted small IDAT
+    # (decompression bomb) can otherwise expand to gigabytes and OOM the
+    # executor. A stream that still has input left after `expected`
+    # output bytes is nonconforming (a baseline PNG's raw stream is
+    # exactly (stride+1)*h bytes) and degrades to None like any other
+    # malformed payload.
+    if expected > _MAX_DECODED_BYTES:
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail or d.decompress(b"", 1):
+            return None
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < (stride + 1) * h:
+    if len(raw) < expected:
         return None
     out = bytearray(stride * h)
     prev = bytearray(stride)
@@ -523,7 +544,10 @@ def resize_images(
                                 buf, format=im.format or "PNG"
                             )
                             out_payload = buf.getvalue()
-                    except Exception:  # undecodable: NULL-payload row
+                    # decode-shaped failures only (unrecognized format,
+                    # truncated stream, bad dimensions): a broad catch
+                    # would also silence genuine bugs in this operator
+                    except (OSError, ValueError):
                         out_payload = None
                 elif use_png_floor:
                     out_payload = _png_resize_stdlib(payload, width, height)
@@ -536,9 +560,17 @@ def resize_images(
                         "width": width,
                         "height": height,
                         "payload": out_payload,
-                        "digest": hashlib.md5(
-                            out_payload if out_payload is not None else payload
-                        ).hexdigest(),
+                        # digest ALWAYS describes the payload column:
+                        # degraded (undecodable → NULL payload) rows get a
+                        # NULL digest, so md5(payload) == digest holds for
+                        # every row a consumer verifies (round-13 advice —
+                        # the old original-payload digest broke that
+                        # invariant exactly on the rows that failed).
+                        "digest": (
+                            hashlib.md5(out_payload).hexdigest()
+                            if out_payload is not None
+                            else None
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -726,7 +726,32 @@ def kmeans_fit(
     # the n*k fit several times over). localCheckpoint(eager) runs the
     # fit exactly once and pins k tiny rows; values are unchanged, so
     # every DuckDB oracle pairing is unaffected.
-    return out.localCheckpoint(eager=True) if checkpoint else out
+    if not checkpoint:
+        # compose-only mode: nothing may execute here, so the unique-id
+        # precondition is the caller's contract alone (docstring above)
+        return out
+    out = out.localCheckpoint(eager=True)
+    # Loud corruption gate (round-13 advice): duplicated input ids make
+    # BOTH init paths train a silently-wrong codebook — legacy `id < k`
+    # emits duplicate cell keys, and the sampled rank renumbering merges
+    # seeds into non-contiguous cells (rank(d_j) = c_j · Σ_{i<j} c_i is
+    # 0..m−1 iff every multiplicity is 1). One aggregation over the
+    # k-row checkpointed codebook detects both; the fit has already
+    # executed, so the check costs nothing upstream.
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(id_col).alias("nd"),
+        F.max(id_col).alias("mx"),
+    ).first()
+    if chk["nd"] != chk["n"] or (
+        sample_mod is not None and chk["n"] and chk["mx"] != chk["n"] - 1
+    ):
+        raise ValueError(
+            f"kmeans_fit: corrupt codebook — duplicate values in id column "
+            f"{id_col!r} violate the unique-id precondition; dedupe first "
+            f"(df.groupBy({id_col!r}).agg(F.first(vec)))"
+        )
+    return out
 
 def kmeans_assign(
     df: DataFrame,

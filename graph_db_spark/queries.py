@@ -1198,6 +1198,12 @@ _DRIVER_COVERED: tuple[str, ...] = (
     "string_match_filters", "percentiles_by_segment",
     "window_lead_lag_ntile", "correlated_above_nation_avg",
     "agg_grouping_sets", "agg_cube_status_priority",
+    # round 13 (CORRECTNESS_r13.json — 50/50 green; the other 41 checked
+    # names were rotation re-verifications already listed above):
+    "dedup_incremental_persisted_store", "dedup_semantic_incremental_store",
+    "ann_ivfpq_topk", "dedup_containment_exact_pairs", "ann_pq_adc_topk",
+    "event_time_weighted_avg", "dedup_prefix_filter_pairs",
+    "dedup_containment_pairs", "agg_collect_sorted_lists",
 )
 
 
@@ -6981,7 +6987,11 @@ def dedup_containment_pairs(spark, sf_dir):
     pref AS (
       SELECT p.id, p.token
       FROM pos p JOIN sz ON sz.id = p.id
-      WHERE p.pos <= sz.sz - CAST(ceil(sz.sz * 0.7) AS BIGINT) + 1
+      -- integer overlap bound, matching Spark's (sz*7 + 9) DIV 10: the
+      -- float route ceil(sz * 0.7) lands a 0.5-ulp above exact integers
+      -- (10 * 0.7 == 7.000000000000001 -> ceil 8) on BOTH engines,
+      -- silently shortening the prefix and breaking exact recall
+      WHERE p.pos <= sz.sz - (sz.sz * 7 + 9) // 10 + 1
     ),
     cand AS (
       SELECT DISTINCT l.id AS a, r.id AS b
@@ -7181,7 +7191,9 @@ def ann_pq_adc_topk(spark, sf_dir):
     pref AS (
       SELECT p.id, p.token
       FROM pos p JOIN sz ON sz.id = p.id
-      WHERE p.pos <= sz.sz - CAST(ceil(sz.sz * 0.8) AS BIGINT) + 1
+      -- integer overlap bound matching Spark's (sz*4 + 4) DIV 5 (0.8
+      -- snaps to the exact rational 4/5); see dedup_prefix_filter_pairs
+      WHERE p.pos <= sz.sz - (sz.sz * 4 + 4) // 5 + 1
     ),
     cand AS (
       SELECT DISTINCT least(l.id, r.id) AS a, greatest(l.id, r.id) AS b
@@ -7314,12 +7326,22 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+#: Index-format version folded into every persisted-store cache key.
+#: BUMP whenever the DERIVATION of store content changes — shingling,
+#: MinHash hashing, banding layout, k-means init/iteration rules — so a
+#: code change never silently serves a stale, incompatible index from
+#: spark-warehouse (round-13 advice: the key previously covered only
+#: data fingerprint + parameters).
+_STORE_FMT = "fmt=1"
+
+
 def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     """Cache location for a persisted dedup index (signature or semantic)
     of a fixture split — keyed like ``tpch_graph_persisted``'s snapshot
     store on the ABSOLUTE data path plus (mtime_ns, size) of every source
-    parquet file plus the index parameters, so a regenerated fixture or
-    changed parameters never serve a stale index."""
+    parquet file plus the index parameters plus ``_STORE_FMT``, so a
+    regenerated fixture, changed parameters, or changed index-derivation
+    code never serves a stale index."""
     import hashlib
     import os
 
@@ -7334,7 +7356,7 @@ def _dedup_store_path(sf_dir: str, table: str, params: str) -> str:
     for p in paths:
         st = os.stat(p)
         fp.update(f"{os.path.relpath(p, src)}|{st.st_mtime_ns}|{st.st_size}\n".encode())
-    fp.update(params.encode())
+    fp.update(f"{params}|{_STORE_FMT}".encode())
     root = os.environ.get(
         "SPARK_GRAFT_SNAPSHOT_ROOT",
         os.path.join(

@@ -822,13 +822,13 @@ def test_resize_images_plumbing(spark):
     try:
         import PIL  # noqa: F401
     except ImportError:
-        import hashlib as _hl
-
         by_id = {r["asset_id"]: r for r in real}
-        src = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
         for i in (0, 3, 6):
+            # degraded row: NULL payload AND NULL digest — digest always
+            # describes the payload column (round-13 advice), so the
+            # md5(payload) == digest verification contract never breaks
             assert by_id[i]["payload"] is None
-            assert by_id[i]["digest"] == _hl.md5(src[i]).hexdigest()
+            assert by_id[i]["digest"] is None
 
 
 def test_png_stdlib_resize_roundtrip(spark):
@@ -904,6 +904,40 @@ def test_png_stdlib_resize_roundtrip(spark):
     assert out["payload"] is not None
     got = _png_decode_pixels(bytes(out["payload"]))
     assert got is not None and (got[0], got[1]) == (8, 4)
+
+
+def test_png_decode_bomb_guards():
+    """Dirty-corpus guards (round-13 advice): a forged IHDR declaring
+    absurd dimensions and a decompression bomb (tiny IDAT inflating past
+    the IHDR-derived raw size) both degrade to None — never a giant
+    allocation — while a conforming payload still decodes."""
+    import struct
+    import zlib
+
+    from graph_db_spark.operators.multimodal import (
+        _png_decode_pixels,
+        _png_encode_pixels,
+    )
+
+    def pack(w, h, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n"
+        for tag, body in ((b"IHDR", ihdr), (b"IDAT", zlib.compress(raw)), (b"IEND", b"")):
+            out += struct.pack(">I", len(body)) + tag + body
+            out += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        return out
+
+    # forged dimensions: 60000×60000 RGB declares ~10.8 GB of raw bytes;
+    # the 43-byte IDAT must be refused BEFORE any inflate/allocate
+    assert _png_decode_pixels(pack(60_000, 60_000, b"\x00" * 16)) is None
+
+    # bomb: IHDR says 2×1 (7 raw bytes) but the IDAT inflates to 50 MB —
+    # the capped inflate stops at the expected size and refuses the tail
+    assert _png_decode_pixels(pack(2, 1, b"\x00" * (50 << 20))) is None
+
+    # conforming control: still decodes after both guards
+    good = _png_encode_pixels(2, 1, 3, bytes(range(6)))
+    assert _png_decode_pixels(good) == (2, 1, 3, bytearray(range(6)))
 
 
 def test_stream_session_windows(spark, sf_dir):
@@ -2318,6 +2352,32 @@ def test_kmeans_sampled_fit_contract(spark):
     # sample_target: n=200, target=50 -> modulus 4 == explicit sample_mod=4
     via_target = {r.vec_id: r.embedding for r in kmeans_fit(df, k=6, n_iters=2, sample_target=50).collect()}
     assert via_target == manual
+
+
+def test_kmeans_fit_duplicate_ids_raise(spark):
+    """The unique-id precondition fails LOUDLY (round-13 advice): feeding
+    duplicate ids raises instead of training a silently-corrupt codebook.
+    Both init paths are covered — legacy ``id < k`` emits duplicate cell
+    keys; the sampled rank renumbering merges seeds into non-contiguous
+    cells (rank(d_j) = c_j · Σ c_i is 0..m−1 only when every id is
+    unique) — and a deduped frame then fits cleanly."""
+    import pytest
+
+    from graph_db_spark.operators.similarity import kmeans_fit
+
+    rows = [
+        (i if i != 3 else 2, [float((i * 7 + j * 13) % 11) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="unique-id precondition"):
+        kmeans_fit(df, k=6, n_iters=1)
+    with pytest.raises(ValueError, match="unique-id precondition"):
+        kmeans_fit(df, k=6, n_iters=1, sample_mod=1)
+    deduped = df.groupBy("vec_id").agg(F.first("embedding").alias("embedding"))
+    # sampled mode: id 3 is gone after the dedupe, so the legacy id<k rule
+    # would seed only 5 cells; the renumbering path seeds the 6 smallest
+    assert kmeans_fit(deduped, k=6, n_iters=1, sample_mod=1).count() == 6
 
 
 def test_semantic_pyramid_ks():
