@@ -72,6 +72,10 @@ def main() -> None:
     # only the max.
     sentinel_trace: list[list] = []
 
+    # Every timed entry's runner, in suite order — the post-suite
+    # contention audit re-runs flagged entries through the same closure.
+    runners: dict[str, object] = {}
+
     def timed(name, fn, repeats: int = 1):
         # best-of-N (criterion-style): the machine hosts co-tenant round
         # tasks whose load spikes otherwise dominate single measurements.
@@ -79,6 +83,7 @@ def main() -> None:
         # whole suite — record the error and keep benchmarking the rest.
         if len(times) % 10 == 9:
             sentinel_trace.append([len(times), sentinel(), sentinel_wide()])
+        runners[name] = fn
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -116,18 +121,23 @@ def main() -> None:
     n_idx = holder.get("n_idx")
 
     # -- graph traversals on the built graph -------------------------------
+    # Closures read holder["g"] DYNAMICALLY (not the local g): if the
+    # contention audit retries graph_build_index, later traversal retries
+    # must run against the freshly-cached snapshot, not the unpersisted one.
     if g is not None:
         def three_hop():
-            f = g.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
+            gg = holder["g"]
+            f = gg.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
             for tag in ("Region_Nation", "Nation_Customer"):
-                f = g.get_targets(f, tag)
-            force(g.get_values(f).select("id", "name"))
+                f = gg.get_targets(f, tag)
+            force(gg.get_values(f).select("id", "name"))
 
         def five_hop():
-            f = g.get_targets(ROOT_ID, "Catalogue_Region_Name", "ASIA")
+            gg = holder["g"]
+            f = gg.get_targets(ROOT_ID, "Catalogue_Region_Name", "ASIA")
             for tag in ("Region_Nation", "Nation_Customer", "Customer_Order", "Order_Part"):
-                f = g.get_targets(f, tag)
-            force(g.get_values(f).select("id", "name"))
+                f = gg.get_targets(f, tag)
+            force(gg.get_values(f).select("id", "name"))
 
         try:
             three_hop()  # warmup: materialize cached snapshot + compile codegen
@@ -135,7 +145,7 @@ def main() -> None:
             pass
         timed("graph_3hop", three_hop, repeats=2)
         timed("graph_5hop", five_hop, repeats=2)
-        timed("graph_stats_bfs", lambda: g.get_stats(), repeats=2)
+        timed("graph_stats_bfs", lambda: holder["g"].get_stats(), repeats=2)
 
     # -- steady-state persisted-snapshot route ------------------------------
     # The deployment shape: checkpoint the snapshot once (src-bucketed
@@ -153,16 +163,18 @@ def main() -> None:
     gp = pholder.get("gp")
     if gp is not None:
         def three_hop_persisted():
-            f = gp.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
+            gpp = pholder["gp"]
+            f = gpp.get_targets(ROOT_ID, "Catalogue_Region_Name", "EUROPE")
             for tag in ("Region_Nation", "Nation_Customer"):
-                f = gp.get_targets(f, tag)
-            force(gp.get_values(f).select("id", "name"))
+                f = gpp.get_targets(f, tag)
+            force(gpp.get_values(f).select("id", "name"))
 
         def five_hop_persisted():
-            f = gp.get_targets(ROOT_ID, "Catalogue_Region_Name", "ASIA")
+            gpp = pholder["gp"]
+            f = gpp.get_targets(ROOT_ID, "Catalogue_Region_Name", "ASIA")
             for tag in ("Region_Nation", "Nation_Customer", "Customer_Order", "Order_Part"):
-                f = gp.get_targets(f, tag)
-            force(gp.get_values(f).select("id", "name"))
+                f = gpp.get_targets(f, tag)
+            force(gpp.get_values(f).select("id", "name"))
 
         try:
             three_hop_persisted()  # warmup: codegen against persisted layout
@@ -172,7 +184,7 @@ def main() -> None:
         timed("graph_5hop_persisted", five_hop_persisted, repeats=2)
         # BFS stats off the persisted tables: the most expensive traversal
         # minus the build stage (compare graph_stats_bfs above)
-        timed("graph_stats_persisted", lambda: gp.get_stats(), repeats=2)
+        timed("graph_stats_persisted", lambda: pholder["gp"].get_stats(), repeats=2)
 
     # -- relational + LLM headline queries ---------------------------------
     headline = [
@@ -345,9 +357,8 @@ def main() -> None:
     for name in headline:
         timed(name, lambda n=name: force(REGISTRY[n].build(spark, sf_dir)), repeats=2)
 
-    if g is not None:
-        g.edge_index.unpersist()
-        g.vertices.unpersist()
+    # (snapshot stays cached until after the contention audit — flagged
+    # graph entries must retry against the same cached layout they ran on)
 
     # -- insert workloads (CompetitionBench / NonpersistentBench shapes:
     #    1,000 random artist inserts; see BASELINE.md) -----------------------
@@ -397,6 +408,77 @@ def main() -> None:
     sentinel_end = min(sentinel_end, sentinel())
     sentinel_wide_end = min(sentinel_wide(), sentinel_wide())
 
+    # -- contention audit: self-defending retries (round-13 verdict #1) ----
+    # Three driver rounds in a row produced >2× outliers that turned out to
+    # be co-tenant windows, each needing a human to adjudicate against a
+    # separately-committed quiet run. Close the loop inside the artifact:
+    # every entry whose ENCLOSING wide-sentinel window (nearest probe at or
+    # before it, nearest after — start/end sentinels as edges) read more
+    # than 2× the run's quiet wide floor is re-run best-of-2 after the
+    # suite, up to twice, stopping when the retry's own window reads quiet.
+    # The entry's published time is the best across suite + retries
+    # (best-of-N is already the suite protocol — retries are more repeats
+    # under measured-quieter conditions); `retries` keeps both readings and
+    # the sentinel attribution so no reading is silently replaced.
+    entry_order = list(times)
+    wide_points = (
+        [(-1, sentinel_wide_start)]
+        + [(r[0], r[2]) for r in sentinel_trace]
+        + [(len(entry_order), sentinel_wide_end)]
+    )
+    wide_floor = min(w for _, w in wide_points)
+
+    def enclosing_wide(i: int) -> float:
+        prev = max((p for p in wide_points if p[0] <= i), key=lambda p: p[0])
+        nxt = min((p for p in wide_points if p[0] > i), key=lambda p: p[0])
+        return max(prev[1], nxt[1])
+
+    retries: dict[str, dict] = {}
+    flagged = [
+        n
+        for i, n in enumerate(entry_order)
+        if n in runners and enclosing_wide(i) > 2 * wide_floor
+    ]
+    for name in flagged:
+        suite_t = times[name]
+        window = round(enclosing_wide(entry_order.index(name)), 3)
+        rec = {"suite": suite_t, "window_wide": window, "attempts": []}
+        best_retry = None
+        for _attempt in range(2):
+            pre_w = sentinel_wide()
+            best = None
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    runners[name]()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001
+                rec["attempts"].append(
+                    {"error": f"{type(exc).__name__}: {exc}"[:120]}
+                )
+                break
+            post_w = sentinel_wide()
+            attempt_wide = round(max(pre_w, post_w), 3)
+            rec["attempts"].append({"sec": round(best, 3), "wide": attempt_wide})
+            best_retry = best if best_retry is None else min(best_retry, best)
+            if attempt_wide <= 2 * wide_floor:
+                break  # this retry ran in a measured-quiet window
+        if best_retry is not None:
+            rec["retry"] = round(best_retry, 3)
+            times[name] = round(min(suite_t, best_retry), 3)
+        retries[name] = rec
+        print(
+            f"[bench] retry {name}: suite {suite_t}s (window {window}) -> "
+            f"{rec.get('retry')}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    if holder.get("g") is not None:
+        holder["g"].edge_index.unpersist()
+        holder["g"].vertices.unpersist()
+
     total = round(sum(times.values()), 3)
     import pyspark
 
@@ -432,6 +514,12 @@ def main() -> None:
         # [entry_index, narrow_sec, wide_sec] triples for attributing
         # contention to suite order
         "sentinel_trace": sentinel_trace,
+        # Contention audit: entries whose enclosing wide-sentinel window
+        # read >2× the quiet floor, with suite reading, retry reading(s),
+        # and per-attempt sentinel attribution. `queries` carries the best
+        # across suite + quiet retries; nothing is silently replaced.
+        "retries": retries,
+        "retry_wide_floor": round(wide_floor, 3),
         "env": {"pyspark": pyspark.__version__, "python": sys.version.split()[0]},
     }
     if errors:
@@ -463,6 +551,11 @@ def main() -> None:
         compact.pop("env", None)
         compact.pop("sentinel_trace", None)  # sidecar-only (the compact
         # line keeps just sentinel_sec.mid_max)
+        compact.pop("retries", None)  # sidecar-only; the compact line
+        # carries just the count so a reader knows the audit fired
+        compact.pop("retry_wide_floor", None)
+        if retries:
+            compact["retried"] = len(retries)
         if not provenance:
             compact.pop("n_index_entries", None)
             compact.pop("cpus", None)

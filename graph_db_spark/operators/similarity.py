@@ -350,6 +350,34 @@ def pq_adc_topk(
     )
 
 
+def _coarse_assign(v: DataFrame, cc: DataFrame) -> DataFrame:
+    """(id, ccell): each vector's L2-nearest coarse cell (unrounded
+    distances, tie on cell — the kmeans assignment convention). One
+    broadcast of the k-row coarse codebook into the corpus scan +
+    a min-struct agg; shared by both IVF-PQ variants."""
+    return (
+        v.crossJoin(F.broadcast(cc))
+        .withColumn("d", _sq_l2(F.col("vec"), F.col("ccvec")))
+        .groupBy("id")
+        .agg(F.min(F.struct("d", "ccell")).alias("mm"))
+        .select("id", F.col("mm.ccell").alias("ccell"))
+    )
+
+
+def _coarse_probes(qv: DataFrame, cc: DataFrame, n_probe: int) -> DataFrame:
+    """(qid, ccell): each query's *n_probe* L2-nearest coarse cells,
+    (distance, cell) tie-broken — the IVF probe list, shared by both
+    IVF-PQ variants. qid-partitioned window, never unpartitioned."""
+    wp = W.partitionBy("qid").orderBy(F.col("d").asc(), F.col("ccell").asc())
+    return (
+        qv.crossJoin(F.broadcast(cc))
+        .withColumn("d", _sq_l2(F.col("qvec"), F.col("ccvec")))
+        .select("qid", "ccell", F.row_number().over(wp).alias("pr"))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "ccell")
+    )
+
+
 def ivfpq_adc_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -366,34 +394,19 @@ def ivfpq_adc_topk(
     lookup sum (the memory half). Per query the work drops from N ADC
     sums to N·(n_probe/k_coarse) — the standard billion-vector recipe.
     This composition encodes RAW vectors (FAISS's no-residual option);
-    the production refinement — PQ on residuals v − coarse_centroid,
-    one distance table per (query, probed cell) — changes constants,
-    not the plan shape. Deterministic end to end: L2 assignments
+    ``ivfpq_residual_topk`` below is the production refinement — PQ on
+    residuals v − coarse_centroid, one distance table per (query,
+    probed cell). Deterministic end to end: L2 assignments
     tie-break on cell, the probe list on (distance, cell), the final
     cut on (adc, nid); *coarse* comes from ``kmeans_fit`` and *books*
     from ``pq_fit``, so a SQL oracle re-derives everything."""
     cc = coarse.select(
         F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")
     )
-    # corpus → coarse cell (unrounded L2, tie on cell — kmeans convention)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    corpus_cells = (
-        v.crossJoin(F.broadcast(cc))
-        .withColumn("d", _sq_l2(F.col("vec"), F.col("ccvec")))
-        .groupBy("id")
-        .agg(F.min(F.struct("d", "ccell")).alias("mm"))
-        .select("id", F.col("mm.ccell").alias("ccell"))
-    )
-    # query → n_probe nearest coarse cells
+    corpus_cells = _coarse_assign(v, cc)
     qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    wp = W.partitionBy("qid").orderBy(F.col("d").asc(), F.col("ccell").asc())
-    probes = (
-        qv.crossJoin(F.broadcast(cc))
-        .withColumn("d", _sq_l2(F.col("qvec"), F.col("ccvec")))
-        .select("qid", "ccell", F.row_number().over(wp).alias("pr"))
-        .filter(F.col("pr") <= n_probe)
-        .select("qid", "ccell")
-    )
+    probes = _coarse_probes(qv, cc, n_probe)
     coded = pq_encode(df, books, id_col, vec_col).join(corpus_cells, "id")
     m = len(books)
     dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
@@ -413,6 +426,115 @@ def ivfpq_adc_topk(
             )
         )
         adc = adc.join(F.broadcast(qd), ["qid", f"c{s}"])
+    total = F.round(sum(F.col(f"d{s}") for s in range(m)), 9)
+    scored = adc.filter(F.col("id") != F.col("qid")).select(
+        "qid", F.col("id").alias("nid"), total.alias("adc")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("nid").asc())
+    return (
+        scored.select("qid", "nid", "adc", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "adc")
+    )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 2,
+    n_codes: int = 4,
+    n_iters: int = 2,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — the production FAISS ``IVFPQ`` recipe
+    (Jégou et al. 2011 §IV.B, faiss IndexIVFPQ's default): PQ codebooks
+    are trained on and encode RESIDUALS r = v − coarse_centroid(cell),
+    not raw vectors. Residuals of a trained coarse quantizer are
+    near-zero-centered with far smaller spread than the corpus, so the
+    same m×n_codes budget quantizes them much more finely — the recall
+    rung above ``ivfpq_adc_topk``'s raw-vector option (pytest pins
+    recall ≥ the raw variant on a planted clustered fixture).
+
+    The price is per-(query, probed cell) distance tables: a query's
+    table depends on ITS residual against EACH probed cell's centroid,
+    so tables are n_queries × n_probe × n_codes × m rows — still tiny
+    and broadcast (FAISS pays the same per-probe table recompute; it is
+    the textbook residual-IVFPQ cost). Corpus-side work is unchanged
+    from the raw variant: one coarse-assignment scan, one
+    residual-encode scan per subspace, candidates pruned to probed
+    cells before any scoring. Residuals are plain IEEE subtractions of
+    the 9dp-rounded centroids, so a SQL oracle re-derives codebooks,
+    codes, tables, and the (adc, nid) tie-broken cut bit-for-bit.
+
+    Trains its own PQ books internally (they are a function of the
+    coarse assignment); *coarse* comes from ``kmeans_fit`` like the raw
+    variant's.
+
+    *checkpoint* (default True) localCheckpoints the residual frame:
+    the PQ fits (per subspace, per Lloyd pass), both encodes, and the
+    ADC scan all read it, and uncut each re-executes the
+    coarse-assign + subtract pipeline (~10 replays; measured 48.7 → a
+    few s on the 4k fixture). The frame is corpus-sized, so this is a
+    fixture/medium-scale cut — at billion-vector scale the production
+    flow PERSISTS the residual codes as a write-time index (the
+    ``signature_store_write`` pattern) instead of checkpointing raw
+    residuals. Same caveats as ``kmeans_fit``: executes at
+    plan-construction time; blocks die with executors."""
+    cc = coarse.select(
+        F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    corpus_cells = _coarse_assign(v, cc)
+    # residual frame: r = v − centroid(cell), element-wise IEEE doubles
+    resid = (
+        v.join(corpus_cells, "id")
+        .join(F.broadcast(cc), "ccell")
+        .select(
+            "id",
+            "ccell",
+            F.zip_with("vec", "ccvec", lambda a, b: a - b).alias("r"),
+        )
+    )
+    if checkpoint:
+        resid = resid.localCheckpoint()
+    resid_v = resid.select(F.col("id").alias(id_col), F.col("r").alias(vec_col))
+    books = pq_fit(
+        resid_v, m=m, n_codes=n_codes, n_iters=n_iters, sample_mod=sample_mod
+    )
+    coded = pq_encode(resid_v, books, id_col, vec_col).join(
+        resid.select("id", "ccell"), "id"
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    probes = _coarse_probes(qv, cc, n_probe)
+    # per-(query, probed cell) residual: qr = q − centroid(probed cell)
+    qres = probes.join(qv, "qid").join(F.broadcast(cc), "ccell").select(
+        "qid",
+        "ccell",
+        F.zip_with("qvec", "ccvec", lambda a, b: a - b).alias("qr"),
+    )
+    dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
+    adc = coded.join(F.broadcast(probes), "ccell")
+    for s, cb in enumerate(books):
+        start = sum(dim_w[:s]) + 1
+        qd = (
+            qres.select(
+                "qid", "ccell", F.slice("qr", start, dim_w[s]).alias("qv")
+            )
+            .crossJoin(F.broadcast(cb))
+            .select(
+                "qid",
+                "ccell",
+                F.col("cell").alias(f"c{s}"),
+                F.round(_sq_l2(F.col("qv"), F.col("cvec")), 9).alias(f"d{s}"),
+            )
+        )
+        adc = adc.join(F.broadcast(qd), ["qid", "ccell", f"c{s}"])
     total = F.round(sum(F.col(f"d{s}") for s in range(m)), 9)
     scored = adc.filter(F.col("id") != F.col("qid")).select(
         "qid", F.col("id").alias("nid"), total.alias("adc")

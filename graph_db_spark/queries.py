@@ -7311,8 +7311,8 @@ def ann_ivfpq_topk(spark, sf_dir):
     instead of N full-dimension distances. All three codebooks (coarse +
     2 subspaces), assignments, probe lists, tables, and the (adc, nid)
     tie-broken cut are deterministic and re-derived bit-for-bit by the
-    oracle. Raw-vector PQ codes (FAISS's no-residual option); residual
-    encoding is the documented production refinement."""
+    oracle. Raw-vector PQ codes (FAISS's no-residual option);
+    ``ann_ivfpq_residual_topk`` is the production residual refinement."""
     from graph_db_spark.operators.similarity import ivfpq_adc_topk, kmeans_fit, pq_fit
 
     e = _t(spark, sf_dir, "embeddings").select(
@@ -7323,6 +7323,127 @@ def ann_ivfpq_topk(spark, sf_dir):
     books = pq_fit(e, m=2, n_codes=4, n_iters=2, sample_mod=4)
     return ivfpq_adc_topk(
         e, e.filter(F.col("vec_id") < 5), coarse, books, k=5, n_probe=2
+    )
+
+
+@q(
+    "ann_ivfpq_residual_topk",
+    # The oracle re-derives the COMPLETE residual index: coarse codebook
+    # (pfx r) on full vectors, the corpus coarse assignment, the residual
+    # frame v − centroid(cell) (plain IEEE subtractions of 9dp-rounded
+    # centroids — bit-identical on both engines), BOTH residual-subspace
+    # PQ codebooks (pfx p/q fitted on f1/f2), the residual codes, each
+    # query's PER-PROBED-CELL residual distance tables (keyed qid, ccell,
+    # code), and the pruned ADC top-k with the (adc, nid) tie-break.
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    "e0 AS (SELECT vec_id, v FROM base),"
+    + _kmeans_sampled_init_sql(4, 4, src="e0", pfx="r")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="rs", pfx="r")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="rs", pfx="r")
+    + """,
+    ccell AS (SELECT vec_id, cell AS ccell FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e0 e, rc2 c) WHERE rn = 1),
+    res AS (SELECT e.vec_id,
+                   list_transform(range(len(e.v)), i -> e.v[i+1] - c.c[i+1]) AS v
+            FROM e0 e JOIN ccell cc USING (vec_id)
+            JOIN rc2 c ON c.cell = cc.ccell),
+    f1 AS (SELECT vec_id, v[1:32] AS v FROM res),
+    f2 AS (SELECT vec_id, v[33:64] AS v FROM res),"""
+    + _kmeans_sampled_init_sql(4, 4, src="f1", pfx="p")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="ps", pfx="p")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="ps", pfx="p")
+    + ","
+    + _kmeans_sampled_init_sql(4, 4, src="f2", pfx="q")
+    + ","
+    + _kmeans_iter_sql(1, 0, src="qs", pfx="q")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="qs", pfx="q")
+    + """,
+    enc1 AS (SELECT vec_id, cell AS c0 FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM f1 e, pc2 c) WHERE rn = 1),
+    enc2 AS (SELECT vec_id, cell AS c1 FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM f2 e, qc2 c) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, cell AS ccell FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(range(len(e.v)), i ->
+                 (e.v[i+1] - c.c[i+1]) * (e.v[i+1] - c.c[i+1]))) ASC,
+               c.cell ASC) AS rn
+      FROM e0 e, rc2 c WHERE e.vec_id < 5) WHERE rn <= 2),
+    qres AS (SELECT pr.qid, pr.ccell,
+                    list_transform(range(len(e.v)), i -> e.v[i+1] - c.c[i+1]) AS v
+             FROM probes pr JOIN e0 e ON e.vec_id = pr.qid
+             JOIN rc2 c ON c.cell = pr.ccell),
+    qr1 AS (SELECT qid, ccell, v[1:32] AS v FROM qres),
+    qr2 AS (SELECT qid, ccell, v[33:64] AS v FROM qres),
+    qd1 AS (SELECT q.qid, q.ccell, c.cell AS c0,
+                   round(list_sum(list_transform(range(len(q.v)), i ->
+                     (q.v[i+1] - c.c[i+1]) * (q.v[i+1] - c.c[i+1]))), 9) AS d0
+            FROM qr1 q, pc2 c),
+    qd2 AS (SELECT q.qid, q.ccell, c.cell AS c1,
+                   round(list_sum(list_transform(range(len(q.v)), i ->
+                     (q.v[i+1] - c.c[i+1]) * (q.v[i+1] - c.c[i+1]))), 9) AS d1
+            FROM qr2 q, qc2 c),
+    adc AS (
+      SELECT pr.qid, x.vec_id AS nid, round(q0.d0 + q1.d1, 9) AS adc
+      FROM (SELECT a.vec_id, a.c0, b.c1, cc.ccell
+            FROM enc1 a JOIN enc2 b USING (vec_id)
+            JOIN ccell cc USING (vec_id)) x
+      JOIN probes pr ON pr.ccell = x.ccell
+      JOIN qd1 q0 ON q0.qid = pr.qid AND q0.ccell = pr.ccell AND q0.c0 = x.c0
+      JOIN qd2 q1 ON q1.qid = pr.qid AND q1.ccell = pr.ccell AND q1.c1 = x.c1
+      WHERE x.vec_id <> pr.qid)
+    SELECT qid, nid, adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rk
+      FROM adc)
+    WHERE rk <= 5
+    """,
+)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-encoded IVF-PQ (the production FAISS ``IndexIVFPQ``
+    default, Jégou et al. 2011 §IV.B): PQ trains on and encodes
+    residuals v − coarse_centroid instead of raw vectors, buying a much
+    finer quantization from the same m=2 × 4-codeword budget (residuals
+    are near-zero-centered), at the textbook cost of per-(query, probed
+    cell) distance tables. The recall rung above ``ann_ivfpq_topk``
+    (pytest pins recall ≥ the raw variant on a planted fixture); every
+    stage deterministic and oracle-re-derived."""
+    from graph_db_spark.operators.similarity import ivfpq_residual_topk, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    coarse = kmeans_fit(e, k=4, n_iters=2, sample_mod=4)
+    return ivfpq_residual_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        coarse,
+        k=5,
+        n_probe=2,
+        m=2,
+        n_codes=4,
+        n_iters=2,
+        sample_mod=4,
     )
 
 

@@ -2842,6 +2842,61 @@ def test_ivfpq_contract(spark, sf_dir):
         assert cells[r["nid"]] in probe_sets[r["qid"]], r
 
 
+def test_ivfpq_residual_recall_beats_raw(spark):
+    """Residual encoding is the recall rung above raw-vector IVF-PQ
+    (round-13 verdict item 3): on a planted 4-cluster fixture where raw
+    PQ's 4 codewords per subspace are spent telling CLUSTERS apart
+    (collapsing within-cluster neighbors to one code, adc ties broken
+    arbitrarily by nid), PQ over residuals v − coarse_centroid spends
+    the same budget on the within-cluster offsets and recovers the true
+    top-5 exactly. Everything is RNG-free, so the readings are pinned:
+    residual recall 1.0, raw 0.4."""
+    from graph_db_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_residual_topk,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    # ids interleaved (id = i*4 + c) so the 4 smallest ids — the sampled
+    # init's seeds — land one per planted cluster
+    rows = []
+    for i in range(24):
+        for c in range(4):
+            center = [100.0 * (c + 1) if j % 4 == c else 0.0 for j in range(8)]
+            off = [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]
+            rows.append((i * 4 + c, [a + b for a, b in zip(center, off)]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = df.filter(F.col("vec_id") < 4)
+    coarse = kmeans_fit(df, k=4, n_iters=2, sample_mod=1)
+    books = pq_fit(df, m=2, n_codes=4, n_iters=2, sample_mod=1)
+    raw = ivfpq_adc_topk(df, qs, coarse, books, k=5, n_probe=2).collect()
+    res = ivfpq_residual_topk(
+        df, qs, coarse, k=5, n_probe=2, m=2, n_codes=4, n_iters=2, sample_mod=1
+    ).collect()
+
+    vecs = dict(rows)
+
+    def true_topk(q, k=5):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], v)), n)
+            for n, v in vecs.items()
+            if n != q
+        )
+        return {n for _, n in d[:k]}
+
+    def recall(got):
+        by: dict = {}
+        for r in got:
+            by.setdefault(r["qid"], set()).add(r["nid"])
+        return sum(len(by.get(q, set()) & true_topk(q)) / 5 for q in range(4)) / 4
+
+    r_raw, r_res = recall(raw), recall(res)
+    assert r_res >= r_raw
+    assert r_res == 1.0
+    assert r_raw == 0.4  # the gap the residual refinement buys
+
+
 def test_prefix_filter_equals_bruteforce_all_pairs(spark):
     """The exactness property LSH cannot have: on an adversarial
     small-alphabet corpus (heavy shingle sharing, df ties, twin docs,
