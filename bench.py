@@ -312,6 +312,9 @@ def main() -> None:
         "dedup_containment_exact_pairs",
         # round-13: composed IVF-PQ index (probe prune + ADC lookup sum)
         "ann_ivfpq_topk",
+        # round-14: residual-encoded IVF-PQ (the production FAISS recipe —
+        # PQ trained on v − coarse_centroid, per-(query, cell) tables)
+        "ann_ivfpq_residual_topk",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

@@ -99,6 +99,9 @@ AUDITED = [
     "dedup_semantic_incremental_store",
     "ann_pq_adc_topk",
     "event_time_weighted_avg",
+    # round-14: residual IVF-PQ (broadcast coarse codebook + per-cell
+    # tables; corpus side scan + broadcast joins only)
+    "ann_ivfpq_residual_topk",
 ]
 
 NOTES = """## Notes

@@ -27,6 +27,12 @@ vectors, ~600k lineitem); this suite is the evidence that the plans
 - ``semdedup``    — cluster-bounded semantic dedup (k = sqrt(n) trained
                     cells) on the same expanded embeddings; shuffle is
                     linear by design, compute n^1.5 (see inline note).
+- ``prefix_jaccard`` / ``containment_exact`` — the exact-recall prefix
+                    joins on a stopword-contaminated corpus (50k → 500k
+                    docs), plus the untimed ``prefix_skew_profile``: the
+                    max df any prefix token carries vs the corpus max —
+                    the evidence behind the "df-ascending order designs
+                    out stopword skew" claim.
 - ``semdedup_default`` — the ``semantic_dedup`` entry point as shipped:
                     CONSTANT-cell auto-k (k ∝ n, round-11), sampled fits
                     at every pyramid level, branch-64 top-down routing.
@@ -181,6 +187,7 @@ def main() -> None:
         "semdedup_default", "stream_dedup_banded_builtin",
         "stream_dedup_builtin_claim_lag", "stream_dedup_loser_ab",
         "semantic_incremental_store",
+        "prefix_jaccard", "containment_exact",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -381,6 +388,74 @@ def main() -> None:
             }
 
         run("dedup_minhash_byte_hint_path", scale, dedup_byte_hint)
+
+    # -- exact-recall prefix joins (round-13 verdict item 4) ----------------
+    # The docstrings of prefix_filter_jaccard_pairs /
+    # prefix_filter_containment_pairs ARGUE that the df-ascending prefix
+    # bounds the candidate join's per-key fan-out (prefixes are each doc's
+    # RAREST tokens, so stopword-shingle skew is designed out). Measure it:
+    # 1x/10x wall + shuffle, planted-pair counts, and the untimed skew
+    # profile — the max document frequency over all prefix tokens. The
+    # corpus is ADVERSARIAL for this claim: every document carries a
+    # shared 10-stopword suffix, so ~8 shingles per doc have df = n (a raw
+    # token self-join would fan out n² on them); the df order must keep
+    # every one of them OUT of the prefixes.
+    prefix_ops = ("prefix_jaccard", "containment_exact")
+    for scale, n in (
+        (("1x", 50_000 // div), ("10x", 500_000 // div)) if want(*prefix_ops) else ()
+    ):
+        docs = synthetic_docs(spark, n).select(
+            "doc_id",
+            F.concat_ws(
+                " ", "text", F.lit("the of and to in a is for on with")
+            ).alias("text"),
+        )
+        tok = D.shingles(docs, "doc_id", "text", 3)
+        if want("prefix_jaccard"):
+            run(
+                "prefix_jaccard",
+                scale,
+                lambda d=docs: {
+                    "pairs": D.prefix_filter_jaccard_pairs(
+                        d, "doc_id", "text", 0.7, 3
+                    ).count()
+                },
+            )
+        if want("containment_exact"):
+            run(
+                "containment_exact",
+                scale,
+                lambda d=docs: {
+                    "pairs": D.prefix_filter_containment_pairs(
+                        d, "doc_id", "text", 0.8, 3
+                    ).count()
+                },
+            )
+        # untimed skew profile: the largest df any PREFIX token carries
+        # (the candidate join's max per-key fan-out) vs the corpus-wide
+        # max df (what a raw token self-join would hit). The df-order
+        # claim holds iff max_prefix_df stays ~constant while max_df = n.
+        pref, _sizes = D._df_ordered_prefix(tok, 0.7)
+        dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        prof = (
+            pref.select("token")
+            .distinct()
+            .join(dfreq, "token")
+            .agg(F.max("df").alias("mx"), F.count(F.lit(1)).alias("ntok"))
+            .first()
+        )
+        corpus_max = dfreq.agg(F.max("df")).first()[0]
+        results.setdefault("prefix_skew_profile", {})[scale] = {
+            "max_prefix_df": prof["mx"],
+            "distinct_prefix_tokens": prof["ntok"],
+            "corpus_max_df": corpus_max,
+        }
+        print(
+            f"[stress] prefix_skew_profile @{scale}: max_prefix_df={prof['mx']} "
+            f"corpus_max_df={corpus_max}",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # -- composed pipelines at corpus scale --------------------------------
     # The two most expensive composed bench entries, run against a
@@ -977,15 +1052,17 @@ def main() -> None:
         batch.unpersist()
 
     # -- scaling verdict ---------------------------------------------------
+    # `.get("sec", 0)`: untimed profile entries (prefix_skew_profile)
+    # carry no wall reading — they are evidence rows, not timed ops
     for op, d in results.items():
-        if "1x" in d and "10x" in d and d["1x"]["sec"] > 0:
+        if "1x" in d and "10x" in d and d["1x"].get("sec", 0) > 0:
             d["ratio_10x"] = round(d["10x"]["sec"] / d["1x"]["sec"], 2)
             d["superlinear_blowup"] = d["ratio_10x"] > 20  # >2× over linear
-        runs = [d[s]["sec"] for s in ("10x", "10x_r2", "10x_r3") if s in d]
+        runs = [d[s]["sec"] for s in ("10x", "10x_r2", "10x_r3") if s in d and "sec" in d[s]]
         if len(runs) >= 2:
             mid = sorted(runs)[len(runs) // 2]
             d["spread_pct"] = round(100 * (max(runs) - min(runs)) / mid, 1)
-        if "10x" in d and "30x" in d and d["10x"]["sec"] > 0:
+        if "10x" in d and "30x" in d and d["10x"].get("sec", 0) > 0:
             # second measured point on the scaling curve: 3x more data
             # from the 10x base; >6 would be 2x over linear
             d["ratio_30x_vs_10x"] = round(d["30x"]["sec"] / d["10x"]["sec"], 2)
