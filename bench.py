@@ -417,19 +417,27 @@ def main() -> None:
     # separately-committed quiet run. Close the loop inside the artifact:
     # every entry whose ENCLOSING wide-sentinel window (nearest probe at or
     # before it, nearest after — start/end sentinels as edges) read more
-    # than 2× the run's quiet wide floor is re-run best-of-2 after the
+    # than 2× the run's TYPICAL wide reading is re-run best-of-2 after the
     # suite, up to twice, stopping when the retry's own window reads quiet.
-    # The entry's published time is the best across suite + retries
-    # (best-of-N is already the suite protocol — retries are more repeats
-    # under measured-quieter conditions); `retries` keeps both readings and
-    # the sentinel attribution so no reading is silently replaced.
+    # Typical = the MEDIAN of all wide probes: a contention WINDOW is a
+    # deviation from this run's own level. (The first cut used min() as
+    # the reference; one unusually-quiet end probe then flagged all 88
+    # entries of an evenly-quiet run and doubled the suite — the median
+    # is robust to a single low/high probe.) The entry's published time is
+    # the best across suite + retries (best-of-N is already the suite
+    # protocol — retries are more repeats under measured-quieter
+    # conditions); `retries` keeps both readings and the sentinel
+    # attribution so no reading is silently replaced. A fully-contended
+    # run flags nothing here — its elevated sentinels are in the artifact
+    # and the BASELINE band protocol adjudicates it.
     entry_order = list(times)
     wide_points = (
         [(-1, sentinel_wide_start)]
         + [(r[0], r[2]) for r in sentinel_trace]
         + [(len(entry_order), sentinel_wide_end)]
     )
-    wide_floor = min(w for _, w in wide_points)
+    _wides = sorted(w for _, w in wide_points)
+    wide_floor = _wides[len(_wides) // 2]
 
     def enclosing_wide(i: int) -> float:
         prev = max((p for p in wide_points if p[0] <= i), key=lambda p: p[0])
@@ -522,6 +530,8 @@ def main() -> None:
         # and per-attempt sentinel attribution. `queries` carries the best
         # across suite + quiet retries; nothing is silently replaced.
         "retries": retries,
+        # the run's typical (median) wide-sentinel reading — the audit's
+        # 2× reference
         "retry_wide_floor": round(wide_floor, 3),
         "env": {"pyspark": pyspark.__version__, "python": sys.version.split()[0]},
     }

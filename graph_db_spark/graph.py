@@ -566,17 +566,25 @@ class GraphSnapshot:
         re-deriving edges from source per count — and the reachable set
         (a localCheckpointed frame of ids) broadcasts into both semi-joins
         so the 2.7M-row edge_index never shuffles."""
+        from graph_db_spark.session import capped_initial_partitions
+
         edges = self.edges.select("src", "dst").persist()
         try:
-            reach = self._reachable_on(edges, ROOT_ID, 1000, broadcast_frontier)
-            n_nodes = reach.count()
-            # same size guard as the BFS loop: the known count decides
-            use_bcast = broadcast_frontier and n_nodes <= self.BFS_BROADCAST_MAX_IDS
-            hint = F.broadcast if use_bcast else (lambda df: df)
-            reach_src = hint(reach.withColumnRenamed("id", "src"))
-            n_edges = edges.join(reach_src, "src", "left_semi").count()
-            n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
-            return GraphStats(n_nodes, n_edges, n_idx)
+            # frontier-sized per-level shuffles: cap AQE's initial
+            # exchange width for the whole BFS + both semi-join counts
+            # (the session default starts wide for corpus shuffles;
+            # paying its per-exchange constant per BFS level measured
+            # get_stats 4.0 -> 5.4 s at sf0.1, round 14)
+            with capped_initial_partitions(edges.sparkSession):
+                reach = self._reachable_on(edges, ROOT_ID, 1000, broadcast_frontier)
+                n_nodes = reach.count()
+                # same size guard as the BFS loop: the known count decides
+                use_bcast = broadcast_frontier and n_nodes <= self.BFS_BROADCAST_MAX_IDS
+                hint = F.broadcast if use_bcast else (lambda df: df)
+                reach_src = hint(reach.withColumnRenamed("id", "src"))
+                n_edges = edges.join(reach_src, "src", "left_semi").count()
+                n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
+                return GraphStats(n_nodes, n_edges, n_idx)
         finally:
             edges.unpersist()
 

@@ -540,13 +540,20 @@ def prefix_filter_jaccard_pairs(
     Scale shape: the df-ascending order makes prefixes a doc's RAREST
     tokens, so the equi-join's per-key fan-out is bounded by those
     tokens' df — the skew a raw token self-join would have on stopword
-    shingles is designed out. Three shuffles total (df count and sizes
-    are map-side-combinable; the per-doc rank window partitions on id —
-    never unpartitioned), then the candidate-only exact verify. The
-    LSH route stays the cheaper probe at mega-corpus scale (prefixes
-    still grow with corpus); this is the exactness tier for when recall
-    guarantees matter (eval-set decontamination, legal/compliance
-    dedup)."""
+    shingles is designed out. MEASURED, not argued (SCALE_STRESS_r14):
+    on a 500k-doc corpus where every doc shares a 10-stopword suffix
+    (~8 shingles per doc at df = n), the max df over ALL prefix tokens
+    stays at the planted-twin multiplicity (2) at both 50k and 500k
+    while the corpus max df equals the corpus size; wall and shuffle
+    scale ~linearly (ratio ~9.8 on 10× data, shuffle exactly 10×) once
+    exchange partition counts scale with data (the session's AQE
+    initialPartitionNum — a fixed 32 re-reads as 14×). Three shuffles
+    total (df count and sizes are map-side-combinable; the per-doc rank
+    window partitions on id — never unpartitioned), then the
+    candidate-only exact verify. The LSH route stays the cheaper probe
+    at mega-corpus scale (prefixes still grow with corpus); this is the
+    exactness tier for when recall guarantees matter (eval-set
+    decontamination, legal/compliance dedup)."""
     tok = (
         shingles(df, id_col, text_col, shingle)
         if shingle > 1
@@ -595,9 +602,11 @@ def prefix_filter_containment_pairs(
     Scale shape vs the Jaccard prefix join: the full-side fan-out per
     prefix token is that token's df — still bounded by the df-ascending
     prefix choice, but heavier than prefix×prefix (the price of catching
-    a 10-token quote inside a 10k-token document). At 100 TB, partition
-    the full token table by token and let AQE skew-split the residual
-    hot keys; the verify stays candidate-only."""
+    a 10-token quote inside a 10k-token document). Measured on the
+    stopword-contaminated 50k→500k corpus (SCALE_STRESS_r14): shuffle
+    exactly 10× on 10× data, max prefix-token df constant. At 100 TB,
+    partition the full token table by token and let AQE skew-split the
+    residual hot keys; the verify stays candidate-only."""
     tok = (
         shingles(df, id_col, text_col, shingle)
         if shingle > 1

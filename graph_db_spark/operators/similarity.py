@@ -852,7 +852,14 @@ def kmeans_fit(
         # compose-only mode: nothing may execute here, so the unique-id
         # precondition is the caller's contract alone (docstring above)
         return out
-    out = out.localCheckpoint(eager=True)
+    # Lloyd-loop shuffles are (cell, dim, x) triples — codebook-sized,
+    # never corpus-sized: execute the fit under the capped AQE initial
+    # width (round 14: the wide session default costs a per-exchange
+    # constant × n_iters × m subspaces; ann_ivf_kmeans read 2.2 → 2.8 s)
+    from graph_db_spark.session import capped_initial_partitions
+
+    with capped_initial_partitions(out.sparkSession):
+        out = out.localCheckpoint(eager=True)
     # Loud corruption gate (round-13 advice): duplicated input ids make
     # BOTH init paths train a silently-wrong codebook — legacy `id < k`
     # emits duplicate cell keys, and the sampled rank renumbering merges

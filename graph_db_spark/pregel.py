@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
+from graph_db_spark.session import frontier_paced
+
 
 def _checkpoint_observed(df: DataFrame, **metrics) -> tuple[DataFrame, dict]:
     """Eager-localCheckpoint *df* with CollectMetrics attached, returning
@@ -88,6 +90,7 @@ def _src_partitioned(edges: DataFrame) -> DataFrame:
     return edges.repartition("src")
 
 
+@frontier_paced
 def bfs_levels(
     edges: DataFrame, sources: DataFrame, max_iters: int = 1000, directed: bool = True
 ) -> DataFrame:
@@ -142,6 +145,7 @@ def bfs_levels(
         e.unpersist()
 
 
+@frontier_paced
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iters: int = 100
 ) -> DataFrame:
@@ -194,6 +198,7 @@ def connected_components(
     return labels
 
 
+@frontier_paced
 def connected_components_star(
     vertices: DataFrame,
     edges: DataFrame,
@@ -361,6 +366,7 @@ def connected_components_star(
     return labels, rounds
 
 
+@frontier_paced
 def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
@@ -416,6 +422,7 @@ def shortest_paths(
         e.unpersist()
 
 
+@frontier_paced
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
@@ -465,6 +472,7 @@ def pagerank(
         v.unpersist()
 
 
+@frontier_paced
 def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int]:
     """The k-core: the maximal subgraph in which every vertex has degree
     >= k (over the undirected, deduplicated edge view). Returns
@@ -516,6 +524,7 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int
     return out, rounds
 
 
+@frontier_paced
 def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
     """Synchronous label-propagation community detection → (id, label).
 
@@ -562,6 +571,7 @@ def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
     return labels
 
 
+@frontier_paced
 def personalized_pagerank(
     vertices: DataFrame,
     edges: DataFrame,
@@ -614,6 +624,7 @@ def personalized_pagerank(
         base.unpersist()
 
 
+@frontier_paced
 def tagged_bfs_levels(
     edges: DataFrame, sources: DataFrame, max_iters: int = 1000, directed: bool = True
 ) -> DataFrame:

@@ -9,8 +9,9 @@ timestamps hash-match the DuckDB oracle).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -35,12 +36,92 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # Partition count must scale with DATA, not sit at a fixed 32:
+        # AQE starts every exchange wide and coalesces down to the 16m
+        # advisory, so small stages still end at a handful of partitions
+        # while big shuffles keep enough parallelism to stay linear.
+        # Measured on the exact-recall prefix join (round 14, 500k-doc
+        # corpus, 878 MB shuffle): fixed 32 partitions scaled 14.3× on
+        # 10× data; 128+ restored ~9-10× (SCALE_STRESS_r14) — the same
+        # reducer-size wall a 100 TB job would hit ~immediately.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(int(shuffle_partitions) * 8, 256)),
+        )
+        # Without this, AQE does NOT coalesce the output partitioning of
+        # plans being CACHED (default false preserves cached-plan
+        # partitioning for reuse): with a wide initialPartitionNum the
+        # cached graph snapshot then materializes at the full initial
+        # width — 256 micro-partitions — and every traversal pays a
+        # 256-task scan per hop (measured round 14: 5-hop 2.0 → 5.3 s).
+        # True lets the cache coalesce like any other exchange.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_INITIAL_PARTITIONS_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+
+
+@contextmanager
+def capped_initial_partitions(spark, n: int | None = None):
+    """Scoped override of AQE's initialPartitionNum for DRIVER-SIDE
+    iterative loops (BFS levels, Pregel rounds, Lloyd passes) whose
+    per-step shuffles are frontier-/codebook-sized, never corpus-sized.
+
+    The session default starts every exchange wide (data-proportional —
+    see get_spark) so one-shot corpus shuffles scale linearly; but an
+    iterative loop pays that width's per-exchange constant (map writers
+    allocate one buffer per initial bucket) dozens of times on tiny
+    frontiers — measured round 14: get_stats 4.0 → 5.4 s, 5-hop 2.0 →
+    2.8 s at sf0.1 under the wide default. Loops that EXECUTE inside the
+    engine cap the initial width to the core count for their own
+    actions and restore the session value on exit; queries returned
+    lazily to callers still execute under the wide session default.
+
+    The conf is session-global while held: a concurrent query on the
+    same session during a capped loop would execute at the capped width
+    (slower on huge shuffles, never incorrect)."""
+    n = n or spark.sparkContext.defaultParallelism
+    prev = None
+    try:
+        prev = spark.conf.get(_INITIAL_PARTITIONS_KEY)
+    except Exception:  # noqa: BLE001 — unset key
+        prev = None
+    spark.conf.set(_INITIAL_PARTITIONS_KEY, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_INITIAL_PARTITIONS_KEY)
+        else:
+            spark.conf.set(_INITIAL_PARTITIONS_KEY, prev)
+
+
+def frontier_paced(fn):
+    """Decorator form of ``capped_initial_partitions`` for the Pregel
+    family: finds the first DataFrame argument and runs the wrapped
+    driver loop under the capped width. The RETURNED frame is typically
+    built on loop-internal localCheckpoint cuts, so the work that
+    matters executes inside the scope."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        df = next(
+            (a for a in list(args) + list(kwargs.values()) if isinstance(a, DataFrame)),
+            None,
+        )
+        if df is None:
+            return fn(*args, **kwargs)
+        with capped_initial_partitions(df.sparkSession):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def load_events(spark: SparkSession, sf_dir: str):
