@@ -26,6 +26,109 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Machine-readable copy of BASELINE.md's per-entry bands: name ->
+#: (floor, top) in seconds at sf0.1 on local[32]. The TOP is the band
+#: audit's retry trigger (see main()); the floor is documentation only
+#: (readings below it are "faster than band", never flagged). Entries
+#: whose BASELINE.md rows state an explicit band carry it verbatim;
+#: the eight entries BASELINE.md never banded in prose carry the
+#: standard construction applied to the round-14 committed quiet run
+#: (BENCH_local.json): top = 1.7 x quiet + 0.25 s headroom, marked
+#: "derived r14" below. Keep this table in sync with BASELINE.md when
+#: bands move — tools/check_bands (in tests) flags names that drift
+#: from the suite's entry set.
+BANDS: dict[str, tuple[float, float]] = {
+    "graph_build_index": (3.9, 19.0),
+    "graph_3hop": (0.8, 5.8),
+    "graph_5hop": (1.9, 8.8),
+    "graph_stats_bfs": (4.0, 10.0),
+    "graph_persist_checkpoint": (6.0, 15.0),
+    "graph_3hop_persisted": (0.0, 1.0),
+    "graph_5hop_persisted": (0.0, 1.5),
+    "graph_stats_persisted": (0.0, 4.8),  # derived r14 (quiet 2.48; r7 2.85)
+    "q1_pricing_summary": (0.2, 2.2),
+    "q3_shipping_priority": (0.2, 2.2),
+    "q5_region_revenue": (0.2, 2.2),
+    "window_topk_orders_per_cust": (0.2, 2.2),
+    "window_running_user_value": (0.2, 2.2),
+    "sessionize_events_gaps": (0.0, 1.0),  # derived r14 (quiet 0.44)
+    "agg_rollup_geo": (0.2, 2.2),
+    "setop_customer_cohorts": (0.2, 2.2),
+    "json_extract_events": (0.2, 2.2),
+    "dedup_exact_documents": (0.0, 0.6),  # derived r14 (quiet 0.16)
+    "dedup_minhash_lsh": (1.8, 7.5),
+    "text_stats_documents": (0.0, 0.8),  # derived r14 (quiet 0.31)
+    "ann_cosine_topk": (0.0, 1.7),
+    "ann_lsh_topk": (0.0, 1.6),
+    "ann_ivf_topk": (0.0, 1.8),
+    "ann_int8_topk": (0.0, 1.0),
+    "sliding_window_events": (0.0, 1.0),  # derived r14 (quiet 0.41)
+    "graph_pagerank": (1.8, 3.4),
+    "graph_sssp_weighted": (2.9, 5.4),
+    "graph_triangle_count": (2.0, 4.2),
+    "funnel_click_purchase": (0.0, 0.7),  # derived r14 (quiet 0.26)
+    "window_rolling_1h_user": (0.0, 0.9),  # derived r14 (quiet 0.34)
+    "pipeline_training_corpus": (4.9, 15.6),
+    "embedding_near_dup_pairs": (1.9, 10.0),
+    "decontam_ngram_overlap": (0.8, 4.6),
+    "sketch_countmin_heavy_tokens": (0.0, 0.8),
+    "pack_sequences": (0.0, 0.5),
+    "graph_connected_components_star": (2.8, 5.5),
+    "text_repetition_signals": (1.4, 2.1),
+    "dedup_simhash_banded": (3.3, 9.2),
+    "dedup_simhash_banded_wide": (1.8, 4.8),
+    "dedup_exact_substring_spans": (8.0, 25.0),
+    "doc_lm_mean_prob": (0.8, 3.2),
+    "pipeline_curated_pack": (3.4, 7.6),
+    "graph_kcore_part_supplier": (0.0, 2.0),  # derived r14 (quiet 1.03)
+    "q6_forecast_revenue": (0.0, 1.5),
+    "q19_disjunctive_pushdown": (0.0, 1.5),
+    "q12_priority_case_pivot": (0.0, 1.5),
+    "q22_dormant_rich_customers": (0.0, 1.5),
+    "graph_hits_hubs_authorities": (0.0, 1.5),
+    "q8_nation_market_share": (0.0, 1.6),
+    "q11_important_inventory": (0.0, 1.6),
+    "q13_customer_orders_distribution": (0.0, 1.6),
+    "q15_top_supplier": (0.0, 1.6),
+    "q20_promotion_suppliers": (0.0, 1.6),
+    "q21_waiting_suppliers": (0.0, 1.6),
+    "dedup_minhash_signature_groups": (0.0, 3.0),
+    "bpe_encode_fixed_rules": (0.0, 3.5),
+    "ann_ivf_kmeans_topk": (2.2, 5.5),
+    "mix_sources_temperature": (0.0, 2.5),
+    "doc_feature_hash_embed": (0.0, 2.8),
+    "graph_landmark_distances": (3.9, 9.0),
+    "doc_similar_feature_hash": (0.0, 3.2),
+    "dedup_semantic_semdedup": (8.0, 17.0),
+    "dedup_semantic_semdedup_hier": (9.0, 20.0),
+    "dsir_importance_weights": (0.0, 2.5),
+    "sample_cluster_balanced": (2.5, 6.0),
+    "quality_percentile_gate": (0.0, 0.8),
+    "dedup_semantic_default": (4.0, 9.0),
+    "knn_label_agreement": (3.0, 6.0),
+    "embedding_label_margin": (0.0, 1.8),
+    "split_stratified_holdout": (0.0, 0.8),
+    "dedup_semantic_tree": (12.0, 28.0),
+    "dedup_duplicate_clusters": (2.5, 7.0),
+    "embedding_pca_scores": (2.5, 6.5),
+    "dedup_repeated_lines": (0.0, 2.8),
+    "shard_manifest_by_tokens": (0.0, 2.8),
+    "scd2_user_status_intervals": (0.0, 1.8),
+    "dedup_incremental_new_vs_store": (1.3, 6.0),
+    "dedup_incremental_persisted_store": (0.0, 4.5),
+    "dedup_containment_pairs": (0.0, 4.0),
+    "dedup_semantic_incremental_store": (3.0, 9.0),
+    "dedup_prefix_filter_pairs": (1.5, 6.0),
+    "event_time_weighted_avg": (0.0, 1.2),
+    "ann_pq_adc_topk": (1.8, 6.0),
+    "dedup_containment_exact_pairs": (2.5, 8.0),
+    "ann_ivfpq_topk": (3.0, 9.0),
+    "ann_ivfpq_residual_topk": (3.0, 9.0),
+    "insert_bulk_1000": (1.2, 3.5),
+    "insert_microtx_20x50": (5.5, 15.0),
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -360,8 +463,98 @@ def main() -> None:
     for name in headline:
         timed(name, lambda n=name: force(REGISTRY[n].build(spark, sf_dir)), repeats=2)
 
-    # (snapshot stays cached until after the contention audit — flagged
-    # graph entries must retry against the same cached layout they ran on)
+    # (snapshot stays cached until after both audits — flagged graph
+    # entries must retry against the same cached layout they ran on)
+
+    sentinel_headline_wide = min(sentinel_wide(), sentinel_wide())
+
+    # -- contention audit: self-defending retries (round-13 verdict #1) ----
+    # Runs BEFORE the insert workloads (round-15 ADVICE): retried
+    # headline/graph entries time against the same session state they ran
+    # under, not one carrying the insert workloads' checkpointed frames;
+    # the insert entries themselves are covered by the band audit below
+    # (each insert run builds a fresh empty session, so a retry there is
+    # an independent repeat by construction).
+    # Trigger: every entry whose ENCLOSING wide-sentinel window (nearest
+    # probe at or before it, nearest after — start/headline-end sentinels
+    # as edges) read more than 2× the run's TYPICAL wide reading is re-run
+    # best-of-2, up to twice, stopping when the retry's own window reads
+    # quiet. Typical = the MEDIAN of all wide probes: a contention WINDOW
+    # is a deviation from this run's own level. (The first cut used min()
+    # as the reference; one unusually-quiet end probe then flagged all 88
+    # entries of an evenly-quiet run and doubled the suite — the median
+    # is robust to a single low/high probe.) The entry's published time is
+    # the best across suite + retries (best-of-N is already the suite
+    # protocol — retries are more repeats under measured-quieter
+    # conditions); `retries` keeps both readings and the sentinel
+    # attribution so no reading is silently replaced. A fully-contended
+    # run flags nothing here — its elevated sentinels are in the artifact
+    # and the BASELINE band protocol (band audit below) adjudicates it.
+    entry_order = list(times)
+    wide_points = (
+        [(-1, sentinel_wide_start)]
+        + [(r[0], r[2]) for r in sentinel_trace]
+        + [(len(entry_order), sentinel_headline_wide)]
+    )
+    _wides = sorted(w for _, w in wide_points)
+    wide_floor = _wides[len(_wides) // 2]
+
+    def enclosing_wide(i: int) -> float:
+        prev = max((p for p in wide_points if p[0] <= i), key=lambda p: p[0])
+        nxt = min((p for p in wide_points if p[0] > i), key=lambda p: p[0])
+        return max(prev[1], nxt[1])
+
+    def audit_retry(name: str, rec: dict, floor: float, stop_below: float | None = None) -> dict:
+        """Re-run *name* best-of-2, up to two attempts, recording each
+        attempt's reading + its own wide-sentinel attribution. Stops
+        early when an attempt ran in a measured-quiet window, or (band
+        audit) when the retry already landed back inside the band.
+        Publishes min(suite, retries) into `times`; every reading stays
+        in *rec* so nothing is silently replaced."""
+        rec = dict(rec, suite=times[name], attempts=[])
+        best_retry = None
+        for _attempt in range(2):
+            pre_w = sentinel_wide()
+            best = None
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    runners[name]()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as exc:  # noqa: BLE001
+                rec["attempts"].append(
+                    {"error": f"{type(exc).__name__}: {exc}"[:120]}
+                )
+                break
+            post_w = sentinel_wide()
+            attempt_wide = round(max(pre_w, post_w), 3)
+            rec["attempts"].append({"sec": round(best, 3), "wide": attempt_wide})
+            best_retry = best if best_retry is None else min(best_retry, best)
+            if stop_below is not None and best_retry <= stop_below:
+                break  # back inside the band — the suite reading was noise
+            if attempt_wide <= 2 * floor:
+                break  # this retry ran in a measured-quiet window
+        if best_retry is not None:
+            rec["retry"] = round(best_retry, 3)
+            times[name] = round(min(rec["suite"], best_retry), 3)
+        return rec
+
+    retries: dict[str, dict] = {}
+    flagged = [
+        n
+        for i, n in enumerate(entry_order)
+        if n in runners and enclosing_wide(i) > 2 * wide_floor
+    ]
+    for name in flagged:
+        window = round(enclosing_wide(entry_order.index(name)), 3)
+        retries[name] = audit_retry(name, {"window_wide": window}, wide_floor)
+        print(
+            f"[bench] retry {name}: suite {retries[name]['suite']}s "
+            f"(window {window}) -> {retries[name].get('retry')}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # -- insert workloads (CompetitionBench / NonpersistentBench shapes:
     #    1,000 random artist inserts; see BASELINE.md) -----------------------
@@ -411,80 +604,49 @@ def main() -> None:
     sentinel_end = min(sentinel_end, sentinel())
     sentinel_wide_end = min(sentinel_wide(), sentinel_wide())
 
-    # -- contention audit: self-defending retries (round-13 verdict #1) ----
-    # Three driver rounds in a row produced >2× outliers that turned out to
-    # be co-tenant windows, each needing a human to adjudicate against a
-    # separately-committed quiet run. Close the loop inside the artifact:
-    # every entry whose ENCLOSING wide-sentinel window (nearest probe at or
-    # before it, nearest after — start/end sentinels as edges) read more
-    # than 2× the run's TYPICAL wide reading is re-run best-of-2 after the
-    # suite, up to twice, stopping when the retry's own window reads quiet.
-    # Typical = the MEDIAN of all wide probes: a contention WINDOW is a
-    # deviation from this run's own level. (The first cut used min() as
-    # the reference; one unusually-quiet end probe then flagged all 88
-    # entries of an evenly-quiet run and doubled the suite — the median
-    # is robust to a single low/high probe.) The entry's published time is
-    # the best across suite + retries (best-of-N is already the suite
-    # protocol — retries are more repeats under measured-quieter
-    # conditions); `retries` keeps both readings and the sentinel
-    # attribution so no reading is silently replaced. A fully-contended
-    # run flags nothing here — its elevated sentinels are in the artifact
-    # and the BASELINE band protocol adjudicates it.
-    entry_order = list(times)
-    wide_points = (
-        [(-1, sentinel_wide_start)]
-        + [(r[0], r[2]) for r in sentinel_trace]
-        + [(len(entry_order), sentinel_wide_end)]
-    )
-    _wides = sorted(w for _, w in wide_points)
-    wide_floor = _wides[len(_wides) // 2]
-
-    def enclosing_wide(i: int) -> float:
-        prev = max((p for p in wide_points if p[0] <= i), key=lambda p: p[0])
-        nxt = min((p for p in wide_points if p[0] > i), key=lambda p: p[0])
-        return max(prev[1], nxt[1])
-
-    retries: dict[str, dict] = {}
-    flagged = [
-        n
-        for i, n in enumerate(entry_order)
-        if n in runners and enclosing_wide(i) > 2 * wide_floor
-    ]
-    for name in flagged:
-        suite_t = times[name]
-        window = round(enclosing_wide(entry_order.index(name)), 3)
-        rec = {"suite": suite_t, "window_wide": window, "attempts": []}
-        best_retry = None
-        for _attempt in range(2):
-            pre_w = sentinel_wide()
-            best = None
-            try:
-                for _ in range(2):
-                    t0 = time.time()
-                    runners[name]()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-            except Exception as exc:  # noqa: BLE001
-                rec["attempts"].append(
-                    {"error": f"{type(exc).__name__}: {exc}"[:120]}
-                )
-                break
-            post_w = sentinel_wide()
-            attempt_wide = round(max(pre_w, post_w), 3)
-            rec["attempts"].append({"sec": round(best, 3), "wide": attempt_wide})
-            best_retry = best if best_retry is None else min(best_retry, best)
-            if attempt_wide <= 2 * wide_floor:
-                break  # this retry ran in a measured-quiet window
-        if best_retry is not None:
-            rec["retry"] = round(best_retry, 3)
-            times[name] = round(min(suite_t, best_retry), 3)
-        retries[name] = rec
+    # -- band audit: BASELINE-band retries (round-15 verdict #1) -----------
+    # The contention audit's sentinel-window trigger structurally cannot
+    # flag ENTRY-LOCAL slowness: round 14's dedup_duplicate_clusters read
+    # 7.7 s (band top 7.0) inside a QUIET window, for the second round
+    # running, and nothing in the artifact retried it. Second trigger:
+    # any entry whose published reading exceeds its BASELINE band TOP
+    # (the BANDS table above — BASELINE.md made machine-readable) is
+    # re-run best-of-2, stopping early if the retry lands back in band
+    # (noise) or ran in a measured-quiet window (regression confirmed —
+    # the reading stands and `above_band` says so). Runs AFTER the insert
+    # section so the two insert entries are covered too (their retries
+    # rebuild fresh empty sessions — independent repeats by construction).
+    _wides_all = sorted(_wides + [sentinel_wide_end])
+    band_floor = _wides_all[len(_wides_all) // 2]
+    band_retries: dict[str, dict] = {}
+    # The bands were measured at sf0.1 — at any other scale (the harness
+    # contract test runs this file at sf0.001) the comparison is
+    # meaningless, so the trigger only arms at the band scale.
+    bands_armed = sf == "0.1"
+    for name in list(times) if bands_armed else []:
+        band = BANDS.get(name)
+        if band is None or name not in runners or times[name] <= band[1]:
+            continue
+        band_retries[name] = audit_retry(
+            name, {"band_top": band[1]}, band_floor, stop_below=band[1]
+        )
         print(
-            f"[bench] retry {name}: suite {suite_t}s (window {window}) -> "
-            f"{rec.get('retry')}s",
+            f"[bench] band-retry {name}: suite {band_retries[name]['suite']}s "
+            f"(band top {band[1]}) -> {band_retries[name].get('retry')}s",
             file=sys.stderr,
             flush=True,
         )
+    # Names still above their band top after retries: the artifact's own
+    # regression verdict (repeated quiet readings above band = regression,
+    # per BASELINE.md's protocol).
+    above_band = sorted(
+        n for n, (_lo, top) in BANDS.items() if n in times and times[n] > top
+    ) if bands_armed else []
+    # Self-check: a renamed/retired entry leaves a stale band behind — or
+    # a new entry lands unbanded. Recorded, never fatal (the suite and
+    # BASELINE.md evolve in the same commit most rounds).
+    bands_stale = sorted(set(BANDS) - set(times) - set(errors))
+    bands_missing = sorted(set(times) - set(BANDS))
 
     if holder.get("g") is not None:
         holder["g"].edge_index.unpersist()
@@ -530,7 +692,15 @@ def main() -> None:
         # and per-attempt sentinel attribution. `queries` carries the best
         # across suite + quiet retries; nothing is silently replaced.
         "retries": retries,
-        # the run's typical (median) wide-sentinel reading — the audit's
+        # Band audit: entries above their BASELINE band top regardless of
+        # sentinels (the entry-local trigger), same retry protocol.
+        "band_retries": band_retries,
+        # Entries STILL above their band top after retries — the
+        # artifact's own regression verdict (empty on a healthy run).
+        "above_band": above_band,
+        "bands_stale": bands_stale,
+        "bands_missing": bands_missing,
+        # the run's typical (median) wide-sentinel reading — the audits'
         # 2× reference
         "retry_wide_floor": round(wide_floor, 3),
         "env": {"pyspark": pyspark.__version__, "python": sys.version.split()[0]},
@@ -559,6 +729,24 @@ def main() -> None:
     # budget: 2-dp query times -> 1-dp -> drop optional provenance ->
     # (last resort) omit the fastest queries with an explicit counter.
     # Full-precision timings + provenance always live in the sidecar.
+    # The FULL query map rides the compact line compressed (round-14
+    # verdict #4: the driver artifact must be self-contained — the old
+    # tiered `keep` dropped the ~25 fastest entries once the suite
+    # outgrew the capture window). zlib+base85 of the 2-dp map is ~1.5 KB
+    # for 88 entries and base85's alphabet needs no JSON escaping; decode
+    # with json.loads(zlib.decompress(base64.b85decode(s))).
+    import base64
+    import zlib
+
+    queries_z = base64.b85encode(
+        zlib.compress(
+            json.dumps(
+                {k: round(v, 2) for k, v in times.items()}, separators=(",", ":")
+            ).encode(),
+            9,
+        )
+    ).decode()
+
     def _line(dp: int, provenance: bool, keep: int | None) -> str:
         compact = dict(out, queries={k: round(v, dp) for k, v in times.items()})
         compact.pop("env", None)
@@ -566,18 +754,28 @@ def main() -> None:
         # line keeps just sentinel_sec.mid_max)
         compact.pop("retries", None)  # sidecar-only; the compact line
         # carries just the count so a reader knows the audit fired
+        compact.pop("band_retries", None)  # sidecar-only, count below
         compact.pop("retry_wide_floor", None)
+        compact.pop("bands_stale", None)
+        compact.pop("bands_missing", None)
+        if not above_band:
+            compact.pop("above_band", None)  # empty = healthy, save bytes
         if retries:
             compact["retried"] = len(retries)
+        if band_retries:
+            compact["band_retried"] = len(band_retries)
+        compact["queries_z"] = queries_z
+        compact["queries_z_codec"] = "json|zlib|b85"
         if not provenance:
             compact.pop("n_index_entries", None)
             compact.pop("cpus", None)
             compact["metric"] = "suite"
-            compact["value"] = round(out["value"], 1)
+            if out["value"] is not None:
+                compact["value"] = round(out["value"], 1)
         if keep is not None and keep < len(times):
             top = sorted(times, key=times.get, reverse=True)[:keep]
             compact["queries"] = {k: round(times[k], dp) for k in top}
-            compact["queries_omitted"] = len(times) - keep
+            compact["queries_omitted"] = len(times) - keep  # all still in queries_z
         # Keep the co-tenant sentinel IN the compact line (~40 bytes):
         # the driver artifact must be self-auditing — an apparent
         # cross-round regression with an inflated sentinel is

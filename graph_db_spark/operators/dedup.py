@@ -614,9 +614,20 @@ def prefix_filter_containment_pairs(
     )
     pref, _sizes = _df_ordered_prefix(tok, threshold)
     # prefix side × FULL side, both orientations folded into a<b; the
-    # smaller member's prefix hit is guaranteed for every qualifying pair
+    # smaller member's prefix hit is guaranteed for every qualifying pair.
+    # The join is HINTED to a shuffled-hash join with the prefix side as
+    # the build (round 15; SCALE_STRESS_r14's one watch item): a
+    # sort-merge join here SORTS the full side's df=n stopword rows even
+    # though they can never be join keys (no stopword survives into any
+    # prefix — measured max prefix df stays at twin multiplicity). Under
+    # SHJ the full side streams: hot rows hash-probe the per-partition
+    # prefix build table, miss, and drop — no sort, same candidates. The
+    # build side stays bounded per partition because prefix tokens are
+    # each doc's RAREST (the same df bound the skew profile measures),
+    # and exchange partition counts scale with data (session.py AQE).
     cands = (
         pref.select(F.col("id").alias("x"), "token")
+        .hint("shuffle_hash")
         .join(tok.select(F.col("id").alias("y"), "token"), "token")
         .filter(F.col("x") != F.col("y"))
         .select(

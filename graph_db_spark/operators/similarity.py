@@ -510,6 +510,28 @@ def ivfpq_residual_topk(
     coded = pq_encode(resid_v, books, id_col, vec_col).join(
         resid.select("id", "ccell"), "id"
     )
+    return _residual_adc_topk(coded, cc, books, queries, k, n_probe, id_col, vec_col)
+
+
+def _residual_adc_topk(
+    coded: DataFrame,
+    cc: DataFrame,
+    books: list[DataFrame],
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The query-time half of residual IVF-PQ, shared by the in-query
+    route (``ivfpq_residual_topk``) and the persisted-index route
+    (``ivfpq_residual_topk_persisted``): probe list, per-(query, probed
+    cell) residual distance tables, ADC lookup-sum over *coded*
+    (id, ccell, c0..c{m-1}), deterministic (adc, nid) top-k cut. The two
+    routes are result-identical because everything corpus-side (coarse
+    assignment, residuals, PQ books, codes) is a pure function the store
+    merely caches."""
+    m = len(books)
     qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probes = _coarse_probes(qv, cc, n_probe)
     # per-(query, probed cell) residual: qr = q − centroid(probed cell)
@@ -545,6 +567,106 @@ def ivfpq_residual_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "nid", "adc")
     )
+
+
+def ivfpq_residual_store_write(
+    df: DataFrame,
+    path: str,
+    coarse_k: int = 4,
+    m: int = 2,
+    n_codes: int = 4,
+    n_iters: int = 2,
+    sample_mod: int | None = None,
+    sample_target: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the residual IVF-PQ index as a write-time artifact — the
+    production rung ``ivfpq_residual_topk``'s docstring names (the
+    ``signature_store_write`` pattern, after the reference's write-time
+    indexing principle, Graph.hs:57-61). Three parquet tables:
+
+      coarse/ (ccell, ccvec)        — the coarse quantizer (k rows)
+      books/  (s, cell, cvec)       — the m residual-subspace codebooks
+      codes/  (id, c0..c{m-1}) BY ccell — every vector's coarse cell +
+              residual PQ codes, PARTITIONED on ccell so a query batch
+              probing p cells scans exactly p directories (partition
+              pruning — the ``semantic_store_write`` members/ layout)
+
+    The Lloyd fits (coarse + per-subspace) run ONCE here; query batches
+    pay only the probe against k persisted centroids and an ADC scan of
+    the probed cells' codes — no coarse re-assign, no residual
+    materialization, no PQ re-fit. Every stage is the deterministic
+    kmeans/pq contract (md5-derived sampling, DECIMAL sums, 9dp
+    centroids), so an oracle re-derives the store bit-for-bit."""
+    import os
+
+    coarse = kmeans_fit(
+        df, k=coarse_k, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
+        sample_mod=sample_mod, sample_target=sample_target,
+    )
+    cc = coarse.select(F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec"))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    resid = (
+        v.join(_coarse_assign(v, cc), "id")
+        .join(F.broadcast(cc), "ccell")
+        .select(
+            "id",
+            "ccell",
+            F.zip_with("vec", "ccvec", lambda a, b: a - b).alias("r"),
+        )
+        .localCheckpoint()  # write-time only: the PQ fits + encode below
+        # re-read it ~10×; queries never pay this
+    )
+    resid_v = resid.select(F.col("id").alias(id_col), F.col("r").alias(vec_col))
+    books = pq_fit(
+        resid_v, m=m, n_codes=n_codes, n_iters=n_iters, sample_mod=sample_mod
+    )
+    cc.write.mode("errorifexists").parquet(os.path.join(path, "coarse"))
+    b_all = None
+    for s, cb in enumerate(books):
+        bs = cb.select(F.lit(s).alias("s"), "cell", "cvec")
+        b_all = bs if b_all is None else b_all.unionByName(bs)
+    b_all.write.mode("errorifexists").parquet(os.path.join(path, "books"))
+    (
+        pq_encode(resid_v, books, id_col, vec_col)
+        .join(resid.select("id", "ccell"), "id")
+        .write.mode("errorifexists")
+        .partitionBy("ccell")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def ivfpq_residual_topk_persisted(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve residual IVF-PQ top-k from the persisted index
+    (``ivfpq_residual_store_write``): broadcast the k-row coarse table
+    for the probe list, broadcast the per-(query, probed cell) distance
+    tables, and ADC-scan ONLY the probed cells' code partitions (the
+    probes join keys on the store's partition column, so dynamic
+    partition pruning cuts the scan to p directories). Per-query-batch
+    cost is probe + p-cell code scan + lookup sum — independent of the
+    fits, and independent of corpus size once cell count scales with
+    the corpus (the constant-cell k ∝ n rule the semantic store uses).
+    Result-identical to ``ivfpq_residual_topk`` at equal parameters
+    (pytest-pinned)."""
+    import os
+
+    cc = spark.read.parquet(os.path.join(store_path, "coarse"))
+    b_all = spark.read.parquet(os.path.join(store_path, "books"))
+    m = b_all.agg(F.max("s")).head()[0] + 1
+    books = [
+        b_all.filter(F.col("s") == s).select("cell", "cvec") for s in range(m)
+    ]
+    coded = spark.read.parquet(os.path.join(store_path, "codes"))
+    return _residual_adc_topk(coded, cc, books, queries, k, n_probe, id_col, vec_col)
 
 
 def ivf_assign(

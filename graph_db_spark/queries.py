@@ -7667,3 +7667,80 @@ def dedup_incremental_persisted_store(spark, sf_dir):
         F.min_by("jaccard", "a").alias("jaccard"),
         F.count(F.lit(1)).alias("n_dups"),
     ).select(F.col("b").alias("doc_id"), "dup_of", "jaccard", "n_dups")
+
+
+def ensure_ivfpq_store(
+    spark,
+    sf_dir: str,
+    coarse_k: int = 4,
+    m: int = 2,
+    n_codes: int = 4,
+    n_iters: int = 2,
+    sample_mod: int = 4,
+) -> str:
+    """Build-once publish of the residual IVF-PQ index (coarse quantizer
+    + residual subspace codebooks + cell-partitioned codes) over the
+    fixture embeddings: scratch write, atomic rename, skip when
+    published. Returns the path. Round-15 completion of the residual
+    rung's own docstring plan (similarity.py: production "PERSISTS the
+    residual CODES as a write-time index")."""
+    import os
+    import shutil
+    import uuid
+
+    from graph_db_spark.operators.similarity import ivfpq_residual_store_write
+
+    path = _dedup_store_path(
+        sf_dir,
+        "embeddings",
+        f"ivfpq|ck={coarse_k}|m={m}|nc={n_codes}|it={n_iters}|mod={sample_mod}",
+    )
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    ivfpq_residual_store_write(
+        e, tmp, coarse_k=coarse_k, m=m, n_codes=n_codes, n_iters=n_iters,
+        sample_mod=sample_mod,
+    )
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+@q(
+    "ann_ivfpq_residual_persisted",
+    REGISTRY["ann_ivfpq_residual_topk"].oracle,
+)
+def ann_ivfpq_residual_persisted(spark, sf_dir):
+    """The production route of ``ann_ivfpq_residual_topk``: the coarse
+    quantizer, residual PQ codebooks, and per-vector residual codes are
+    PERSISTED once as a write-time index (``ensure_ivfpq_store`` →
+    ``similarity.ivfpq_residual_store_write``) and every query batch is
+    served from it — probe the k persisted centroids, broadcast the
+    per-(query, probed cell) distance tables, ADC-scan only the probed
+    cells' code partitions (the store is partitioned BY ccell; dynamic
+    partition pruning cuts the scan). No coarse re-assign, no residual
+    materialization, no Lloyd re-fit at query time — the
+    ``dedup_incremental_persisted_store`` arc applied to ANN, closing
+    the fixture-scale localCheckpoint cut the in-query variant
+    documents. Same oracle SQL as the in-query fixture — the routes are
+    result-identical (the store caches a pure function of the corpus;
+    pytest asserts frame equality) — so the driver row is a cross-route
+    correctness check. Scale evidence: SCALE_STRESS_r15 ivfpq_persisted
+    (fixed query batch vs 1x/10x store at constant-cell k)."""
+    from graph_db_spark.operators.similarity import ivfpq_residual_topk_persisted
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    store_path = ensure_ivfpq_store(spark, sf_dir)
+    return ivfpq_residual_topk_persisted(
+        spark, store_path, e.filter(F.col("vec_id") < 5), k=5, n_probe=2
+    )

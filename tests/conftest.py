@@ -83,9 +83,25 @@ _SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
-        if item.name.split("[")[0] in _SLOW_TESTS:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            matched.add(base)
             item.add_marker(pytest.mark.slow)
+    # A renamed/deleted slow test silently no-ops its _SLOW_TESTS entry
+    # (and its renamed successor silently lands in the fast tier, eroding
+    # the <5-min guarantee). Only meaningful on full collection — a
+    # targeted `pytest tests/test_x.py` run legitimately collects few.
+    leftovers = _SLOW_TESTS - matched
+    if leftovers and len(items) > 100:
+        import warnings
+
+        warnings.warn(
+            f"_SLOW_TESTS entries matched no collected test (stale after a "
+            f"rename/delete?): {sorted(leftovers)}",
+            stacklevel=1,
+        )
 
 
 @pytest.fixture(scope="session")

@@ -2897,6 +2897,49 @@ def test_ivfpq_residual_recall_beats_raw(spark):
     assert r_raw == 0.4  # the gap the residual refinement buys
 
 
+def test_ivfpq_residual_persisted_equals_inquery(spark, tmp_path):
+    """The persisted residual-code index (round-15: the production rung
+    ``ivfpq_residual_topk``'s docstring names) serves results
+    BIT-IDENTICAL to the in-query route at equal parameters — the store
+    caches a pure function of the corpus (coarse assignment, residuals,
+    PQ books, codes), so the two plans must return the same frame. Also
+    pins the store layout contract: codes/ partitioned by ccell."""
+    import os
+
+    from graph_db_spark.operators.similarity import (
+        ivfpq_residual_store_write,
+        ivfpq_residual_topk,
+        ivfpq_residual_topk_persisted,
+        kmeans_fit,
+    )
+
+    rows = []
+    for i in range(24):
+        for c in range(4):
+            center = [100.0 * (c + 1) if j % 4 == c else 0.0 for j in range(8)]
+            off = [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)]
+            rows.append((i * 4 + c, [a + b for a, b in zip(center, off)]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = df.filter(F.col("vec_id") < 4)
+    store = str(tmp_path / "ivfpq_store")
+    ivfpq_residual_store_write(
+        df, store, coarse_k=4, m=2, n_codes=4, n_iters=2, sample_mod=1
+    )
+    assert any(
+        d.startswith("ccell=") for d in os.listdir(os.path.join(store, "codes"))
+    ), "codes table must be partitioned by coarse cell"
+    coarse = kmeans_fit(df, k=4, n_iters=2, sample_mod=1)
+    inquery = ivfpq_residual_topk(
+        df, qs, coarse, k=5, n_probe=2, m=2, n_codes=4, n_iters=2, sample_mod=1
+    )
+    persisted = ivfpq_residual_topk_persisted(spark, store, qs, k=5, n_probe=2)
+    key = lambda r: (r["qid"], r["nid"])  # noqa: E731
+    got_in = sorted(inquery.collect(), key=key)
+    got_st = sorted(persisted.collect(), key=key)
+    assert [tuple(r) for r in got_in] == [tuple(r) for r in got_st]
+    assert len(got_st) == 4 * 5
+
+
 def test_prefix_filter_equals_bruteforce_all_pairs(spark):
     """The exactness property LSH cannot have: on an adversarial
     small-alphabet corpus (heavy shingle sharing, df ties, twin docs,

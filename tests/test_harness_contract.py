@@ -145,3 +145,39 @@ def test_bench_harness_runs_and_emits_json():
         kept_min = min(out["queries"].values())
         dropped = set(full["queries"]) - set(out["queries"])
         assert all(full["queries"][q] <= kept_min + 0.05 for q in dropped)
+    # Round-15: the compact line is self-contained regardless of the
+    # tiering — queries_z carries EVERY entry (zlib+base85 of the 2-dp
+    # map), so the driver artifact never loses data a band check needs.
+    import base64
+    import zlib
+
+    assert out["queries_z_codec"] == "json|zlib|b85"
+    zq = json.loads(zlib.decompress(base64.b85decode(out["queries_z"])))
+    assert set(zq) == set(full["queries"])
+    for name, sec in zq.items():
+        assert abs(sec - full["queries"][name]) < 0.011
+    # band audit must not arm off the sf0.1 band scale
+    assert full.get("band_retries") == {}
+    assert full.get("above_band") == []
+
+
+def test_bands_table_tracks_registry():
+    """Every BANDS key must name a real suite entry: a registered query
+    or one of the fixed bench-only entries (graph build/traversal/insert
+    workloads). A renamed query would otherwise leave a stale band that
+    silently stops triggering (the audit's own bands_stale field catches
+    it at run time; this catches it at test time)."""
+    import bench
+
+    from graph_db_spark.queries import REGISTRY
+
+    bench_only = {
+        "graph_build_index", "graph_3hop", "graph_5hop", "graph_stats_bfs",
+        "graph_persist_checkpoint", "graph_3hop_persisted",
+        "graph_5hop_persisted", "graph_stats_persisted",
+        "insert_bulk_1000", "insert_microtx_20x50",
+    }
+    stale = set(bench.BANDS) - set(REGISTRY) - bench_only
+    assert not stale, f"BANDS names no suite entry: {sorted(stale)}"
+    for name, (lo, top) in bench.BANDS.items():
+        assert 0 <= lo < top, f"degenerate band for {name}: {(lo, top)}"

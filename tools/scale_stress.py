@@ -824,11 +824,12 @@ def main() -> None:
     # frontier join per level for ALL landmarks together.
     from graph_db_spark.pregel import tagged_bfs_levels
 
-    for scale, width in (
-        (("1x", 62_500 // div), ("10x", 625_000 // div))
-        if want("landmark_distances")
-        else ()
-    ):
+    landmark_scales = [("1x", 62_500 // div), ("10x", 625_000 // div)]
+    if x30:
+        # round-15: third point for the iterative-flagship re-measure
+        # under the data-scaled exchange config (VERDICT r14 item 2)
+        landmark_scales.append(("30x", 1_875_000 // div))
+    for scale, width in landmark_scales if want("landmark_distances") else ():
         v, e = layered_graph(spark, width=width, layers=8)
         landmarks = spark.createDataFrame(
             [(0,), (1 + width // 2,), (1 + 3 * width,)], "id LONG"
