@@ -124,6 +124,7 @@ BANDS: dict[str, tuple[float, float]] = {
     "dedup_containment_exact_pairs": (2.5, 8.0),
     "ann_ivfpq_topk": (3.0, 9.0),
     "ann_ivfpq_residual_topk": (3.0, 9.0),
+    "ann_ivfpq_residual_persisted": (0.0, 3.0),  # r15: no fits at query time
     "insert_bulk_1000": (1.2, 3.5),
     "insert_microtx_20x50": (5.5, 15.0),
 }
@@ -418,6 +419,10 @@ def main() -> None:
         # round-14: residual-encoded IVF-PQ (the production FAISS recipe —
         # PQ trained on v − coarse_centroid, per-(query, cell) tables)
         "ann_ivfpq_residual_topk",
+        # round-15: the persisted residual-code index route — probe +
+        # DPP-pruned ADC scan of the write-time store, no fits at query
+        # time (store build rides the warmup below, like every store)
+        "ann_ivfpq_residual_persisted",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage
@@ -454,6 +459,7 @@ def main() -> None:
         "pipeline_curated_pack",
         "dedup_incremental_persisted_store",
         "dedup_semantic_incremental_store",
+        "ann_ivfpq_residual_persisted",
     ):
         try:
             force(REGISTRY[name].build(spark, sf_dir))

@@ -105,9 +105,22 @@ def capped_initial_partitions(spark, n: int | None = None):
 def frontier_paced(fn):
     """Decorator form of ``capped_initial_partitions`` for the Pregel
     family: finds the first DataFrame argument and runs the wrapped
-    driver loop under the capped width. The RETURNED frame is typically
-    built on loop-internal localCheckpoint cuts, so the work that
-    matters executes inside the scope."""
+    driver loop under the capped width.
+
+    Scope contract (round-15 ADVICE clarification): the cap covers only
+    work EXECUTED inside the call. Every decorated pregel function
+    (bfs_levels / tagged_bfs_levels / connected_components_star / sssp /
+    pagerank / kcore) checkpoints each round's state eagerly inside the
+    loop — the iterative stages, which are the cap's entire target,
+    therefore always run capped. What a decorated function RETURNS is a
+    frame over those localCheckpoint cuts plus at most a final
+    projection/back-join (e.g. labels joined to the caller's vertices);
+    those closing stages execute lazily at the CALLER under the wide
+    session default — which is correct, since they are one-shot and
+    possibly corpus-sized, exactly what the wide default exists for. A
+    concurrent query on the same session during a capped loop executes
+    at the capped width (slower on huge shuffles, never incorrect) — the
+    documented price of session-global conf."""
     import functools
 
     @functools.wraps(fn)

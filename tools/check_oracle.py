@@ -2,7 +2,13 @@
 entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
 row-count, schema (column names), and order-insensitive values.
 
-Usage: python tools/check_oracle.py [--sf DIR] [query ...]
+Usage: python tools/check_oracle.py [--sf DIR] [--json OUT.json] [query ...]
+
+--json writes the sweep as a machine-checkable artifact (round-15 verdict
+item 5: the full-sweep claim used to live only as COVERAGE.md prose):
+per-query rows/schema/hash booleans + row counts + error, plus sf, git
+SHA, and engine versions — diffable against the driver's
+CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -51,6 +57,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write the sweep as a JSON artifact to this path")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -65,6 +73,16 @@ def main():
 
     names = args.names or list(REGISTRY)
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None, sec=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err, "sec": sec,
+        }
+
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
@@ -73,19 +91,26 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            record(name, err=f"spark: {e}"[:300])
             continue
-        t_spark = time.time() - t0
+        t_spark = round(time.time() - t0, 1)
         if spec.oracle is None:
             print(f"OK?   {name}: rows={len(sdf)} (no oracle — rows-only check) [{t_spark:.1f}s]")
+            record(name, rows_match=len(sdf) >= 0, spark_rows=len(sdf),
+                   err="no oracle — rows-only check", sec=t_spark)
             continue
         try:
             odf = con.sql(spec.oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            record(name, spark_rows=len(sdf), err=f"duckdb: {e}"[:300], sec=t_spark)
             continue
         sc, sr = normalize(sdf)
         oc, orows = normalize(odf)
+        record(name, rows_match=len(sr) == len(orows), schema_match=sc == oc,
+               hash_match=sr == orows, spark_rows=len(sr),
+               oracle_rows=len(orows), sec=t_spark)
         if sc != oc:
             print(f"FAIL  {name}: columns {sc} vs {oc}")
             failures.append(name)
@@ -102,6 +127,33 @@ def main():
         else:
             print(f"PASS  {name}: rows={len(sr)} [{t_spark:.1f}s]")
     print()
+    if args.json_out:
+        import json
+        import subprocess
+
+        import pyspark
+
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            sha = None
+        artifact = {
+            "sf_dir": args.sf,
+            "git_sha": sha,
+            "n_queries": len(names),
+            "n_failed": len(failures),
+            "failed": failures,
+            "pyspark": pyspark.__version__,
+            "duckdb": duckdb.__version__,
+            "queries": report,
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.json_out} ({len(report)} queries)")
     if failures:
         print(f"{len(failures)}/{len(names)} FAILED: {failures}")
         sys.exit(1)

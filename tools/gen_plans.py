@@ -102,6 +102,13 @@ AUDITED = [
     # round-14: residual IVF-PQ (broadcast coarse codebook + per-cell
     # tables; corpus side scan + broadcast joins only)
     "ann_ivfpq_residual_topk",
+    # round-15: the persisted residual-code route (store scans + the
+    # probes join on the partition column — dynamic partition pruning —
+    # and NO kmeans/pq stages in the query plan) and the exact-recall
+    # containment join after the shuffled-hash candidate stage (no
+    # full-side sort)
+    "ann_ivfpq_residual_persisted",
+    "dedup_containment_exact_pairs",
 ]
 
 NOTES = """## Notes

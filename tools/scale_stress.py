@@ -188,6 +188,7 @@ def main() -> None:
         "stream_dedup_builtin_claim_lag", "stream_dedup_loser_ab",
         "semantic_incremental_store",
         "prefix_jaccard", "containment_exact",
+        "ivfpq_persisted", "ivfpq_persisted_build",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -863,6 +864,51 @@ def main() -> None:
 
         run("ann_ivf_kmeans", scale, ann)
         emb.unpersist()
+
+    # -- persisted residual IVF-PQ: query-batch cost vs store size ----------
+    # Round-15 verdict item 4: the write-time residual-code index
+    # (similarity.ivfpq_residual_store_write) must make PER-QUERY-BATCH
+    # cost independent of corpus size — the r13 signature-store
+    # demonstration applied to ANN. Stores are built at 1x/10x under the
+    # constant-cell rule k = max(8, n // 1024) (probed-cell size stays
+    # ~1k vectors as the corpus grows; the semantic-store schedule), then
+    # the SAME fixed 20-query batch is served from each. The build is
+    # its own labeled row (one-time, amortized like every store build).
+    ivfpq_scales = [("1x", max(10 // div, 1)), ("10x", max(100 // div, 2))]
+    for scale, factor in ivfpq_scales if want("ivfpq_persisted") else []:
+        import shutil
+        import tempfile
+
+        from graph_db_spark.operators.similarity import (
+            ivfpq_residual_store_write,
+            ivfpq_residual_topk_persisted,
+        )
+
+        emb = expanded_embeddings(spark, SF_DIR, factor).repartition(int(cpus)).persist()
+        n_vec = emb.count()
+        k_coarse = max(8, n_vec // 1024)
+        tmpd = tempfile.mkdtemp(prefix=f"ivfpq_store_{scale}_")
+        store = os.path.join(tmpd, "store")
+
+        def build(e=emb, s=store, kk=k_coarse, nv=n_vec):
+            ivfpq_residual_store_write(
+                e, s, coarse_k=kk, m=2, n_codes=16, n_iters=2,
+                sample_target=10_000,
+            )
+            return {"k_coarse": kk, "n_vectors": nv}
+
+        run("ivfpq_persisted_build", scale, build)
+        # the 20 original fixture vectors exist identically at every
+        # scale — a FIXED query batch
+        qbatch = emb.filter(F.col("vec_id") < 20)
+
+        def serve(s=store, qq=qbatch, kk=k_coarse):
+            topk = ivfpq_residual_topk_persisted(spark, s, qq, k=5, n_probe=2)
+            return {"topk_rows": topk.count(), "k_coarse": kk}
+
+        run("ivfpq_persisted", scale, serve)
+        emb.unpersist()
+        shutil.rmtree(tmpd, ignore_errors=True)
 
     # -- SemDeDup cluster-bounded semantic dedup ---------------------------
     # k = sqrt(n): the exact method's self-balancing point (assignment
