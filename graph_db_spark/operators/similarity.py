@@ -484,7 +484,9 @@ def ivfpq_residual_topk(
     fixture/medium-scale cut — at billion-vector scale the production
     flow PERSISTS the residual codes as a write-time index (the
     ``signature_store_write`` pattern) instead of checkpointing raw
-    residuals. Same caveats as ``kmeans_fit``: executes at
+    residuals: built in round 15 as ``ivfpq_residual_store_write`` +
+    ``ivfpq_residual_topk_persisted`` below (result-identical,
+    pytest-pinned). Same caveats as ``kmeans_fit``: executes at
     plan-construction time; blocks die with executors."""
     cc = coarse.select(
         F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")
