@@ -124,7 +124,8 @@ BANDS: dict[str, tuple[float, float]] = {
     "dedup_containment_exact_pairs": (2.5, 8.0),
     "ann_ivfpq_topk": (3.0, 9.0),
     "ann_ivfpq_residual_topk": (3.0, 9.0),
-    "ann_ivfpq_residual_persisted": (0.0, 3.0),  # r15: no fits at query time
+    "ann_ivfpq_residual_persisted": (0.0, 2.0),  # r15 quiet 0.74: no fits at query time
+    "embedding_hard_negatives": (3.0, 8.0),  # r15 quiet 4.7-6.1 standalone
     "insert_bulk_1000": (1.2, 3.5),
     "insert_microtx_20x50": (5.5, 15.0),
 }
@@ -423,6 +424,9 @@ def main() -> None:
         # DPP-pruned ADC scan of the write-time store, no fits at query
         # time (store build rides the warmup below, like every store)
         "ann_ivfpq_residual_persisted",
+        # round-15: hard-negative mining (cell-bounded cross-label
+        # top-k — the contrastive-training curation pair source)
+        "embedding_hard_negatives",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

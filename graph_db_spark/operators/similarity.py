@@ -1186,6 +1186,86 @@ def knn_label_agreement(
     )
 
 
+def hard_negative_mining(
+    df: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_cells: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining over a labeled embedding corpus — the
+    contrastive-training curation op: for each vector, its *k*
+    highest-cosine neighbors with a DIFFERENT label inside its IVF cell.
+    Those near-duplicate-but-differently-labeled pairs are exactly what
+    contrastive/metric-learning batches want as hard negatives (and what
+    a label-noise audit re-examines from the other direction —
+    ``knn_label_agreement`` flags the vector, this op names the
+    offending neighbors). Returns (id, label, neg_id, neg_label, cos,
+    rank), rank 1..k by (cos DESC, neg_id ASC); vectors with no
+    other-class cell-mate emit nothing (no guess rows).
+
+    Same neighborhood contract and scale shape as
+    ``knn_label_agreement``: single-nearest-cell assignment (the
+    n_probe=1 IVF recall trade), centroids broadcast, ONE cell-keyed
+    salted equi-join for the within-cell pairs (never a cross product,
+    pairwise work bounded by k ∝ corpus), vector columns projected away
+    before the id-partitioned top-k window."""
+    v = with_norm(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col(label_col).alias("lbl"),
+        ),
+        "vec",
+    )
+    asg = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1)
+    mem = v.join(asg.select("id", "cell"), "id")
+    xm = mem.select(
+        F.col("id").alias("xid"), F.col("vec").alias("xv"),
+        F.col("__norm").alias("xn"), F.col("lbl").alias("xlbl"), "cell",
+    )
+    ym = mem.select(
+        F.col("id").alias("yid"), F.col("vec").alias("yv"),
+        F.col("__norm").alias("yn"), F.col("lbl").alias("ylbl"), "cell",
+    )
+    xm, ym, join_keys = _salted_cell_join_sides(
+        xm,
+        ym,
+        int(n_cells) if n_cells is not None else centroids.count(),
+        "xid",
+        df.sparkSession,
+    )
+    denom = F.col("xn") * F.col("yn")
+    pairs = (
+        xm.join(ym, join_keys)
+        .filter(F.col("xid") != F.col("yid"))
+        .filter(F.col("xlbl") != F.col("ylbl"))
+        .withColumn(
+            "cos",
+            F.round(F.when(denom != 0, _dot(F.col("xv"), F.col("yv")) / denom), 6),
+        )
+        .filter(F.col("cos").isNotNull())
+        # project vectors away BEFORE the window (the knn operator's
+        # measured dominant-cost lesson, round 11)
+        .select("xid", "xlbl", "yid", "ylbl", "cos")
+    )
+    w = W.partitionBy("xid").orderBy(F.col("cos").desc(), F.col("yid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("xid").alias("id"),
+            F.col("xlbl").alias(label_col),
+            F.col("yid").alias("neg_id"),
+            F.col("ylbl").alias("neg_label"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def label_centroid_margin(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -553,6 +553,64 @@ def knn_label_agreement(spark, sf_dir):
     )
 
 @q(
+    "embedding_hard_negatives",
+    # Hard-negative mining: same codebook/assignment CTEs as the knn
+    # screen (k=8, mod 4, n_probe=1), but the within-cell top-k keeps
+    # the 3 highest-cosine OTHER-label neighbors per vector — the pair
+    # rows a contrastive-training batch builder consumes. Replicates
+    # codebook, assignment, pair ranking bit-for-bit.
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    + _kmeans_sampled_init_sql(8, 4)
+    + ","
+    + _kmeans_iter_sql(1, 0, src="s")
+    + ","
+    + _kmeans_iter_sql(2, 1, src="s")
+    + """,
+    n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, em.label
+          FROM e JOIN embeddings em USING (vec_id)),
+    cent AS (SELECT cell, c AS cv, sqrt(list_dot_product(c, c)) AS cnrm FROM c2),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, cent.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                 cent.cell) AS r
+        FROM n CROSS JOIN cent) WHERE r = 1),
+    mem AS (SELECT a.vec_id, a.cell, n.v, n.nrm, n.label
+            FROM asg a JOIN n ON n.vec_id = a.vec_id)
+    SELECT id, label, neg_id, neg_label, cos, CAST(r AS INT) AS rank FROM (
+      SELECT x.vec_id AS id, x.label AS label, y.vec_id AS neg_id,
+             y.label AS neg_label,
+             round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cos,
+             row_number() OVER (PARTITION BY x.vec_id ORDER BY
+               round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) DESC,
+               y.vec_id) AS r
+      FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+                           AND x.label <> y.label
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) IS NOT NULL
+    ) WHERE r <= 3
+    """,
+)
+def embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining over the labeled embedding corpus
+    (operators/similarity.hard_negative_mining): per vector, the 3
+    highest-cosine neighbors with a DIFFERENT label inside its trained
+    IVF cell — the near-duplicate-but-differently-labeled pairs a
+    contrastive/metric-learning pipeline feeds as hard negatives, and
+    the complement of knn_label_agreement's mislabel screen (that op
+    flags the vector; this one names the offending neighbors).
+
+    100 TB shape identical to the knn screen: sampled codebook fit
+    (constant), broadcast assignment (one scan), ONE salted shuffle on
+    cell id for the pair join (pairwise work bounded by k ∝ corpus),
+    vectors projected away before the id-partitioned top-k window."""
+    from graph_db_spark.operators.similarity import hard_negative_mining, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(e, k=8, n_iters=2, sample_mod=4)
+    return hard_negative_mining(e, cent, k=3, n_cells=8)
+
+@q(
     "embedding_label_margin",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -2505,6 +2505,46 @@ def test_label_curation_ops_flag_planted_mislabel(spark):
     assert m[99].own_cos is None and m[99].margin is None  # zero norm
 
 
+def test_hard_negative_mining_finds_cross_label_neighbors(spark):
+    """On the two-cluster labeled fixture with one planted mislabel
+    (A-geometry, B-label), every cluster-A vector's rank-1 hard negative
+    must be vector 5 (the only other-label vector in its cell), the
+    mislabeled vector gets ALL its cell-mates as hard negatives ranked
+    by cosine, and cluster-B vectors (whose cell holds no other-label
+    member) emit no rows — no guesses. Ranks are dense 1..k and the
+    (cos DESC, neg_id ASC) order is deterministic."""
+    from graph_db_spark.operators.similarity import hard_negative_mining
+
+    rows = []
+    for i in range(12):  # cluster A around (10, 0, 0)
+        rows.append((i, [10.0 + (i % 3) * 0.1, float(i % 2) * 0.1, 0.0], 0))
+    for i in range(12, 24):  # cluster B around (0, 10, 0)
+        rows.append((i, [float(i % 2) * 0.1, 10.0 + (i % 3) * 0.1, 0.0], 1))
+    rows[5] = (5, rows[5][1], 1)  # planted mislabel: A-geometry, B-label
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+    cent = spark.createDataFrame(
+        [(0, [10.0, 0.0, 0.0]), (1, [0.0, 10.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = hard_negative_mining(df, cent, k=3, n_cells=2).collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r.id, []).append(r)
+    # cluster A (label 0, cell 0): the only other-label cell-mate is 5
+    for i in list(range(5)) + list(range(6, 12)):
+        negs = by_id[i]
+        assert len(negs) == 1 and negs[0].neg_id == 5 and negs[0].rank == 1
+        assert negs[0].neg_label == 1 and negs[0].cos > 0.99
+    # the mislabeled vector: 3 hard negatives, dense ranks, cos-desc
+    m = sorted(by_id[5], key=lambda r: r.rank)
+    assert [r.rank for r in m] == [1, 2, 3]
+    assert all(r.neg_label == 0 for r in m)
+    assert m[0].cos >= m[1].cos >= m[2].cos
+    # cluster B vectors share a cell only with same-label members
+    for i in range(12, 24):
+        assert i not in by_id
+
+
 def test_knn_label_agreement_composes_lazily_with_n_cells(spark):
     """With n_cells supplied, knn_label_agreement must run NO Spark job
     at plan-construction time (round-11 advice: the centroids.count()
