@@ -126,6 +126,7 @@ BANDS: dict[str, tuple[float, float]] = {
     "ann_ivfpq_residual_topk": (3.0, 9.0),
     "ann_ivfpq_residual_persisted": (0.0, 2.0),  # r15 quiet 0.74: no fits at query time
     "embedding_hard_negatives": (3.0, 8.0),  # r15 quiet 4.7-6.1 standalone
+    "dedup_cluster_best_quality": (2.5, 7.0),  # r15 quiet 3.0-3.3 (dup_clusters band)
     "insert_bulk_1000": (1.2, 3.5),
     "insert_microtx_20x50": (5.5, 15.0),
 }
@@ -427,6 +428,9 @@ def main() -> None:
         # round-15: hard-negative mining (cell-bounded cross-label
         # top-k — the contrastive-training curation pair source)
         "embedding_hard_negatives",
+        # round-15: quality-aware duplicate-cluster survivor policy
+        # (keep the best-quality member, not the min id)
+        "dedup_cluster_best_quality",
     ]
     # Warmup (criterion-style, like the reference's harness): run each
     # headline plan once at sf0.001 — same plan shapes, so whole-stage

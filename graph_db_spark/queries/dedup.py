@@ -947,6 +947,129 @@ def dedup_duplicate_clusters(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+
+@q(
+    "dedup_cluster_best_quality",
+    # The production survivor policy on top of duplicate-cluster
+    # canonicalization: same MinHash chain + transitive closure as
+    # dedup_duplicate_clusters (CTEs reused verbatim), then the cluster
+    # canonical is the BEST-QUALITY member (text_quality_score's exact
+    # formula; ties on doc_id) instead of the min id — dedup should keep
+    # the best duplicate, not the earliest. keep = this doc survives.
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    tok AS (
+      SELECT id, unnest(list_distinct(
+               CASE WHEN len(tk) >= 3
+                    THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(len(tk) - 2)]
+                    ELSE [] END
+             )) AS token
+      FROM toks
+    ),
+    sig AS (
+      SELECT id,
+             min(md5('0|' || token)) AS h0, min(md5('1|' || token)) AS h1,
+             min(md5('2|' || token)) AS h2, min(md5('3|' || token)) AS h3,
+             min(md5('4|' || token)) AS h4, min(md5('5|' || token)) AS h5,
+             min(md5('6|' || token)) AS h6, min(md5('7|' || token)) AS h7
+      FROM tok GROUP BY id
+    ),
+    banded AS (
+      SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+      UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+      UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+      UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS a, r.id AS b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cand c JOIN tok ta ON ta.id = c.a JOIN tok tb ON tb.id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b
+    ),
+    pr AS (
+      SELECT i.a, i.b
+      FROM inter i JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+      WHERE i.inter >= 0.7 * (sa.sz + sb.sz - i.inter)
+    ),
+    sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b AS x, a AS y FROM pr),
+    reach AS (
+      SELECT x, y FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             CAST(least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    qt AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS qtoks
+           FROM documents),
+    qs AS (SELECT doc_id,
+                  len(qtoks) AS n_tokens,
+                  len(list_distinct(qtoks)) AS n_distinct,
+                  length(text) AS n_chars,
+                  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+           FROM qt),
+    qq AS (SELECT doc_id,
+                  round(least(n_tokens / 100.0, 1.0) * 0.5
+                        + (n_distinct * 1.0 / greatest(n_tokens, 1)) * 0.4
+                        - least(n_punct * 1.0 / greatest(n_chars, 1), 0.1), 6) AS quality
+           FROM qs)
+    SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM (
+      SELECT l.doc_id, l.cluster_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rn
+      FROM lab l JOIN qq q USING (doc_id))
+    """,
+)
+def dedup_cluster_best_quality(spark, sf_dir):
+    """Quality-aware duplicate-cluster survivor selection — the policy a
+    production dedup actually ships: after pair detection and star-CC
+    clustering (the dedup_duplicate_clusters chain, reused verbatim),
+    each cluster keeps its BEST-QUALITY member (text_quality_score's
+    exact deterministic formula, ties on doc_id) rather than the lowest
+    id — min-id canonicalization silently prefers whatever was crawled
+    first, best-of-cluster keeps the cleanest copy. Returns one row per
+    document: (doc_id, cluster_id, quality, keep).
+
+    Scale shape: identical to dedup_duplicate_clusters (banded pair
+    graph, O(log²) star-CC rounds, one corpus back-join) plus one
+    scan-local quality projection and a cluster-partitioned window —
+    cluster sizes are duplicate-group-sized, so the window never sees an
+    unbounded partition."""
+    from graph_db_spark.pregel import connected_components_star
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=4, threshold=0.7, shingle=3,
+        corpus_rows=_parquet_rows(sf_dir, "documents"),
+    )
+    verts = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels, _ = connected_components_star(verts, edges)
+    lab = labels.select(
+        F.col("id").alias("doc_id"), F.col("component").cast("long").alias("cluster_id")
+    )
+    joined = lab.join(TX.quality_score(d), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "quality", (F.col("rn") == 1).alias("keep"))
+    )
+
+
 @q(
     "dedup_repeated_lines",
     r"""

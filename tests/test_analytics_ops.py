@@ -3133,3 +3133,31 @@ def test_incremental_dedup_persisted_matches_recompute(spark, sf_dir):
     plan = explain_str(raw)
     assert "BroadcastHashJoin" in plan, plan
     assert "sig_stores" in plan, plan
+
+
+def test_cluster_best_quality_keeps_best_member_not_min_id(spark, tmp_path):
+    """The quality-aware survivor policy must differ from min-id
+    canonicalization exactly when the better copy has the higher id: a
+    planted twin pair (5 = the same text DOUBLED — half the distinct
+    ratio, quality 0.7; 6 = the clean single copy, quality 0.9) must
+    keep doc 6 and drop doc 5, while the cluster LABEL stays the min id
+    (5). Singletons all keep."""
+    from graph_db_spark.queries import REGISTRY
+
+    base = " ".join(f"w5x{j}" for j in range(100))
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(100))) for i in range(5)]
+    rows.append((5, base + " " + base))  # doubled: distinct ratio 0.5
+    rows.append((6, base))               # clean twin, higher id
+    for i in range(7, 12):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(100))))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id: r for r in REGISTRY["dedup_cluster_best_quality"].build(spark, sf).collect()}
+    assert len(got) == 12
+    assert got[5].cluster_id == 5 and got[6].cluster_id == 5
+    assert got[6].keep is True and got[5].keep is False  # best quality wins
+    assert got[6].quality > got[5].quality
+    for i in list(range(5)) + list(range(7, 12)):
+        assert got[i].keep is True and got[i].cluster_id == i

