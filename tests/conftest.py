@@ -79,6 +79,10 @@ _SLOW_TESTS = {
     "test_time_travel_versions",
     "test_emission_copartition_equals_broadcast",
     "test_ivfpq_residual_recall_beats_raw",
+    # round-15 additions (~18-30 s each) — keep the fast tier under 5 min
+    "test_ivfpq_residual_persisted_equals_inquery",
+    "test_hard_negative_mining_finds_cross_label_neighbors",
+    "test_cluster_best_quality_keeps_best_member_not_min_id",
 }
 
 
