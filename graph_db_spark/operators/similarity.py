@@ -13,7 +13,9 @@ broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+import os
+
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 from graph_db_spark.functions.vector import dot as _dot, hyperplane_signature, with_norm
 
@@ -806,6 +808,362 @@ def kmeans_sample_pred(id_expr, sample_mod: int):
     )
 
 
+#: Inline-codebook ceiling for the executed k-means fast path (round 16):
+#: the driver-iterated fit embeds the codebook as literal arrays inside a
+#: map-only assignment projection, which is sane only while the expression
+#: stays small (k x dim literal doubles — 65536 covers k=512 at dim=128,
+#: and the k<=512 row guard also bounds the O(k) init collect). Above it
+#: the fit keeps the broadcast crossJoin formulation, which is the right
+#: shape for 50k-cell production codebooks anyway (the codebook no longer
+#: fits an expression, and n x k row amplification is then amortized over
+#: genuinely large per-cell work).
+KMEANS_INLINE_MAX = 65536
+_KMEANS_INLINE_MAX_K = 512
+
+_KMEANS_DUP_MSG = (
+    "kmeans_fit: corrupt codebook — duplicate values in id column "
+    "{id_col!r} violate the unique-id precondition; dedupe first "
+    "(df.groupBy({id_col!r}).agg(F.first(vec)))"
+)
+
+
+def _driver_rows_as_parquet(spark, rows, spark_schema, prefix: str) -> DataFrame:
+    """Materialize driver-built (id, vector) rows as a JVM-scannable
+    frame by writing ONE tiny parquet file with pyarrow and reading it
+    back under the explicit schema.
+
+    Why not createDataFrame: in classic PySpark a local-data frame is
+    backed by a PYTHON RDD (pickled rows through sc.parallelize), so
+    every consuming job — including an eager localCheckpoint of it —
+    pays a Python-worker deserialization pass (measured 5.8 s/job for a
+    125-row codebook feeding an Arrow stage, vs ~50 ms over a parquet
+    scan). Parquet DOUBLE/INT64 round-trip IEEE/integer values exactly,
+    and the explicit read schema pins dtypes and nullability. The file
+    is a k-row write-time artifact (~10 KB), cleaned up at interpreter
+    exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix=f"gds_{prefix}_")
+    atexit.register(shutil.rmtree, d, True)
+    names = [f.name for f in spark_schema.fields]
+    arrow_schema = pa.schema(
+        [
+            pa.field(
+                f.name,
+                pa.list_(pa.float64())
+                if isinstance(f.dataType, T.ArrayType)
+                else (
+                    pa.int32()
+                    if isinstance(f.dataType, T.IntegerType)
+                    else pa.int64()
+                ),
+                nullable=True,
+            )
+            for f in spark_schema.fields
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, arrow_schema)],
+        schema=arrow_schema,
+    )
+    pq.write_table(table, os.path.join(d, "part-0.parquet"))
+    return spark.read.schema(spark_schema).parquet(d)
+
+
+def _np_l2_argmin_assign(
+    df_v: DataFrame, cents: dict, cell_cast: str, carry_v: bool = True
+) -> DataFrame | None:
+    """(cell[, v]) rows: each row of *df_v* (schema: v ARRAY<DOUBLE>, plus
+    whatever else) assigned to its L2-nearest centroid of the driver-held
+    codebook *cents* — VALUE-IDENTICAL to the crossJoin + (d, cell)
+    struct-min formulation, executed as one map-only Arrow/numpy stage.
+
+    Why numpy (guide §4.2, and the repo's documented exception precedent,
+    functions/vector.hyperplane_signatures_multi): the distance kernel is
+    a dense n x k x dim sweep, and Spark's zip_with/aggregate fold is
+    CodegenFallback — measured ~2 µs per interpreted lambda eval, which
+    made the fold itself (not the exchanges) the cost of every k-means
+    family entry. The kernel accumulates (x_d − c_d)² SEQUENTIALLY over
+    dims — `acc = acc + t*t` per dim, vectorized across rows — which is
+    the same IEEE operation sequence as the JVM fold, so every distance
+    is bit-identical; ties pick the lowest cell id (numpy argmin's
+    first-minimum over the cell-ascending codebook == the struct-min
+    tie-break). NaN distances map to +inf before argmin, reproducing the
+    JVM ordering's NaN-sorts-last (an all-NaN row picks the lowest cell,
+    exactly like the struct-min).
+
+    The JVM-side pre-filter `size(v) == L AND no null element` reproduces
+    the fold's NULL contract exactly: a ragged or null-padded vector gets
+    a NULL distance against every length-L centroid under zip_with
+    padding, so the aggregate route never assigned it either.
+
+    Returns None (caller falls back to the crossJoin route) when the
+    codebook is empty, has non-uniform lengths, or holds NULL
+    vectors/elements — the cases whose NULL semantics the uniform-L
+    kernel can't reproduce."""
+    import numpy as np
+
+    order = sorted(cents)
+    vecs = [cents[c] for c in order]
+    if not vecs or any(v is None or any(x is None for x in v) for v in vecs):
+        return None
+    lens = {len(v) for v in vecs}
+    if len(lens) != 1:
+        return None
+    L = lens.pop()
+    if L == 0:
+        return None
+    C = np.array(vecs, dtype=np.float64)  # exact: floats round-trip
+    cell_ids = np.array([int(c) for c in order], dtype=np.int64)
+
+    pre = df_v.filter(
+        (F.size("v") == L) & ~F.exists("v", lambda x: x.isNull())
+    ).select("v")
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(r, dtype=np.float64) for r in pdf["v"]])
+            acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(L):  # sequential over dims == the JVM fold order
+                t = X[:, d, None] - C[None, :, d]
+                acc = acc + t * t
+            np.copyto(acc, np.inf, where=np.isnan(acc))
+            idx = np.argmin(acc, axis=1)  # first min == lowest cell id
+            out = {"cell": cell_ids[idx].astype(np_cell)}
+            if carry_v:
+                out["v"] = list(pdf["v"])
+            yield pd.DataFrame(out)
+
+    np_cell = {"int": "int32", "bigint": "int64", "smallint": "int16"}.get(cell_cast)
+    if np_cell is None:
+        return None
+    schema = f"cell {cell_cast}" + (", v array<double>" if carry_v else "")
+    return pre.mapInPandas(assign, schema=schema)
+
+
+def _np_l2_argmin_local(pool: list, cents: dict, L: int) -> list:
+    """Driver-side twin of ``_np_l2_argmin_assign``'s kernel for a
+    driver-held row pool (the pyramid's upper fits): same numpy
+    arithmetic — sequential per-dim accumulation (the JVM fold order),
+    NaN→inf before the first-minimum argmin — same pre-filter (length-L,
+    no null elements), zero Spark jobs. Returns [(cell, vec), ...]."""
+    import numpy as np
+
+    rows = [
+        vec
+        for _i, vec in pool
+        if vec is not None and len(vec) == L and not any(x is None for x in vec)
+    ]
+    if not rows:
+        return []
+    order = sorted(cents)
+    C = np.array([cents[c] for c in order], dtype=np.float64)
+    cell_ids = [int(c) for c in order]
+    X = np.array(rows, dtype=np.float64)
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(L):
+        t = X[:, d, None] - C[None, :, d]
+        acc = acc + t * t
+    np.copyto(acc, np.inf, where=np.isnan(acc))
+    idx = np.argmin(acc, axis=1)
+    return [(cell_ids[i], vec) for i, vec in zip(idx, rows)]
+
+
+def _kmeans_fit_driver(
+    v: DataFrame,
+    k: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    sample_mod: int | None,
+    local_rows: list | None = None,
+) -> DataFrame | None:
+    """Driver-iterated Lloyd fit — the executed (checkpoint=True) fast
+    path, round 16 (guide §2.4: remove shuffles outright; §1.2: fix the
+    distributed algorithm first).
+
+    VALUE-IDENTICAL to the lazy formulation: every arithmetic step is the
+    same JVM expression in the same order — the sequential
+    zip_with/aggregate fold for distances, the (d, cell) lexicographic
+    struct-min for assignment, per-(cell, dim) DECIMAL(28,12) sums divided
+    by the per-dim member count and rounded in Spark (never in Python).
+    Only the EXECUTION changes: the k-row codebook is collected to the
+    driver between Lloyd passes (the O(k) centroid-fetch pattern the repo
+    already uses) and re-embedded as literal arrays, so each pass is ONE
+    map-only scan of the fit sample feeding one map-side-combinable
+    aggregation (a k x dim fixed-width shuffle) — instead of a crossJoin
+    materializing n x k vector-carrying struct rows through a hash
+    aggregate plus a posexplode double-shuffle, per pass, inside one deep
+    plan (measured round 16: the k=125 fit at sf0.1 was 15.4 s of
+    dedup_semantic_tree's 17.5; this path executes the identical values
+    in well under a second). Python never computes on the values: it only
+    ferries exact doubles between jobs.
+
+    Returns None when the codebook cannot be inlined (k > 512 or
+    k x dim > KMEANS_INLINE_MAX) — the caller falls back to the broadcast
+    formulation, the right shape at that codebook scale."""
+    from pyspark.sql import types as T
+
+    if k > _KMEANS_INLINE_MAX_K:
+        return None
+    spark = v.sparkSession
+    sampled = sample_mod is not None
+    if local_rows is not None and any(i is None for i, _ in local_rows):
+        local_rows = None  # null ids: keep the JVM framing's null semantics
+    pool = None
+    fit = None
+    if local_rows is not None:
+        # Input is a codebook this module built (the pyramid's upper
+        # levels): its rows ride the DataFrame object, so the sample
+        # filter and init selection run driver-side with ZERO jobs. The
+        # sample predicate is pure INTEGER arithmetic — replicated
+        # exactly (Python ints are exact; the JVM's 64-bit wrap of
+        # id * MULT is applied before the mods).
+        def _pred(i):
+            x = (int(i) * KMEANS_SAMPLE_MULT) % (1 << 64)
+            if x >= 1 << 63:
+                x -= 1 << 64
+            return x % KMEANS_SAMPLE_RANGE % sample_mod == 0
+
+        if sampled and sample_mod > 1:
+            pool = [r for r in local_rows if _pred(r[0])]
+        else:
+            pool = list(local_rows)
+        fit = None  # assignment for pool inputs runs driver-side (below)
+    else:
+        fit = (
+            (
+                v.filter(kmeans_sample_pred(F.col("id"), sample_mod))
+                if sample_mod > 1
+                else v
+            )
+            if sampled
+            else v
+        )
+    if sampled:
+        # k smallest sampled ids (same TakeOrderedAndProject the lazy
+        # path plans), renumbered to cells 0..k-1 — rank-by-id, exactly
+        # the triangular-join renumbering's count(pid < id)
+        if pool is not None:
+            init_rows = sorted(pool, key=lambda r: r[0])[:k]
+        else:
+            init_rows = [
+                (r["id"], r["v"])
+                for r in fit.orderBy("id").limit(k).select("id", "v").collect()
+            ]
+        ids = [i for i, _ in init_rows]
+        if len(set(ids)) != len(ids):
+            raise ValueError(_KMEANS_DUP_MSG.format(id_col=id_col))
+        cents = {
+            rank: (list(vec) if vec is not None else None)
+            for rank, (_i, vec) in enumerate(sorted(init_rows, key=lambda r: r[0]))
+        }
+        cell_cast = "int"
+        cell_dtype = T.IntegerType()
+        cell_nullable = False  # the lazy path's count(pid).cast(int)
+    else:
+        if pool is not None:
+            init_rows = [(i, vec) for i, vec in pool if i < k]
+        else:
+            init_rows = [
+                (r["id"], r["v"])
+                for r in v.filter(F.col("id") < k).select("id", "v").collect()
+            ]
+        ids = [i for i, _ in init_rows]
+        if len(set(ids)) != len(ids):
+            raise ValueError(_KMEANS_DUP_MSG.format(id_col=id_col))
+        cents = {
+            int(i): (list(vec) if vec is not None else None) for i, vec in init_rows
+        }
+        cell_cast = v.schema["id"].dataType.simpleString()
+        cell_dtype = v.schema["id"].dataType
+        cell_nullable = v.schema["id"].nullable
+    lens = {len(c) for c in cents.values() if c is not None}
+    if (
+        not cents
+        or len(lens) != 1
+        or any(c is None for c in cents.values())
+        or k * max(lens) > KMEANS_INLINE_MAX
+    ):
+        # non-uniform / NULL centroid vectors: the uniform-L kernel can't
+        # reproduce the zip_with NULL-padding contract — fall back
+        return None
+    L = lens.pop()
+    # The means aggregation: per-dim DECIMAL(28,12) sums (the exact
+    # order-independent sum the lazy path's posexplode aggregation
+    # computes) divided by the member count and rounded IN SPARK — Python
+    # never does arithmetic on the values. Because the kernel's pre-filter
+    # admits only length-L fully-non-null... vectors CAN carry NaN (kept,
+    # like the fold) and per-dim NULLs cannot occur, so the per-dim
+    # posexplode row count equals the plain member count. Built once,
+    # reused every pass (the exprs don't depend on the codebook).
+    # String expressions: one py4j round-trip per column instead of ~5
+    # (the composed-Column form measured 1.3 s of pure driver-side py4j
+    # chatter per fit at dim=64); parsed semantics are identical.
+    aggs = [
+        F.expr(f"sum(cast(element_at(v, {d + 1}) as decimal(28,12))) as s{d}")
+        for d in range(L)
+    ] + [F.expr("count(1) as n")]
+    sel = ["cell"] + [
+        f"round(cast(s{d} as double) / n, {round_digits}) as val{d}" for d in range(L)
+    ]
+    # Lloyd passes: tiny k x dim shuffles — run under the capped AQE
+    # initial width like the lazy path (round 14)
+    from graph_db_spark.session import capped_initial_partitions
+
+    with capped_initial_partitions(spark):
+        for _ in range(n_iters):
+            if pool is not None:
+                # driver-side twin of the Arrow kernel over the ≤512-row
+                # pool: identical numpy arithmetic, zero assignment job;
+                # the assigned rows become a tiny parquet scan so the
+                # means job never touches a Python RDD
+                assigned_rows = _np_l2_argmin_local(pool, cents, L)
+                assigned = _driver_rows_as_parquet(
+                    spark,
+                    assigned_rows,
+                    T.StructType(
+                        [
+                            T.StructField("cell", cell_dtype, True),
+                            T.StructField(
+                                "v", T.ArrayType(T.DoubleType(), True), True
+                            ),
+                        ]
+                    ),
+                    "kmpool",
+                )
+            else:
+                assigned = _np_l2_argmin_assign(fit, cents, cell_cast, carry_v=True)
+                if assigned is None:
+                    return None
+            rows = assigned.groupBy("cell").agg(*aggs).selectExpr(*sel).collect()
+            for r in rows:
+                # NaN members make a dim's sum NULL (cast NaN→decimal is
+                # NULL) — the lazy path emits the same NULL mean
+                cents[r["cell"]] = [r[f"val{d}"] for d in range(L)]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, cell_dtype, cell_nullable),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType(), True), True),
+        ]
+    )
+    rows = [(c, cents[c]) for c in sorted(cents)]
+    out = _driver_rows_as_parquet(spark, rows, schema, "kmcb")
+    out._gds_codebook_rows = rows  # exact driver copy for downstream fits
+    return out
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -881,9 +1239,29 @@ def kmeans_fit(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    # A codebook produced by this module's executed path carries its own
+    # rows on the DataFrame object (exact values — they were computed by
+    # Spark and only ferried): the pyramid's upper fits then derive the
+    # sample modulus, the sample filter, and the init set with ZERO jobs.
+    # The attribute rides only the original object — any transformation
+    # returns a fresh DataFrame without it, so it can never go stale.
+    local_rows = getattr(df, "_gds_codebook_rows", None)
     if sample_target is not None and sample_mod is None:
         # one column-pruned count; ~n/sample_target keeps ≥ target rows
-        sample_mod = max(1, v.count() // int(sample_target))
+        n_v = len(local_rows) if local_rows is not None else v.count()
+        sample_mod = max(1, n_v // int(sample_target))
+    if checkpoint:
+        # Executed path (round 16): the fit runs eagerly here anyway (the
+        # localCheckpoint below), so iterate Lloyd's passes from the
+        # driver — identical values (see _kmeans_fit_driver), a fraction
+        # of the stages. Falls back to the lazy-plan-plus-checkpoint
+        # below when the codebook cannot ride the fast path.
+        fast = _kmeans_fit_driver(
+            v, k, n_iters, id_col, vec_col, round_digits, sample_mod,
+            local_rows=local_rows,
+        )
+        if fast is not None:
+            return fast
     if sample_mod is not None:
         fit = v.filter(kmeans_sample_pred(F.col("id"), sample_mod)) if sample_mod > 1 else v
         # k smallest sampled ids, renumbered to cells 0..k-1.
