@@ -264,12 +264,26 @@ def pq_fit(
             F.col(id_col).alias("vec_id"),
             F.slice(F.col(vec_col), s * w + 1, w).alias("embedding"),
         )
+        fit = kmeans_fit(sub, k=n_codes, n_iters=n_iters, sample_mod=sample_mod)
         books.append(
-            kmeans_fit(
-                sub, k=n_codes, n_iters=n_iters, sample_mod=sample_mod
-            ).select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+            _carry_codebook(
+                fit,
+                fit.select(
+                    F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+                ),
+            )
         )
     return books
+
+
+def _book_dim(cb: DataFrame) -> int:
+    """Subspace width of a PQ codebook frame: from the driver-held rows
+    when available (zero jobs), else one bounded head() job (the
+    pre-round-16 probe, documented plan-construction-time execution)."""
+    rows = _codebook_rows(cb, "cell", "cvec")
+    if rows and rows[0][1] is not None:
+        return len(rows[0][1])
+    return len(cb.select("cvec").head()[0])
 
 
 def pq_encode(
@@ -286,7 +300,7 @@ def pq_encode(
     dim_w: list[int] = []
     out = None
     for s, cb in enumerate(books):
-        w = len(cb.select("cvec").head()[0])
+        w = _book_dim(cb)
         start = sum(dim_w) + 1
         dim_w.append(w)
         v = df.select(
@@ -321,7 +335,7 @@ def pq_adc_topk(
     (nid = qid) are excluded."""
     coded = pq_encode(df, books, id_col, vec_col)
     m = len(books)
-    dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
+    dim_w = [_book_dim(cb) for cb in books]
     adc = None
     for s, cb in enumerate(books):
         start = sum(dim_w[:s]) + 1
@@ -402,8 +416,9 @@ def ivfpq_adc_topk(
     tie-break on cell, the probe list on (distance, cell), the final
     cut on (adc, nid); *coarse* comes from ``kmeans_fit`` and *books*
     from ``pq_fit``, so a SQL oracle re-derives everything."""
-    cc = coarse.select(
-        F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")
+    cc = _carry_codebook(
+        coarse,
+        coarse.select(F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")),
     )
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     corpus_cells = _coarse_assign(v, cc)
@@ -411,7 +426,7 @@ def ivfpq_adc_topk(
     probes = _coarse_probes(qv, cc, n_probe)
     coded = pq_encode(df, books, id_col, vec_col).join(corpus_cells, "id")
     m = len(books)
-    dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
+    dim_w = [_book_dim(cb) for cb in books]
     adc = coded.join(F.broadcast(probes), "ccell")
     for s, cb in enumerate(books):
         start = sum(dim_w[:s]) + 1
@@ -490,8 +505,9 @@ def ivfpq_residual_topk(
     ``ivfpq_residual_topk_persisted`` below (result-identical,
     pytest-pinned). Same caveats as ``kmeans_fit``: executes at
     plan-construction time; blocks die with executors."""
-    cc = coarse.select(
-        F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")
+    cc = _carry_codebook(
+        coarse,
+        coarse.select(F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")),
     )
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     corpus_cells = _coarse_assign(v, cc)
@@ -544,7 +560,7 @@ def _residual_adc_topk(
         "ccell",
         F.zip_with("qvec", "ccvec", lambda a, b: a - b).alias("qr"),
     )
-    dim_w = [len(cb.select("cvec").head()[0]) for cb in books]
+    dim_w = [_book_dim(cb) for cb in books]
     adc = coded.join(F.broadcast(probes), "ccell")
     for s, cb in enumerate(books):
         start = sum(dim_w[:s]) + 1
@@ -609,7 +625,10 @@ def ivfpq_residual_store_write(
         df, k=coarse_k, n_iters=n_iters, id_col=id_col, vec_col=vec_col,
         sample_mod=sample_mod, sample_target=sample_target,
     )
-    cc = coarse.select(F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec"))
+    cc = _carry_codebook(
+        coarse,
+        coarse.select(F.col(id_col).alias("ccell"), F.col(vec_col).alias("ccvec")),
+    )
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     resid = (
         v.join(_coarse_assign(v, cc), "id")
@@ -664,11 +683,25 @@ def ivfpq_residual_topk_persisted(
     import os
 
     cc = spark.read.parquet(os.path.join(store_path, "coarse"))
+    cc_rows = _store_codebook_rows(os.path.join(store_path, "coarse"), "ccell", "ccvec")
+    if cc_rows is not None:
+        cc._gds_codebook_rows = cc_rows
     b_all = spark.read.parquet(os.path.join(store_path, "books"))
-    m = b_all.agg(F.max("s")).head()[0] + 1
+    b_rows = _store_codebook_rows(os.path.join(store_path, "books"), "s", "cell", "cvec")
+    if b_rows is not None:
+        # driver-side read of the tiny books table: m and the per-book
+        # rows come for free, no plan-time Spark jobs
+        m = max(r[0] for r in b_rows) + 1
+    else:
+        m = b_all.agg(F.max("s")).head()[0] + 1
     books = [
         b_all.filter(F.col("s") == s).select("cell", "cvec") for s in range(m)
     ]
+    if b_rows is not None:
+        for s in range(m):
+            books[s]._gds_codebook_rows = [
+                (cell, cvec) for (bs, cell, cvec) in b_rows if bs == s
+            ]
     coded = spark.read.parquet(os.path.join(store_path, "codes"))
     return _residual_adc_topk(coded, cc, books, queries, k, n_probe, id_col, vec_col)
 
@@ -978,6 +1011,58 @@ def _np_l2_argmin_local(pool: list, cents: dict, L: int) -> list:
     idx = np.argmin(acc, axis=1)
     return [(cell_ids[i], vec) for i, vec in zip(idx, rows)]
 
+
+def _codebook_rows(frame: DataFrame, *cols: str):
+    """Driver copy of a small codebook frame, or None when unavailable.
+
+    STRICTLY attribute-based — never runs a Spark job: a codebook built
+    by this module's executed fit (or re-read driver-side from a
+    persisted store's tiny parquet) carries its exact rows as
+    ``_gds_codebook_rows`` (positional (cell, vec)). A plan-time probe
+    job here would break the composes-lazily contract
+    (test_knn_label_agreement_composes_lazily_with_n_cells); frames
+    without the attribute keep the broadcast crossJoin route. Values are
+    Spark-computed (or parquet-exact) and only ferried, so they are
+    exact."""
+    rows = getattr(frame, "_gds_codebook_rows", None)
+    if rows is None:
+        return None
+    return [tuple(r) for r in rows] if len(rows) <= _KMEANS_INLINE_MAX_K else None
+
+
+def _carry_codebook(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Propagate ``_gds_codebook_rows`` across a rename-only projection
+    (positional (cell, vec) values are unchanged, so the driver copy
+    stays exact). The attribute rides only the returned object."""
+    rows = getattr(src, "_gds_codebook_rows", None)
+    if rows is not None:
+        out._gds_codebook_rows = rows
+    return out
+
+
+def _store_codebook_rows(dir_path: str, *cols: str):
+    """Driver-side exact read of a persisted k-row codebook parquet
+    directory (pyarrow, NO Spark job — the file is a write-time artifact
+    of a few KB). Returns positional rows over *cols*, or None if the
+    directory can't be read. Parquet DOUBLE/INT64 round-trip exactly, so
+    these are the same values the JVM scan of the same files yields."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        parts = sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+        if not parts:
+            return None
+        rows: list = []
+        for p in parts:
+            t = pq.read_table(p, columns=list(cols))
+            rows.extend(zip(*(t.column(c).to_pylist() for c in cols)))
+        if len(rows) > _KMEANS_INLINE_MAX_K:
+            return None
+        return rows
+    except Exception:
+        return None
 
 def _kmeans_fit_driver(
     v: DataFrame,
