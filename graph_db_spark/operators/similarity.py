@@ -1064,6 +1064,53 @@ def _store_codebook_rows(dir_path: str, *cols: str):
     except Exception:
         return None
 
+def _decimal_means_local(assigned_rows: list, L: int, round_digits: int):
+    """Driver twin of the pool fit's means aggregation — VALUE-IDENTICAL
+    to `round(cast(sum(cast(element_at(v,d) as decimal(28,12))) as
+    double) / count(1), round_digits)` per (cell, dim):
+
+    - cast double→decimal(28,12) is Spark's Decimal.apply(Double), which
+      goes through the SHORTEST string form (scala BigDecimal.decimal ==
+      BigDecimal.valueOf == Double.toString) — replicated as
+      Decimal(repr(x)).quantize(1e-12, HALF_UP); verified empirically
+      against Spark 4.1.2 on halfway/long-mantissa cases (round 16:
+      binary-exact expansion diverges on e.g. 2.5e-12, repr matches);
+    - the decimal sum is exact and order-free;
+    - cast decimal→double and double/count are correctly-rounded IEEE in
+      both runtimes;
+    - round(double, n) is BigDecimal.valueOf(x).setScale(n, HALF_UP) —
+      the same repr-based quantize.
+
+    Returns {cell: [mean...]} or None when any member value is
+    non-finite (Spark's NaN→NULL-decimal contract — the caller keeps
+    the Spark aggregation for that pass)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tw = Decimal(1).scaleb(-12)
+    q = Decimal(1).scaleb(-int(round_digits))
+    sums: dict = {}
+    counts: dict = {}
+    for cell, vec in assigned_rows:
+        acc = sums.get(cell)
+        if acc is None:
+            acc = [Decimal(0)] * L
+            sums[cell] = acc
+            counts[cell] = 0
+        counts[cell] += 1
+        for d in range(L):
+            x = vec[d]
+            if x != x or x in (float("inf"), float("-inf")):
+                return None
+            acc[d] += Decimal(repr(x)).quantize(tw, ROUND_HALF_UP)
+    return {
+        cell: [
+            float(Decimal(repr(float(acc[d]) / counts[cell])).quantize(q, ROUND_HALF_UP))
+            for d in range(L)
+        ]
+        for cell, acc in sums.items()
+    }
+
+
 def _kmeans_fit_driver(
     v: DataFrame,
     k: int,
@@ -1210,11 +1257,19 @@ def _kmeans_fit_driver(
     with capped_initial_partitions(spark):
         for _ in range(n_iters):
             if pool is not None:
-                # driver-side twin of the Arrow kernel over the ≤512-row
-                # pool: identical numpy arithmetic, zero assignment job;
-                # the assigned rows become a tiny parquet scan so the
-                # means job never touches a Python RDD
+                # Fully driver-side pass over the ≤512-row pool (round
+                # 16): numpy argmin assignment + decimal-exact means
+                # twin — ZERO Spark jobs (the per-pass parquet-write +
+                # groupBy-collect round-trip cost ~0.5 s of pure job
+                # latency per pass; measured 2.25 s of the tree entry's
+                # upper fits). Falls back to the Spark aggregation for
+                # non-finite members (the NaN→NULL decimal contract).
                 assigned_rows = _np_l2_argmin_local(pool, cents, L)
+                means = _decimal_means_local(assigned_rows, L, round_digits)
+                if means is not None:
+                    for cell, vec in means.items():
+                        cents[cell] = vec
+                    continue
                 assigned = _driver_rows_as_parquet(
                     spark,
                     assigned_rows,
