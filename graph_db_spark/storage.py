@@ -516,9 +516,29 @@ class EventLogStorage:
         if os.path.isdir(tmp):  # leftover from a crashed attempt
             shutil.rmtree(tmp)
         snap = session.snapshot
-        snap.vertices.write.mode("errorifexists").parquet(os.path.join(tmp, "vertices"))
-        snap.edges.write.mode("errorifexists").parquet(os.path.join(tmp, "edges"))
-        buckets = self._write_edge_index(snap.edge_index, os.path.join(tmp, "edge_index"))
+        # Write-time reuse (round 16, guide §2.4): vertices and edges are
+        # subtrees of the edge_index emission plan, so without a cache the
+        # three writes re-scan the base tables ~3x and re-run the edge
+        # dedup shuffle twice. A scoped persist computes each subtree once
+        # and the CacheManager substitutes it into the index write; the
+        # blocks are released before publish (spill-safe MEMORY_AND_DISK,
+        # a one-shot write-path cache — nothing outlives the call).
+        _pinned = []
+        for frame in (snap.vertices, snap.edges):
+            if frame.storageLevel.useMemory or frame.storageLevel.useDisk:
+                continue  # caller already persisted/checkpointed it
+            _pinned.append(frame.persist())
+        try:
+            snap.vertices.write.mode("errorifexists").parquet(
+                os.path.join(tmp, "vertices")
+            )
+            snap.edges.write.mode("errorifexists").parquet(os.path.join(tmp, "edges"))
+            buckets = self._write_edge_index(
+                snap.edge_index, os.path.join(tmp, "edge_index")
+            )
+        finally:
+            for frame in _pinned:
+                frame.unpersist()
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(
                 {
