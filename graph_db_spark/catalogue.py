@@ -182,6 +182,13 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
             (F.lit(dst_off) + F.col(dst_key).cast("long")).alias("dst"),
         )
 
+    # Set-semantic (src, dst) without a global dedup exchange (guide §2.4):
+    # every branch's dst id-space is disjoint (per-kind OFFSETS), and each
+    # PK-keyed branch (region/nation/customer/supplier/orders) emits a
+    # unique dst per row, so the ONLY branch that can repeat a pair is
+    # lineitem (one order can list the same part on several lines). Dedup
+    # that branch alone and pass edges_distinct — the union is then
+    # provably duplicate-free and the 5 narrow branches never shuffle.
     edges = (
         region.select(F.lit(ROOT_ID).cast("long").alias("src"),
                       (F.lit(OFFSETS["Region"]) + F.col("r_regionkey").cast("long")).alias("dst"))
@@ -189,9 +196,14 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
         .unionByName(e(customer, OFFSETS["Nation"], "c_nationkey", OFFSETS["Customer"], "c_custkey"))
         .unionByName(e(supplier, OFFSETS["Nation"], "s_nationkey", OFFSETS["Supplier"], "s_suppkey"))
         .unionByName(e(orders, OFFSETS["Customer"], "o_custkey", OFFSETS["Order"], "o_orderkey"))
-        .unionByName(e(lineitem, OFFSETS["Order"], "l_orderkey", OFFSETS["Part"], "l_partkey"))
+        .unionByName(
+            e(lineitem, OFFSETS["Order"], "l_orderkey", OFFSETS["Part"], "l_partkey")
+            .dropDuplicates(["src", "dst"])
+        )
     )
-    return GraphSnapshot.from_tables(vertices, edges, tpch_graph_schema(), broadcast_vertices=True)
+    return GraphSnapshot.from_tables(
+        vertices, edges, tpch_graph_schema(), broadcast_vertices=True, edges_distinct=True
+    )
 
 
 def tpch_graph_persisted(

@@ -314,12 +314,20 @@ class GraphSnapshot:
         edges: DataFrame,
         schema: GraphSchema,
         broadcast_vertices: bool = False,
+        edges_distinct: bool = False,
     ) -> "GraphSnapshot":
         """Bulk load: caller supplies vertices (deterministic ids) + edges;
         the index layer is emitted in one pass (the write-time analogue of
         the reference's per-insert emission, amortized). Set
-        ``broadcast_vertices`` when the vertex table is dimension-sized."""
-        edges = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        ``broadcast_vertices`` when the vertex table is dimension-sized.
+        Set ``edges_distinct`` when the caller guarantees (src, dst) is
+        already duplicate-free (e.g. every union branch is keyed by a
+        primary key and branch dst-id spaces are disjoint): the global
+        dedup exchange is then skipped outright (guide §2.4) — set
+        semantics are the caller's proof obligation."""
+        edges = edges.select("src", "dst")
+        if not edges_distinct:
+            edges = edges.dropDuplicates(["src", "dst"])
         return GraphSnapshot(
             vertices,
             edges,

@@ -874,6 +874,11 @@ def _dup_span_starts(
         F.col(id_col).alias("id"), ws_tokens(F.lower(F.col(text_col))).alias("tk")
     )
     idx = F.sequence(F.lit(1), F.size("tk") - (k - 1))
+    # unhex(md5) = the same 128-bit gram identity as the hex text, carried
+    # as 16 BINARY bytes instead of 32 UTF8 chars — injective on md5's hex
+    # output, so every duplicate decision (and thus every result row) is
+    # unchanged while the gram exchange moves ~35% fewer key bytes
+    # (guide §2.3 "narrower types").
     grams = toks.select(
         "id",
         F.when(
@@ -881,11 +886,12 @@ def _dup_span_starts(
             F.transform(
                 idx,
                 lambda i: F.struct(
-                    i.alias("pos"), F.md5(F.concat_ws(" ", F.slice("tk", i, k))).alias("g")
+                    i.alias("pos"),
+                    F.unhex(F.md5(F.concat_ws(" ", F.slice("tk", i, k)))).alias("g"),
                 ),
             ),
         )
-        .otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+        .otherwise(F.array().cast("array<struct<pos:int,g:binary>>"))
         .alias("gs"),
     ).select("id", F.explode("gs").alias("kg"))
     flat = grams.select("id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))

@@ -91,17 +91,22 @@ def pipeline_training_corpus(spark, sf_dir):
     same pipeline stitched from each stage's SQL twin. At 100 TB each
     stage is a scan + one bounded shuffle (doc_id-keyed), and the dedup
     stage shuffles signatures, never text."""
-    from graph_db_spark.operators.text import lang_id, quality_score
+    from graph_db_spark.operators.text import langid_struct, quality_expr
     from graph_db_spark.queries.dedup import dedup_survivors_minhash as _surv
 
     d = _t(spark, sf_dir, "documents")
-    q_ = quality_score(d)
-    l_ = lang_id(d)
     surv = _surv(spark, sf_dir)
+    # quality_score and lang_id are row-local projections over the same
+    # documents scan — computing both in ONE select removes two
+    # doc_id self-joins (4 exchanges + 2 extra scans) from the plan
+    # (guide §2.4); identical values by construction (same expressions,
+    # 1:1 inner joins on the unique doc_id carried no filtering).
     kept = (
-        d.select("doc_id")
-        .join(q_, "doc_id")
-        .join(l_.select("doc_id", "pred_lang"), "doc_id")
+        d.select(
+            "doc_id",
+            quality_expr(F.col("text")).alias("quality"),
+            langid_struct(F.col("text"))["lang"].alias("pred_lang"),
+        )
         .join(surv, "doc_id", "left")
         .filter(
             (F.col("quality") >= 0.5)

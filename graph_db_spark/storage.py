@@ -529,13 +529,35 @@ class EventLogStorage:
                 continue  # caller already persisted/checkpointed it
             _pinned.append(frame.persist())
         try:
-            snap.vertices.write.mode("errorifexists").parquet(
-                os.path.join(tmp, "vertices")
-            )
-            snap.edges.write.mode("errorifexists").parquet(os.path.join(tmp, "edges"))
-            buckets = self._write_edge_index(
-                snap.edge_index, os.path.join(tmp, "edge_index")
-            )
+            # The three table writes are independent jobs over the pinned
+            # subtrees — submit them from a thread pool so the scheduler
+            # overlaps them (guide §2.6): the bucketed index write's long
+            # tail back-fills with the small vertices/edges writes instead
+            # of running after them. Cache-population races are safe
+            # (block-level locks make the first computer win, others reuse)
+            # and the publish rename below still happens only after ALL
+            # three have committed.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                fv = pool.submit(
+                    lambda: snap.vertices.write.mode("errorifexists").parquet(
+                        os.path.join(tmp, "vertices")
+                    )
+                )
+                fe = pool.submit(
+                    lambda: snap.edges.write.mode("errorifexists").parquet(
+                        os.path.join(tmp, "edges")
+                    )
+                )
+                fi = pool.submit(
+                    lambda: self._write_edge_index(
+                        snap.edge_index, os.path.join(tmp, "edge_index")
+                    )
+                )
+                fv.result()
+                fe.result()
+                buckets = fi.result()
         finally:
             for frame in _pinned:
                 frame.unpersist()
