@@ -291,8 +291,11 @@ def fit_bpe(
     from graph_db_spark.session import spread_small_input
 
     d = spread_small_input(df)
+    # explode_outer + null-drop: see operators.dedup.tokens (blocks the
+    # inferred-filter double tokenize).
     wf = (
-        d.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        d.select(F.explode_outer(ws_tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -26,15 +26,27 @@ from graph_db_spark.functions.text import WHITESPACE, shingle_array, ws_tokens
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, token) pairs, whitespace-tokenized."""
+    """Distinct (id, token) pairs, whitespace-tokenized.
+
+    explode_OUTER + null-drop instead of explode: a plain explode makes
+    the optimizer's InferFiltersFromGenerate rule COPY the generator
+    child into a `size(child) > 0` filter and push it toward the scan —
+    for an expensive child (tokenize/shingle/gram builds) that evaluates
+    the whole per-row array construction an extra time, sometimes inside
+    a 1-task scan stage (measured 7.7 s of dedup_exact_substring_spans'
+    ~10 s, guide §4.4's duplication in built-in form). Outer generate
+    infers no filter; empty docs emit one null row, dropped right after
+    — identical rows out. Same pattern at every expensive-child explode
+    in this package."""
     from graph_db_spark.session import spread_small_input
 
     df = spread_small_input(df)
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(ws_tokens(F.col(text_col))).alias("token"),
+            F.explode_outer(ws_tokens(F.col(text_col))).alias("token"),
         )
+        .filter(F.col("token").isNotNull())
         .distinct()
     )
 
@@ -43,13 +55,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     """Distinct (id, token) pairs where token = word k-shingle (k
     consecutive words joined by one space) — the standard near-dup unit:
     unigram sets are too coarse (any two docs over a shared vocabulary look
-    similar); shingles capture word order."""
+    similar); shingles capture word order. (explode_outer: see tokens.)"""
     from graph_db_spark.session import spread_small_input
 
     df = spread_small_input(df)
     return df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_array(F.col(text_col), k)).alias("token")
-    )
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingle_array(F.col(text_col), k)).alias("token"),
+    ).filter(F.col("token").isNotNull())
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -143,8 +156,14 @@ def band_bucket_rows(sigs: DataFrame, n_hashes: int = 8, bands: int = 4) -> Data
             for b in range(bands)
         ]
     )
-    return sigs.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    # explode_outer: blocks InferFiltersFromGenerate re-evaluating the
+    # 4-md5 band build per row in an inferred filter (see tokens()).
+    # band_structs is never empty/null, so no null-drop is needed — but
+    # keep it for form (zero rows match).
+    return (
+        sigs.select("id", F.explode_outer(band_structs).alias("bb"))
+        .filter(F.col("bb").isNotNull())
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     )
 
 
@@ -879,6 +898,14 @@ def _dup_span_starts(
     # output, so every duplicate decision (and thus every result row) is
     # unchanged while the gram exchange moves ~35% fewer key bytes
     # (guide §2.3 "narrower types").
+    # explode_OUTER, not explode: for a plain explode the optimizer's
+    # InferFiltersFromGenerate rule copies the generator child into a
+    # `size(child) > 0 AND isnotnull(child)` filter and pushes it below
+    # every exchange — measured on this query as the ENTIRE per-position
+    # transform+md5 chain re-evaluated single-threaded inside the one-task
+    # parquet scan (7.7 s of the query's ~10 s at sf0.1). No filter is
+    # inferred for outer generate; short docs emit one null row each,
+    # dropped right after — every result row identical.
     grams = toks.select(
         "id",
         F.when(
@@ -893,8 +920,10 @@ def _dup_span_starts(
         )
         .otherwise(F.array().cast("array<struct<pos:int,g:binary>>"))
         .alias("gs"),
-    ).select("id", F.explode("gs").alias("kg"))
-    flat = grams.select("id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g"))
+    ).select("id", F.explode_outer("gs").alias("kg"))
+    flat = grams.filter(F.col("kg").isNotNull()).select(
+        "id", F.col("kg.pos").alias("pos"), F.col("kg.g").alias("g")
+    )
     if dup_count_via == "window":
         from pyspark.sql import Window as W
 

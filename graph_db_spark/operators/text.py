@@ -244,12 +244,15 @@ def dsir_weights(
     def hex_int(col, n):
         return F.conv(F.substring(col, 1, n), 16, 10).cast("long")
 
+    # explode_outer + null-drop: keeps InferFiltersFromGenerate from
+    # re-evaluating the tokenize in an inferred pushed filter (see
+    # operators.dedup.tokens).
     toks = df.select(
         F.col(id_col).alias("id"),
         F.col(target_flag).alias("_tgt"),
         *[F.col(c) for c in keep_cols],
-        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
-    )
+        F.explode_outer(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token").isNotNull())
     bk = toks.withColumn(
         "bucket",
         hex_int(F.md5(F.concat(F.lit("dsir|"), F.col("token"))), 8) % n_buckets,

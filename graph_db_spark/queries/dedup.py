@@ -194,7 +194,12 @@ def dedup_exact_substring_spans(spark, sf_dir):
     exact text occurs more than once in the corpus. The highest-precision
     tier of the dedup family (byte-identical spans, not similarity), used
     to cut boilerplate/licenses/repeated headers before training."""
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    # The per-position transform+md5 is this query's dominant compute;
+    # spread the (single-file) fixture scan so it runs at full width —
+    # a no-op at real scale where the corpus arrives in many splits.
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     return D.duplicated_span_coverage(d, "doc_id", "text", k=10).withColumnRenamed(
         "id", "doc_id"
     ).select(F.col("doc_id").alias("id"), "n_tok", "dup_tokens", "dup_frac")
@@ -243,7 +248,9 @@ def dedup_strip_substring_spans(spark, sf_dir):
     every token inside a corpus-duplicated 10-token window dropped.
     The duplicated-window starts collapse to one sorted array per doc;
     the rebuild is a row-local higher-order filter (no extra shuffle)."""
-    d = _t(spark, sf_dir, "documents")
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     return D.strip_duplicated_spans(d, "doc_id", "text", k=10).select(
         F.col("id"), "n_tok", "n_kept", "clean_text"
     )

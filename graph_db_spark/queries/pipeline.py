@@ -148,7 +148,8 @@ def training_examples_window(spark, sf_dir):
     with_arr = d.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 4)
     pos = F.sequence(F.lit(1), F.size("arr") - 3)
     return (
-        with_arr.select("doc_id", "arr", F.explode(pos).alias("pos"))
+        with_arr.select("doc_id", "arr", F.explode_outer(pos).alias("pos"))
+        .filter(F.col("pos").isNotNull())
         .select(
             "doc_id",
             F.col("pos").cast("int").alias("pos"),
@@ -189,8 +190,8 @@ def decontam_ngram_overlap(spark, sf_dir):
 
     d = spread_small_input(_t(spark, sf_dir, "documents"))
     grams = d.select(
-        "doc_id", F.explode(shingle_array(F.lower(F.col("text")), 4)).alias("gram")
-    )
+        "doc_id", F.explode_outer(shingle_array(F.lower(F.col("text")), 4)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
@@ -376,9 +377,13 @@ def sketch_kmv_distinct_tokens(spark, sf_dir):
     from graph_db_spark.functions.text import ws_tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
-    ).distinct()
+    toks = (
+        d.select(
+            "source", F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+        .distinct()
+    )
     h = toks.select("source", "token", _hex_int(F.md5("token"), 13).alias("hv"))
     w = W.partitionBy("source").orderBy(F.col("hv").asc(), F.col("token").asc())
     kth = h.select("source", "hv", F.row_number().over(w).alias("rn")).filter(
@@ -429,7 +434,8 @@ def sketch_countmin_heavy_tokens(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     cnt = (
-        d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        d.select(F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -521,7 +527,9 @@ def source_token_drift(spark, sf_dir):
     from graph_db_spark.session import spread_small_input
 
     d = spread_small_input(_t(spark, sf_dir, "documents"))
-    tok = d.select("source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    tok = d.select(
+        "source", F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
     # Everything rolls up from the one (source, token) count, so the
     # corpus is read and exploded exactly once (ReuseExchange on per's
     # shuffle) — corpus counts, totals, and the source list are all

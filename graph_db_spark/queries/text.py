@@ -324,7 +324,9 @@ def vocab_top_tokens(spark, sf_dir):
     from graph_db_spark.functions.text import ws_tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    toks = d.select(
+        F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
     return (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -372,9 +374,13 @@ def token_pmi_pairs(spark, sf_dir):
     from graph_db_spark.functions.text import ws_tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
-    ).distinct()
+    toks = (
+        d.select(
+            "doc_id", F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+        .distinct()
+    )
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     frequent = df_.filter(F.col("df") >= 50).select("token")
@@ -434,7 +440,9 @@ def tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    toks = d.select(
+        "doc_id", F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token").isNotNull())
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     df_ = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -483,7 +491,9 @@ def bigram_cond_probs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     arr = ws_tokens(F.lower(F.col("text")))
     with_arr = d.select(arr.alias("arr")).filter(F.size("arr") >= 2)
-    bi = with_arr.select(F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("p"), "arr").select(
+    bi = with_arr.select(
+        F.explode_outer(F.sequence(F.lit(1), F.size("arr") - 1)).alias("p"), "arr"
+    ).filter(F.col("p").isNotNull()).select(
         F.element_at("arr", F.col("p")).alias("w1"),
         F.element_at("arr", F.col("p") + 1).alias("w2"),
     )
@@ -545,7 +555,9 @@ def text_repetition_signals(spark, sf_dir):
         idx = F.sequence(F.lit(1), F.size("tk") - (k - 1))
         return F.transform(idx, lambda i: F.concat_ws(" ", F.slice("tk", i, k)))
 
-    tok = tk.select("doc_id", F.explode("tk").alias("t"))
+    tok = tk.select("doc_id", F.explode_outer("tk").alias("t")).filter(
+        F.col("t").isNotNull()
+    )
     n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     mt = (
         tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
@@ -553,13 +565,15 @@ def text_repetition_signals(spark, sf_dir):
     )
     bc = (
         tk.filter(F.size("tk") >= 2)
-        .select("doc_id", F.explode(grams(2)).alias("g"))
+        .select("doc_id", F.explode_outer(grams(2)).alias("g"))
+        .filter(F.col("g").isNotNull())
         .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id").agg(F.max("c").alias("max_bi"))
     )
     trc = (
         tk.filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(grams(3)).alias("g"))
+        .select("doc_id", F.explode_outer(grams(3)).alias("g"))
+        .filter(F.col("g").isNotNull())
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tri"), F.countDistinct("g").alias("d_tri"))
     )
@@ -624,8 +638,8 @@ def doc_lm_mean_prob(spark, sf_dir):
         F.size("arr") >= 2
     )
     bi = tk.select(
-        "doc_id", F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("p"), "arr"
-    ).select(
+        "doc_id", F.explode_outer(F.sequence(F.lit(1), F.size("arr") - 1)).alias("p"), "arr"
+    ).filter(F.col("p").isNotNull()).select(
         "doc_id",
         F.element_at("arr", F.col("p")).alias("w1"),
         F.element_at("arr", F.col("p") + 1).alias("w2"),
@@ -695,7 +709,9 @@ def boilerplate_ngrams(spark, sf_dir):
 
     thr = max(40, _parquet_rows(sf_dir, "documents") * 8 // 100)
     d = spread_small_input(_t(spark, sf_dir, "documents"))
-    g = d.select("doc_id", F.explode(shingle_array(F.lower(F.col("text")), 2)).alias("gram"))
+    g = d.select(
+        "doc_id", F.explode_outer(shingle_array(F.lower(F.col("text")), 2)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
     boiler = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -744,7 +760,8 @@ def bpe_merge_pair_counts(spark, sf_dir):
 
     d = spread_small_input(_t(spark, sf_dir, "documents"))
     wc = (
-        d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        d.select(F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -888,7 +905,8 @@ def doc_feature_hash_embed(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     tc = (
-        d.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        d.select("doc_id", F.explode_outer(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )

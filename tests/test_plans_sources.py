@@ -669,8 +669,13 @@ def test_ivfpq_persisted_plan_has_no_fit_stages_and_prunes_cells(spark, sf_dir):
         ln for ln in plan.splitlines()
         if "embeddings.parquet" in ln or ("Location" in ln and "embeddings" in ln)
     ]
-    # every embeddings scan in the serving plan is the filtered query
-    # side — asserted via pushed filters elsewhere in the plan text
+    # every embeddings scan in the serving plan must be the vec_id<5
+    # query slice (a corpus-side embeddings scan would mean the store is
+    # not serving) — round-15 ADVICE: actually assert on emb_scans
+    assert len(emb_scans) <= 2, f"unexpected embeddings scans: {emb_scans}"
+    for ln in emb_scans:
+        if "PushedFilters" in ln:
+            assert "vec_id" in ln, f"embeddings scan without vec_id filter: {ln}"
     assert "sig_stores" in plan or "coarse" in plan, plan[:2000]
     assert re.search(r"dynamicpruning", plan, re.IGNORECASE), (
         "codes scan must carry a dynamic-partition-pruning subquery on "

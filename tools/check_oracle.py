@@ -96,7 +96,11 @@ def main():
         t_spark = round(time.time() - t0, 1)
         if spec.oracle is None:
             print(f"OK?   {name}: rows={len(sdf)} (no oracle — rows-only check) [{t_spark:.1f}s]")
-            record(name, rows_match=len(sdf) >= 0, spark_rows=len(sdf),
+            # rows_match=None (not a vacuous True): a downstream diff must
+            # never read an unverified rows-only entry as a confirmed
+            # match (round-15 ADVICE; currently moot — all queries carry
+            # oracles).
+            record(name, rows_match=None, checked=False, spark_rows=len(sdf),
                    err="no oracle — rows-only check", sec=t_spark)
             continue
         try:
