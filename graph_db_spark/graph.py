@@ -195,6 +195,17 @@ def emit_edge_index(
     return emission_projection(joined, schema)
 
 
+#: (id(active SparkContext), schema) → the prebuilt emission select list.
+#: The expression tree below is a pure function of the (frozen, hashable)
+#: GraphSchema over UNRESOLVED column refs, yet building it costs ~1,400
+#: py4j round-trips — measured as 5.6 s of insert_microtx_20x50's ~10 s
+#: (the OLTP micro-commit floor is driver-side Column construction, not
+#: Spark work — guide §5.1). Column objects are immutable and reusable
+#: across DataFrames; the cache is keyed on the live SparkContext so a
+#: JVM restart (new gateway, stale JVM refs) starts a fresh entry.
+_EMISSION_SELECT_CACHE: dict = {}
+
+
 def emission_projection(joined: DataFrame, schema: GraphSchema) -> DataFrame:
     """The emission kernel over an already-joined row set with columns
     (src, dst, __src_kind, __dst_kind, <dst payload>[, src_<payload>]):
@@ -205,6 +216,13 @@ def emission_projection(joined: DataFrame, schema: GraphSchema) -> DataFrame:
     feed it a driver-built local row set (no joins, no broadcasts)."""
     if not schema.edge_kinds:
         return joined.sparkSession.createDataFrame([], edge_index_schema())
+    from pyspark import SparkContext
+
+    cache_key = (id(SparkContext._active_spark_context), schema)
+    cached = _EMISSION_SELECT_CACHE.get(cache_key)
+    if cached is not None:
+        inner_cols, outer_cols = cached
+        return joined.select(*inner_cols).select(*outer_cols)
     elem_t = "array<struct<t:string,k:string>>"
     branch_exprs = []
     for ek in schema.edge_kinds:
@@ -251,12 +269,17 @@ def emission_projection(joined: DataFrame, schema: GraphSchema) -> DataFrame:
     for cond, arr in branch_exprs[1:]:
         emitted = emitted.when(cond, arr)
     emitted = emitted.otherwise(F.lit(None).cast(elem_t))  # no edge kind → no rows
-    return joined.select("src", "dst", F.explode(emitted).alias("__ik")).select(
-        "src",
+    inner_cols = (F.col("src"), F.col("dst"), F.explode(emitted).alias("__ik"))
+    outer_cols = (
+        F.col("src"),
         F.col("__ik.t").alias("idx_tag"),
         F.col("__ik.k").alias("idx_key"),
-        "dst",
+        F.col("dst"),
     )
+    if len(_EMISSION_SELECT_CACHE) > 64:  # a bound, not an eviction policy
+        _EMISSION_SELECT_CACHE.clear()
+    _EMISSION_SELECT_CACHE[cache_key] = (inner_cols, outer_cols)
+    return joined.select(*inner_cols).select(*outer_cols)
 
 
 @dataclass
