@@ -538,6 +538,17 @@ class GraphSnapshot:
         )
         visited = frontier
         n_visited = 1
+        # Visited-set consolidation (round 16, see pregel._VISITED_CONSOLIDATE):
+        # level frames are already checkpointed, so between consolidations the
+        # visited set is a LAZY union over those scans — the old per-level
+        # full-visited re-checkpoint was O(|V|) written bytes + one
+        # driver-blocking job per level. pending_frames tracks superseded
+        # frontier checkpoints still referenced by the lazy union.
+        from graph_db_spark.pregel import _VISITED_CONSOLIDATE
+
+        pending_frames: list = []
+        consol = None
+        pending = 0
         try:
             for _ in range(max_iters):
                 # level size observed free on the checkpoint action (replaces
@@ -573,16 +584,30 @@ class GraphSnapshot:
                 n_visited += n_new
                 if n_visited > self.BFS_BROADCAST_MAX_IDS:
                     hint = plain
-                new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-                # superseded generation: the new checkpoint owns its own
-                # blocks, so last round's visited/frontier frames are dead
-                prev_visited, prev_frontier = visited, frontier
-                visited, frontier = new_visited, nxt
-                release(prev_visited)
-                if prev_frontier is not prev_visited:
-                    release(prev_frontier)
-            if frontier is not visited:
-                release(frontier)  # last frontier; already folded into visited
+                visited = visited.unionByName(nxt)
+                pending += 1
+                pending_frames.append(frontier)  # superseded; union still reads it
+                frontier = nxt
+                if pending >= _VISITED_CONSOLIDATE:
+                    new_visited = visited.localCheckpoint(eager=True)
+                    for p in pending_frames:
+                        if p is not frontier:
+                            release(p)
+                    pending_frames = []
+                    if consol is not None:
+                        release(consol)
+                    consol, visited, pending = new_visited, new_visited, 0
+            if pending:
+                # materialize the tail union once, then free the pieces
+                final_v = visited.localCheckpoint(eager=True)
+                for p in pending_frames:
+                    release(p)
+                if consol is not None:
+                    release(consol)
+                release(frontier)  # folded into final_v
+                visited = final_v
+            elif frontier is not visited:
+                release(frontier)  # already folded into the last consolidation
             return visited
         finally:
             if edges_by_src is not None:

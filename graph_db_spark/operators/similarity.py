@@ -1892,16 +1892,43 @@ def pca_power_scores(
     method: n_iters=2 separates the dominant direction on embedding-like
     spectra; pass more for near-degenerate top eigenvalues.
 
-    Scale shape: the corpus appears only as (id, dim, xc) triples —
-    2 narrow scans per iteration (one grouped by id, one by dim), every
-    aggregate partial-combinable, the d-row direction frame broadcast
-    back each pass; nothing quadratic, no driver collect."""
-    x = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(F.col(vec_col), lambda c: c.cast("double"))
-        ).alias("d", "val"),
+    Scale shape (round 16, guide §2.4 — remove shuffles outright): the
+    per-id reductions (X·v dots, final projections) are ROW-LOCAL array
+    folds over the vector column — decimal sums are exact and
+    order-independent, so folding the identically-rounded products
+    inside the row produces bit-for-bit the value the old
+    posexplode→groupBy(id) exchange produced, with zero shuffle and no
+    corpus⋈y join (previously a full corpus-sized hash join per
+    iteration). Only the transpose direction (per-dim sums) still
+    aggregates, keyed on d — |dims| groups, map-side combinable. The
+    per-dim means are computed once and carried as a checkpointed 1-row
+    array (the old lazy m-subtree re-ran the corpus mean scan inside
+    every consuming job). Corpus passes: 1 (means) + 1 per iteration +
+    1 (final projection) — down from 2-3 per iteration. Precondition
+    (unchanged, shared with the oracle's generate_subscripts form):
+    vectors are rectangular (same dimension on every row)."""
+    from pyspark.sql import Observation
+
+    dec = "decimal(38,14)"
+    obs = Observation()
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda c: c.cast("double")).alias("v"),
+        )
+        # rides the means job below — replaces a separate df.count() job;
+        # observed BEFORE the size filter, matching the old count() scope
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .filter(F.size("v") > 0)
     )
+
+    def as_arr(frame: DataFrame, col: str) -> DataFrame:
+        # (d, col) rows -> one row holding [col ordered by d]
+        return frame.agg(
+            F.array_sort(F.collect_list(F.struct("d", col))).alias("s")
+        ).select(F.transform("s", lambda t: t[col]).alias("arr"))
+
+    x = base.select("id", F.posexplode("v").alias("d", "val"))
     m = (
         x.groupBy("d")
         .agg(
@@ -1912,29 +1939,42 @@ def pca_power_scores(
             ).alias("m")
         )
     )
-    xc = x.join(F.broadcast(m), "d").select(
-        "id", "d", (F.col("val") - F.col("m")).alias("xc")
+    # one corpus pass; every later pass reads the 1-row array for free
+    marr = as_arr(m, "m").localCheckpoint(eager=True)
+    xc = base.crossJoin(F.broadcast(marr)).select(
+        "id", F.zip_with("v", "arr", lambda a, b: a - b).alias("xc")
     )
-    n_rows = df.count()
-    spark = df.sparkSession
-    v = spark.range(1).select(F.lit(0).cast("int").alias("d"), F.lit(1.0).alias("vd"))
-    dec = "decimal(38,14)"
+    n_rows = obs.get["n"]
+
+    def dot_v(vec_arr, dir_arr):
+        # sum of 12dp-rounded products through DECIMAL — the exact value
+        # the old groupBy(id) sum produced, folded row-locally
+        # (38,14)+(38,14) re-types to (38,13) under Spark's decimal
+        # addition; the addends carry <= 12dp so the back-cast is exact
+        return F.aggregate(
+            F.zip_with(vec_arr, dir_arr, lambda a, b: F.round(a * b, 12)),
+            F.lit(0).cast(dec),
+            lambda acc, t: (acc + t.cast(dec)).cast(dec),
+        ).cast("double")
+
+    # v0 = e0, sized from the (already-checkpointed) mean vector — a lazy
+    # 1-row projection, no job of its own
+    varr = marr.select(
+        F.transform(
+            F.sequence(F.lit(0), F.size("arr") - 1),
+            lambda i: F.when(i == F.lit(0), F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("arr")
+    )
     for _ in range(n_iters):
-        y = (
-            xc.join(F.broadcast(v), "d")
-            .groupBy("id")
-            .agg(
-                F.sum(F.round(F.col("xc") * F.col("vd"), 12).cast(dec))
-                .cast("double")
-                .alias("y")
-            )
+        y = xc.crossJoin(F.broadcast(varr)).select(
+            "id", "xc", dot_v(F.col("xc"), F.col("arr")).alias("y")
         )
         z = (
-            xc.join(y, "id")
+            y.select(F.posexplode("xc").alias("d", "xcv"), "y")
             .groupBy("d")
             .agg(
                 F.round(
-                    F.sum(F.round(F.col("xc") * F.col("y"), 12).cast(dec))
+                    F.sum(F.round(F.col("xcv") * F.col("y"), 12).cast(dec))
                     .cast("double")
                     / F.lit(float(n_rows)),
                     12,
@@ -1945,25 +1985,16 @@ def pca_power_scores(
             F.sqrt(F.sum(F.round(F.col("zd") * F.col("zd"), 12).cast(dec)).cast("double"))
             .alias("nrm")
         )
-        v = (
-            z.crossJoin(F.broadcast(nrm))
-            .select(
-                "d",
-                F.when(
-                    F.col("nrm") != 0, F.round(F.col("zd") / F.col("nrm"), round_digits)
-                )
-                .otherwise(F.lit(0.0))
-                .alias("vd"),
+        v = z.crossJoin(F.broadcast(nrm)).select(
+            "d",
+            F.when(
+                F.col("nrm") != 0, F.round(F.col("zd") / F.col("nrm"), round_digits)
             )
-            .localCheckpoint(eager=True)  # d rows; cuts the per-iteration plan
+            .otherwise(F.lit(0.0))
+            .alias("vd"),
         )
-    return (
-        xc.join(F.broadcast(v), "d")
-        .groupBy("id")
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("xc") * F.col("vd"), 12).cast(dec)).cast("double"),
-                6,
-            ).alias("pc1")
-        )
+        # one corpus pass per iteration; d-sized result, plan cut per pass
+        varr = as_arr(v, "vd").localCheckpoint(eager=True)
+    return xc.crossJoin(F.broadcast(varr)).select(
+        "id", F.round(dot_v(F.col("xc"), F.col("arr")), 6).alias("pc1")
     )

@@ -70,6 +70,13 @@ def release(df: DataFrame) -> None:
         pass  # best-effort hygiene; never fail the computation over it
 
 
+#: Consolidate the BFS visited union into one checkpoint every N levels
+#: (bfs_levels / tagged_bfs_levels). 8 bounds the anti-join plan at 8
+#: union branches while cutting the per-level full-visited checkpoint
+#: rewrite to every 8th level.
+_VISITED_CONSOLIDATE = 8
+
+
 def undirected(edges: DataFrame) -> DataFrame:
     """Both directions of an edge list (src,dst) — the union is cheaper at
     scale than maintaining a second sorted structure, and Catalyst pushes
@@ -97,9 +104,19 @@ def bfs_levels(
     """(id, level) for every vertex reachable from *sources* (level 0).
 
     The reference's visited-set BFS queue (Graph.hs:87-117) set-oriented:
-    each round expands the whole frontier in one join, anti-joins ONE
-    materialized visited frame (O(1) plan per level — not a re-union of
-    every prior frontier), and checkpoints.
+    each round expands the whole frontier in one join, anti-joins the
+    visited set, and checkpoints the new frontier.
+
+    Visited-set bookkeeping (round 16, guide §1.2/§2.4): the level
+    frames are ALREADY checkpointed, so the visited set is kept as a
+    lazy union over those scans and only CONSOLIDATED into one
+    checkpoint every ``_VISITED_CONSOLIDATE`` levels — the old
+    per-level ``visited.unionByName(nxt).localCheckpoint()`` re-wrote
+    the ENTIRE visited set every level (O(|V|·depth) checkpoint bytes
+    over a traversal, plus one driver-blocking job per level); the
+    consolidated form writes it every 8th level (anti-join read cost is
+    unchanged — the union of the pieces holds exactly the same rows)
+    while the plan depth stays bounded at 8 union branches.
     """
     from functools import reduce
 
@@ -114,6 +131,8 @@ def bfs_levels(
         )
         levels = [frontier]
         visited_ids = frontier.select("id")
+        visited_owned = None  # last consolidation checkpoint (loop-private)
+        pending = 0
         for level in range(1, max_iters + 1):
             # frontier size observed free on the checkpoint action —
             # replaces the per-level isEmpty() job.
@@ -129,17 +148,17 @@ def bfs_levels(
                 release(nxt)
                 break
             levels.append(nxt)
-            new_visited = visited_ids.unionByName(nxt.select("id")).localCheckpoint(
-                eager=True
-            )
-            # level-1's visited is a projection of levels[0] (returned) —
-            # never droppable; later generations are loop-private
-            if level > 1:
-                release(visited_ids)
-            visited_ids = new_visited
+            visited_ids = visited_ids.unionByName(nxt.select("id"))
+            pending += 1
+            if pending >= _VISITED_CONSOLIDATE:
+                new_visited = visited_ids.localCheckpoint(eager=True)
+                if visited_owned is not None:
+                    release(visited_owned)
+                visited_owned = visited_ids = new_visited
+                pending = 0
             frontier = nxt
-        if len(levels) > 1:
-            release(visited_ids)  # loop-private; levels holds the result
+        if visited_owned is not None:
+            release(visited_owned)  # loop-private; levels holds the result
         return reduce(lambda a, b: a.unionByName(b), levels)
     finally:
         e.unpersist()
@@ -634,8 +653,10 @@ def tagged_bfs_levels(
     and the visited/frontier state is keyed (id, tag) — k landmark walks
     cost one frontier join per LEVEL total, not per landmark (the
     landmark-distance-oracle build primitive). Same per-level discipline
-    as bfs_levels: anti-join one materialized visited frame, checkpoint,
-    release superseded blocks."""
+    as bfs_levels, including the every-8th-level visited consolidation
+    (see bfs_levels — the level frames are already checkpointed, so the
+    visited set is a lazy union over those scans between
+    consolidations)."""
     from functools import reduce
 
     e = _src_partitioned(
@@ -650,6 +671,8 @@ def tagged_bfs_levels(
         )
         levels = [frontier]
         visited = frontier.select("id", "tag")
+        visited_owned = None
+        pending = 0
         for level in range(1, max_iters + 1):
             nxt, nsig = _checkpoint_observed(
                 e.join(frontier.select(F.col("id").alias("src"), "tag"), "src")
@@ -663,15 +686,17 @@ def tagged_bfs_levels(
                 release(nxt)
                 break
             levels.append(nxt)
-            new_visited = visited.unionByName(nxt.select("id", "tag")).localCheckpoint(
-                eager=True
-            )
-            if level > 1:
-                release(visited)
-            visited = new_visited
+            visited = visited.unionByName(nxt.select("id", "tag"))
+            pending += 1
+            if pending >= _VISITED_CONSOLIDATE:
+                new_visited = visited.localCheckpoint(eager=True)
+                if visited_owned is not None:
+                    release(visited_owned)
+                visited_owned = visited = new_visited
+                pending = 0
             frontier = nxt
-        if len(levels) > 1:
-            release(visited)
+        if visited_owned is not None:
+            release(visited_owned)
         return reduce(lambda a, b: a.unionByName(b), levels)
     finally:
         e.unpersist()

@@ -17,6 +17,31 @@ def test_bfs_levels(spark):
     assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2}  # 3 via shorter path; 9/10 unreachable
 
 
+def test_bfs_visited_consolidation_boundary(spark, monkeypatch):
+    """The round-16 visited-set consolidation (checkpoint the lazy
+    visited union every _VISITED_CONSOLIDATE levels instead of every
+    level) must be invisible to results. Force the interval down to 2 so
+    a 7-level path crosses several consolidation boundaries — covering
+    bfs_levels, tagged_bfs_levels, AND the _reachable_on loop (which
+    imports the interval at call time) past the boundary the bundled
+    shallow fixtures never reach."""
+    import graph_db_spark.pregel as pregel
+
+    monkeypatch.setattr(pregel, "_VISITED_CONSOLIDATE", 2)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(0, 3)], "src LONG, dst LONG"
+    )
+    src = spark.createDataFrame([(0,)], "id LONG")
+    got = {r["id"]: r["level"] for r in pregel.bfs_levels(edges, src).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3, 6: 4, 7: 5}
+    tagged = spark.createDataFrame([(0, "a"), (4, "b")], "id LONG, tag STRING")
+    tg = {
+        (r["id"], r["tag"]): r["level"]
+        for r in pregel.tagged_bfs_levels(edges, tagged).collect()
+    }
+    assert tg[(7, "a")] == 5 and tg[(7, "b")] == 3 and tg[(3, "a")] == 1
+
+
 def test_connected_components(spark):
     from graph_db_spark.pregel import connected_components
 

@@ -665,17 +665,21 @@ def test_ivfpq_persisted_plan_has_no_fit_stages_and_prunes_cells(spark, sf_dir):
     # the only embeddings.parquet scans are the vec_id < 5 query slice
     import re
 
-    emb_scans = [
-        ln for ln in plan.splitlines()
-        if "embeddings.parquet" in ln or ("Location" in ln and "embeddings" in ln)
-    ]
     # every embeddings scan in the serving plan must be the vec_id<5
     # query slice (a corpus-side embeddings scan would mean the store is
-    # not serving) — round-15 ADVICE: actually assert on emb_scans
-    assert len(emb_scans) <= 2, f"unexpected embeddings scans: {emb_scans}"
-    for ln in emb_scans:
-        if "PushedFilters" in ln:
-            assert "vec_id" in ln, f"embeddings scan without vec_id filter: {ln}"
+    # not serving) — round-15 ADVICE: actually assert on the scans. The
+    # SLICE legitimately appears in many subplans (per-book query
+    # tables, coarse probes), so the assertion is per-scan-block on the
+    # pushed filter, not a count bound: an unfiltered corpus-side scan
+    # is exactly a block whose PushedFilters lack the vec_id predicate.
+    emb_blocks = [b for b in plan.split("\n\n") if "embeddings.parquet" in b]
+    assert emb_blocks, "no embeddings scan found at all (plan shape changed?)"
+    for b in emb_blocks:
+        pushed = [ln for ln in b.splitlines() if "PushedFilters" in ln]
+        assert pushed and all("vec_id" in ln for ln in pushed), (
+            f"embeddings scan without a pushed vec_id filter "
+            f"(corpus-side scan in the serving plan):\n{b[:600]}"
+        )
     assert "sig_stores" in plan or "coarse" in plan, plan[:2000]
     assert re.search(r"dynamicpruning", plan, re.IGNORECASE), (
         "codes scan must carry a dynamic-partition-pruning subquery on "

@@ -153,10 +153,24 @@ def test_tcp_auth_and_busy(spark):
             ok.write(lambda tx: _insert_artist(tx, "C", 3))
             with pytest.raises(ServerIsBusy):
                 RemoteGraphSession(port=srv.port, credentials="sesame", model_version=MODEL_V)
-        # capacity freed after disconnect
-        with RemoteGraphSession(
-            port=srv.port, credentials="sesame", model_version=MODEL_V
-        ) as again:
+        # capacity freed after disconnect — but the server reaps the
+        # closed socket asynchronously, so with max_clients=1 an
+        # immediate reconnect can race the slot release and bounce with
+        # ServerIsBusy (round-15 verdict item 3: observed once under
+        # full-suite load). Retry briefly; a real capacity leak still
+        # fails after the deadline.
+        deadline = time.time() + 10
+        while True:
+            try:
+                again = RemoteGraphSession(
+                    port=srv.port, credentials="sesame", model_version=MODEL_V
+                )
+                break
+            except ServerIsBusy:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.1)
+        with again:
             assert again.read(lambda tx: tx.get_stats())[0] == 2
 
 
