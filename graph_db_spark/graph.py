@@ -638,8 +638,20 @@ class GraphSnapshot:
                 use_bcast = broadcast_frontier and n_nodes <= self.BFS_BROADCAST_MAX_IDS
                 hint = F.broadcast if use_bcast else (lambda df: df)
                 reach_src = hint(reach.withColumnRenamed("id", "src"))
-                n_edges = edges.join(reach_src, "src", "left_semi").count()
-                n_idx = self.edge_index.join(reach_src, "src", "left_semi").count()
+                # the two counts are independent jobs over already-pinned
+                # inputs — overlap them (guide §2.6) so stats latency is
+                # max(count jobs), not their sum; at scale each is a full
+                # pass over its table
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fe = pool.submit(
+                        edges.join(reach_src, "src", "left_semi").count
+                    )
+                    fi = pool.submit(
+                        self.edge_index.join(reach_src, "src", "left_semi").count
+                    )
+                    n_edges, n_idx = fe.result(), fi.result()
                 return GraphStats(n_nodes, n_edges, n_idx)
         finally:
             edges.unpersist()
