@@ -35,9 +35,9 @@ def force(df) -> None:
 #: standard construction applied to the round-14 committed quiet run
 #: (BENCH_local.json): top = 1.7 x quiet + 0.25 s headroom, marked
 #: "derived r14" below. Keep this table in sync with BASELINE.md when
-#: bands move — tests/test_harness_contract.py::
-#: test_bands_table_tracks_registry flags names that drift from the
-#: suite's entry set. (graph_stats_persisted's 4.8 top predates the
+#: bands move — the check lives in tests/test_harness_contract.py::
+#: test_bands_table_tracks_registry, which flags names that drift from
+#: the suite's entry set. (graph_stats_persisted's 4.8 top predates the
 #: r14 formula: it was derived from the r7 2.85 s reading, not the
 #: r14 2.48 quiet — kept as committed, per round-15 ADVICE note.)
 BANDS: dict[str, tuple[float, float]] = {
