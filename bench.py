@@ -139,6 +139,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Entry-name subset filter — set ONLY by tests (the harness-contract
+    # pytest runs a ~10-entry representative subset at sf0.001 so the full
+    # suite's 91 per-job driver latencies stop blowing the CI budget; r16
+    # verdict #1b). The driver never sets it: an unset/empty value times
+    # every entry exactly as before. Dependent entries gate on their
+    # producer (traversals need graph_build_index in the subset, the
+    # *_persisted entries need graph_persist_checkpoint).
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {s for s in (p.strip() for p in only_env.split(",")) if s} or None
     spark = get_spark(app_name="graph_db_spark_bench", cpus=cpus)
 
     from graph_db_spark.catalogue import tpch_graph
@@ -190,6 +199,8 @@ def main() -> None:
         # tasks whose load spikes otherwise dominate single measurements.
         # Per-query fault isolation: one broken query must never kill the
         # whole suite — record the error and keep benchmarking the rest.
+        if only is not None and name not in only:
+            return
         if len(times) % 10 == 9:
             sentinel_trace.append([len(times), sentinel(), sentinel_wide()])
         runners[name] = fn
@@ -441,6 +452,8 @@ def main() -> None:
     # absorb parquet reader/listing init. Timed runs then measure steady
     # state instead of first-touch JIT.
     for name in headline:
+        if only is not None and name not in only:
+            continue
         try:
             force(REGISTRY[name].build(spark, "/root/testdata/sf0.001"))
         except Exception:  # noqa: BLE001
@@ -472,6 +485,8 @@ def main() -> None:
         "dedup_semantic_incremental_store",
         "ann_ivfpq_residual_persisted",
     ):
+        if only is not None and name not in only:
+            continue
         try:
             force(REGISTRY[name].build(spark, sf_dir))
         except Exception:  # noqa: BLE001
@@ -573,6 +588,39 @@ def main() -> None:
             flush=True,
         )
 
+    # -- band audit, phase A: non-insert entries (round-15 verdict leftover,
+    # carried through the r16 verdict's item 8): any entry whose published
+    # reading exceeds its BASELINE band TOP is re-run best-of-2 — and that
+    # retry must happen BEFORE the mutating insert section below, so the
+    # retried closure times against the same session state (cached graph
+    # snapshot, no insert-workload checkpoint frames) it originally ran
+    # under. The two insert entries get the same audit in phase B after
+    # they run (each insert run builds a fresh empty session, so a late
+    # retry there is an independent repeat by construction).
+    # The bands were measured at sf0.1 — at any other scale (the harness
+    # contract test runs this file at sf0.001) the comparison is
+    # meaningless, so the trigger only arms at the band scale.
+    bands_armed = sf == "0.1"
+    band_retries: dict[str, dict] = {}
+
+    def band_audit(names, floor) -> None:
+        for name in names:
+            band = BANDS.get(name)
+            if band is None or name not in runners or times.get(name, 0.0) <= band[1]:
+                continue
+            band_retries[name] = audit_retry(
+                name, {"band_top": band[1]}, floor, stop_below=band[1]
+            )
+            print(
+                f"[bench] band-retry {name}: suite {band_retries[name]['suite']}s "
+                f"(band top {band[1]}) -> {band_retries[name].get('retry')}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    if bands_armed:
+        band_audit(list(times), wide_floor)
+
     # -- insert workloads (CompetitionBench / NonpersistentBench shapes:
     #    1,000 random artist inserts; see BASELINE.md) -----------------------
     import random
@@ -621,38 +669,17 @@ def main() -> None:
     sentinel_end = min(sentinel_end, sentinel())
     sentinel_wide_end = min(sentinel_wide(), sentinel_wide())
 
-    # -- band audit: BASELINE-band retries (round-15 verdict #1) -----------
-    # The contention audit's sentinel-window trigger structurally cannot
-    # flag ENTRY-LOCAL slowness: round 14's dedup_duplicate_clusters read
-    # 7.7 s (band top 7.0) inside a QUIET window, for the second round
-    # running, and nothing in the artifact retried it. Second trigger:
-    # any entry whose published reading exceeds its BASELINE band TOP
-    # (the BANDS table above — BASELINE.md made machine-readable) is
-    # re-run best-of-2, stopping early if the retry lands back in band
-    # (noise) or ran in a measured-quiet window (regression confirmed —
-    # the reading stands and `above_band` says so). Runs AFTER the insert
-    # section so the two insert entries are covered too (their retries
-    # rebuild fresh empty sessions — independent repeats by construction).
+    # -- band audit, phase B: the insert entries (see phase A above; the
+    # trigger is round-15 verdict #1 — the sentinel-window audit
+    # structurally cannot flag ENTRY-LOCAL slowness, so any entry above
+    # its BASELINE band top is re-run best-of-2, stopping early if the
+    # retry lands back in band (noise) or ran in a measured-quiet window
+    # (regression confirmed — the reading stands and `above_band` says
+    # so). -----------------------------------------------------------------
     _wides_all = sorted(_wides + [sentinel_wide_end])
     band_floor = _wides_all[len(_wides_all) // 2]
-    band_retries: dict[str, dict] = {}
-    # The bands were measured at sf0.1 — at any other scale (the harness
-    # contract test runs this file at sf0.001) the comparison is
-    # meaningless, so the trigger only arms at the band scale.
-    bands_armed = sf == "0.1"
-    for name in list(times) if bands_armed else []:
-        band = BANDS.get(name)
-        if band is None or name not in runners or times[name] <= band[1]:
-            continue
-        band_retries[name] = audit_retry(
-            name, {"band_top": band[1]}, band_floor, stop_below=band[1]
-        )
-        print(
-            f"[bench] band-retry {name}: suite {band_retries[name]['suite']}s "
-            f"(band top {band[1]}) -> {band_retries[name].get('retry')}s",
-            file=sys.stderr,
-            flush=True,
-        )
+    if bands_armed:
+        band_audit(["insert_bulk_1000", "insert_microtx_20x50"], band_floor)
     # Names still above their band top after retries: the artifact's own
     # regression verdict (repeated quiet readings above band = regression,
     # per BASELINE.md's protocol).
@@ -739,33 +766,25 @@ def main() -> None:
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
     # stdout: ONE compact line small enough for the driver's capture,
-    # which keeps only the LAST ~2000 chars of stdout — a longer line
-    # loses its HEAD (metric/value/first queries) and the round artifact
-    # becomes unparseable (that killed BENCH_r06's headline). The suite
-    # grows every round, so compaction is TIERED until the line fits
-    # budget: 2-dp query times -> 1-dp -> drop optional provenance ->
-    # (last resort) omit the fastest queries with an explicit counter.
-    # Full-precision timings + provenance always live in the sidecar.
-    # The FULL query map rides the compact line compressed (round-14
-    # verdict #4: the driver artifact must be self-contained — the old
-    # tiered `keep` dropped the ~25 fastest entries once the suite
-    # outgrew the capture window). zlib+base85 of the 2-dp map is ~1.5 KB
-    # for 88 entries and base85's alphabet needs no JSON escaping; decode
-    # with json.loads(zlib.decompress(base64.b85decode(s))).
-    import base64
-    import zlib
+    # which keeps only the LAST ~2000 chars of combined output — a longer
+    # line loses its HEAD (metric/value/first queries) and the round
+    # artifact becomes unparseable (that killed BENCH_r06's headline).
+    # Round-17 (r16 verdict #1 — the round's highest-leverage fix): the
+    # driver's comparator and scaling analysis read ONLY the plain
+    # `queries` dict, and the round-15/16 lines spent ~1.5 KB on a
+    # zlib+b85 `queries_z` blob the driver never decodes — r16's line had
+    # room for ONE plain entry, so PERF_r16 paired 1 of 91 queries,
+    # reported 5 phantom "dropped" entries, and produced an empty scaling
+    # block. The blob is GONE from stdout (the sidecar above keeps the
+    # full-precision map + every provenance field); the plain map prints
+    # SLOWEST-FIRST and the tiering only ever trims the fastest tail
+    # (2-dp -> 1-dp -> drop optional provenance -> trim, with an explicit
+    # queries_omitted counter), which maximizes what the driver can pair
+    # (~60 of 91 entries at current name lengths, vs 1 in r16).
+    order = sorted(times, key=times.get, reverse=True)  # slowest-first
 
-    queries_z = base64.b85encode(
-        zlib.compress(
-            json.dumps(
-                {k: round(v, 2) for k, v in times.items()}, separators=(",", ":")
-            ).encode(),
-            9,
-        )
-    ).decode()
-
-    def _line(dp: int, provenance: bool, keep: int | None) -> str:
-        compact = dict(out, queries={k: round(v, dp) for k, v in times.items()})
+    def _line(dp: int, provenance: bool, keep: int) -> str:
+        compact = dict(out, queries={k: round(times[k], dp) for k in order[:keep]})
         compact.pop("env", None)
         compact.pop("sentinel_trace", None)  # sidecar-only (the compact
         # line keeps just sentinel_sec.mid_max)
@@ -781,18 +800,14 @@ def main() -> None:
             compact["retried"] = len(retries)
         if band_retries:
             compact["band_retried"] = len(band_retries)
-        compact["queries_z"] = queries_z
-        compact["queries_z_codec"] = "json|zlib|b85"
+        if keep < len(times):
+            compact["queries_omitted"] = len(times) - keep  # sidecar has all
         if not provenance:
             compact.pop("n_index_entries", None)
             compact.pop("cpus", None)
             compact["metric"] = "suite"
             if out["value"] is not None:
                 compact["value"] = round(out["value"], 1)
-        if keep is not None and keep < len(times):
-            top = sorted(times, key=times.get, reverse=True)[:keep]
-            compact["queries"] = {k: round(times[k], dp) for k in top}
-            compact["queries_omitted"] = len(times) - keep  # all still in queries_z
         # Keep the co-tenant sentinel IN the compact line (~40 bytes):
         # the driver artifact must be self-auditing — an apparent
         # cross-round regression with an inflated sentinel is
@@ -808,14 +823,14 @@ def main() -> None:
         return json.dumps(compact, separators=(",", ":"))
 
     budget = 1995  # the capture window is the LAST 2000 chars incl. newline
-    line = _line(2, True, None)
+    line = _line(2, True, len(times))
     if len(line) > budget:
-        line = _line(1, True, None)
+        line = _line(1, True, len(times))
     if len(line) > budget:
-        line = _line(1, False, None)
+        line = _line(1, False, len(times))
     keep = len(times)
     while len(line) > budget and keep > 1:
-        keep = max(keep - 5, 1)
+        keep -= 1
         line = _line(1, False, keep)
     print(line)
     spark.stop()
