@@ -603,29 +603,118 @@ def pipeline_curated_pack(spark, sf_dir):
     survivors — i.e. the full shape of a pretraining data build: clean →
     decontaminate → dedup → lay out context windows.
 
-    100 TB shape: each gate is the already-audited stage plan (grouped
-    aggs + broadcast joins of small flag sets); the pack step is one
-    window cumsum per source partition. The decontam-hit and dup-loser
-    sets are small by construction and broadcast."""
-    rep = text_repetition_signals(spark, sf_dir).select(
-        "doc_id", "n_tok", "top_token_frac"
+    Cross-gate fusion (round 17, guide §6 "I/O" + §1.2): composing the
+    four stage queries re-scanned AND re-tokenized `documents` once per
+    gate subtree — 9-11 scan+regexp-split passes per run (rep's
+    token/bigram/trigram branches, boiler's df+membership passes,
+    decontam's bench+corpus sides, the SimHash signature build, plus the
+    (doc_id, source) projection). The pipeline now tokenizes ONCE: a
+    single corpus pass materializes (doc_id, source, lowered tokens, raw
+    tokens) via localCheckpoint, and every gate derives its gram shape
+    from those arrays (shingles_of_tokens == shingle_array's own body, so
+    each gate's values are bit-identical to its standalone query — the
+    oracle still stitches the four standalone CTEs and must hash-match).
+    Gates are also pruned to exactly the columns the survivor filter
+    reads: rep's unused bigram/trigram branches (two gram passes + two
+    1:1 left joins) are dropped, and the decontam hit-set is a semi-join
+    (set membership, not the standalone query's hit counts). At 100 TB
+    the checkpointed token frame becomes an explicit intermediate table
+    (DISK_ONLY persist / parquet); the structural point — one corpus
+    read instead of ~10 — is the same.
+
+    100 TB shape: each gate is a grouped agg + broadcast join of a small
+    flag set over the shared token frame; the pack step is one window
+    cumsum per source partition. The decontam-hit and dup-loser sets are
+    small by construction and broadcast."""
+    from graph_db_spark.functions.text import shingles_of_tokens, ws_tokens
+    from graph_db_spark.operators.dedup import simhash_bits, simhash_near_dup_pairs
+    from graph_db_spark.session import spread_small_input
+
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
+    # ONE corpus scan + tokenize: lowered tokens (rep/boiler/decontam
+    # gates) and raw-case tokens (the SimHash gate tokenizes un-lowered
+    # text), materialized once for every gate below.
+    tkf = d.select(
+        "doc_id",
+        "source",
+        ws_tokens(F.lower(F.col("text"))).alias("tk"),
+        ws_tokens(F.col("text")).alias("tkr"),
+    ).localCheckpoint(eager=True)
+
+    # repetition gate — only the columns the survivor filter reads
+    # (n_tok, top_token_frac); ONE exploded-token pass yields both
+    # (sum of per-token counts == token count; max is the top token).
+    tok = tkf.select("doc_id", F.explode_outer("tk").alias("t")).filter(
+        F.col("t").isNotNull()
     )
-    bo = boilerplate_ngrams(spark, sf_dir).select("doc_id", "boiler_frac")
+    rep = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tok"), F.max("c").alias("max_tok"))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("max_tok").cast("double") / F.col("n_tok"), 6).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+    # boilerplate gate (df-threshold + membership over distinct 2-grams)
+    thr = max(40, _parquet_rows(sf_dir, "documents") * 8 // 100)
+    g2 = tkf.select(
+        "doc_id", F.explode_outer(shingles_of_tokens(F.col("tk"), 2)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    boiler = (
+        g2.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= thr)
+        .select("gram", F.lit(1).alias("is_b"))
+    )
+    bo = (
+        g2.join(F.broadcast(boiler), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("is_b").alias("n_boiler"))
+        .select(
+            "doc_id",
+            F.round(F.col("n_boiler").cast("double") / F.col("n_grams"), 6).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+    # decontamination gate: ANY shared 4-gram with the benchmark slice —
+    # membership only, so a semi-join replaces the standalone hit count
+    g4 = tkf.select(
+        "doc_id", F.explode_outer(shingles_of_tokens(F.col("tk"), 4)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    bench = g4.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     dec = (
-        decontam_ngram_overlap(spark, sf_dir)
+        g4.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+
+    # SimHash near-dup gate (64-bit / 16-bit buckets) from raw-case
+    # 3-shingles — the same (id, token) frame dedup_simhash_banded_wide
+    # builds via shingles(documents), minus its scan+tokenize
+    sh3 = tkf.select(
+        F.col("doc_id").alias("id"),
+        F.explode_outer(shingles_of_tokens(F.col("tkr"), 3)).alias("token"),
+    ).filter(F.col("token").isNotNull())
     dup = (
-        dedup_simhash_banded_wide(spark, sf_dir)
+        simhash_near_dup_pairs(simhash_bits(sh3, n_bits=64), n_bits=64, bands=4, max_hamming=3)
         .select(F.col("b").alias("doc_id"))
         .distinct()
         .withColumn("isdup", F.lit(1))
     )
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
     kept = (
-        d.join(rep, "doc_id")
+        tkf.select("doc_id", "source")
+        .join(rep, "doc_id")
         .join(bo, "doc_id")
         .join(F.broadcast(dec), "doc_id", "left")
         .join(F.broadcast(dup), "doc_id", "left")
