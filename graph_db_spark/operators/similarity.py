@@ -1904,9 +1904,22 @@ def pca_power_scores(
     per-dim means are computed once and carried as a checkpointed 1-row
     array (the old lazy m-subtree re-ran the corpus mean scan inside
     every consuming job). Corpus passes: 1 (means) + 1 per iteration +
-    1 (final projection) — down from 2-3 per iteration. Precondition
-    (unchanged, shared with the oracle's generate_subscripts form):
-    vectors are rectangular (same dimension on every row)."""
+    1 (final projection) — down from 2-3 per iteration. Preconditions
+    (shared with the oracle's generate_subscripts form; round-16 ADVICE
+    items made explicit): (a) vectors are rectangular (same dimension on
+    every row) with NON-NULL elements — a NULL element nulls that row's
+    zip_with products and hence its whole dot/pc1 (the pre-round-16
+    posexplode+SUM path skipped null terms instead); (b) *id_col* values
+    are UNIQUE — the output is one row per INPUT row (the row-local fold
+    needs no per-id aggregation), so duplicate ids yield duplicate
+    output rows where the old groupBy(id) form collapsed them; (c) the
+    oracle-parity claim for the row-local decimal folds is exact while
+    every 12dp-rounded product is exactly representable at 14 decimal
+    places in a double — i.e. |xcᵢ·vᵢ| ≲ 45, where ulp(45) ≈ 0.7e-14:
+    beyond that the fold's (38,14)+(38,14)→(38,13) re-type can drop a
+    junk 14th-scale digit the old scale-14 groupBy sum (and the DuckDB
+    DECIMAL(38,14) sum) would keep. Unit-scale embedding corpora sit
+    orders of magnitude inside all three bounds."""
     from pyspark.sql import Observation
 
     dec = "decimal(38,14)"

@@ -40,6 +40,33 @@ def test_bfs_visited_consolidation_boundary(spark, monkeypatch):
         for r in pregel.tagged_bfs_levels(edges, tagged).collect()
     }
     assert tg[(7, "a")] == 5 and tg[(7, "b")] == 3 and tg[(3, "a")] == 1
+    # _reachable_on has its own pending/consolidation/tail-materialization
+    # bookkeeping (graph.py) and imports the interval at call time — drive
+    # it past the boundary too (round-16 ADVICE: the docstring claimed
+    # this coverage before the case existed). 5 levels deep at interval 2
+    # crosses two consolidations; the reachable set must be exact.
+    import graph_db_spark.graph as graph_mod
+    from graph_db_spark.catalogue import catalogue_schema
+    from graph_db_spark.graph import GraphSnapshot
+
+    ei = edges.select(
+        "src",
+        F.lit("T").alias("idx_tag"),
+        F.lit(None).cast("string").alias("idx_key"),
+        "dst",
+    )
+    snap = GraphSnapshot(
+        spark.range(8).select("id", F.lit("N").alias("kind")), edges, ei, catalogue_schema()
+    )
+    e_narrow = edges.select("src", "dst").persist()
+    try:
+        for bcast in (True, False):
+            reach = sorted(
+                r["id"] for r in snap._reachable_on(e_narrow, 0, 100, bcast).collect()
+            )
+            assert reach == [0, 1, 2, 3, 4, 5, 6, 7], bcast
+    finally:
+        e_narrow.unpersist()
 
 
 def test_connected_components(spark):

@@ -189,6 +189,7 @@ def main() -> None:
         "semantic_incremental_store",
         "prefix_jaccard", "containment_exact",
         "ivfpq_persisted", "ivfpq_persisted_build",
+        "simhash_banded_wide", "bfs_deep",
     }
     if only is not None and only - KNOWN_OPS:
         # fail BEFORE Spark startup: a typo'd op name would otherwise
@@ -617,6 +618,54 @@ def main() -> None:
                 run("incremental_dedup_store", f"{scale}_batch_recompute", recompute_batch)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- packed-long SimHash banding at corpus scale (round 17; stresses
+    # the r16 rewrite that packs 64-bit signatures into 32-bit long words
+    # through the banded join and verifies with bit_count(xor)) ------------
+    for scale, n in (
+        (("1x", 50_000 // div), ("10x", 500_000 // div))
+        if want("simhash_banded_wide")
+        else ()
+    ):
+        docs = synthetic_docs(spark, n)
+        run(
+            "simhash_banded_wide",
+            scale,
+            lambda d=docs: {
+                "pairs": D.simhash_near_dup_pairs(
+                    D.simhash_bits(D.shingles(d, "doc_id", "text", 3), n_bits=64),
+                    n_bits=64,
+                    bands=4,
+                    max_hamming=3,
+                ).count()
+            },
+        )
+
+    # -- deep BFS: the r16 visited-set consolidation across its boundary ---
+    # bfs_levels keeps the visited set as a lazy union and consolidates
+    # into one checkpoint every _VISITED_CONSOLIDATE=8 levels; the bundled
+    # fixtures and the 8-layer DAG above never cross that boundary at
+    # stress scale. 24 layers cross it twice (consolidations at levels 8
+    # and 16), so blowup here would expose a depth-dependent cost the
+    # shallow runs cannot see.
+    for scale, width in (
+        (("1x", 4_000 // div), ("10x", 40_000 // div)) if want("bfs_deep") else ()
+    ):
+        from graph_db_spark.pregel import bfs_levels
+
+        v, e = layered_graph(spark, width=width, layers=24)
+        run(
+            "bfs_deep",
+            scale,
+            lambda ee=e: {
+                "rows": bfs_levels(
+                    ee,
+                    spark.range(1).select(F.lit(0).cast("long").alias("id")),
+                    max_iters=100,
+                ).count(),
+                "layers": 24,
+            },
+        )
 
     # -- exact-substring span coverage at corpus scale ---------------------
     # duplicated_span_coverage (Lee et al. criterion, round-8 windowed
