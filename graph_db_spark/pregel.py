@@ -76,6 +76,39 @@ def release(df: DataFrame) -> None:
 #: rewrite to every 8th level.
 _VISITED_CONSOLIDATE = 8
 
+#: Fold N logical rounds (relaxations / peels / power iterations) into
+#: ONE localCheckpoint job (round 17, guide §2.6 job-latency
+#: amortization). Every fixed-point loop here pays one driver-blocking
+#: checkpoint action per round; composing two rounds lazily inside a
+#: single plan halves that action count while the per-round shuffle
+#: volume is unchanged (a round's intermediate frame feeds the next
+#: round's consumers through the SAME exchanges — event-log A/B:
+#: shuffle bytes flat to ±1% on sssp/pagerank/kcore,
+#: plans/r17/pregel_fold_ab.md), and the intermediate state frame is
+#: never materialized to checkpoint blocks at all.
+#: Convergence stays exact at fold granularity because every folded
+#: loop's round function is idempotent at its fixpoint and its
+#: signature is monotone: an unchanged signature across a fold proves
+#: neither half changed, and extra post-convergence rounds inside a
+#: fold are identities — so the returned frame is bit-identical to the
+#: unfolded loop's. 2 keeps the per-checkpoint plan depth trivial
+#: (Catalyst has no recursion; the fold bounds it at 2 rounds).
+#: 1 restores the unfolded loops exactly (A/B and rollback knob).
+_ROUND_FOLD = 2
+
+#: connected_components_star analogue of _ROUND_FOLD (round 17): compose
+#: the large-star and small-star halves of one round into ONE checkpoint
+#: job instead of eagerly checkpointing the large-star output (e1).
+#: OFF — measured NO-WIN (guide §1.1 empirical loop): even with the
+#: fused intermediate pinned to hashpartitioning(u) so its three
+#: consumers share one exchange, the event-log A/B reads +11% shuffle
+#: write / +39% shuffle read for a wall-flat result at sf0.1
+#: (tools/shuffle_bytes.py --unfolded; plans/r17/pregel_fold_ab.md) —
+#: trading shuffle volume for one driver sync per round is the wrong
+#: direction at scale (§2.2). The fused path is kept under this knob as
+#: the documented experiment.
+_STAR_FUSE_HALF_ROUNDS = False
+
 
 def undirected(edges: DataFrame) -> DataFrame:
     """Both directions of an edge list (src,dst) — the union is cheaper at
@@ -180,23 +213,34 @@ def connected_components(
     labels = vertices.select(
         F.col("id"), F.col("id").alias("component")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+
+    def _step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            e.join(labels.withColumnRenamed("id", "src"), "src")
+            e.join(lbl.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        # Old and new label sit side by side in the update join, so the
-        # changed-count is an aggregate of the frame this round checkpoints
-        # anyway — observed for free on the checkpoint action (previously a
-        # separate labels⋈new_labels comparison job per round).
-        updated = labels.join(neighbor_min, "id", "left").select(
+        return lbl.join(neighbor_min, "id", "left").select(
             "id",
             F.col("component").alias("__old"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
+
+    it = 0
+    while it < max_iters:
+        # _ROUND_FOLD min-label rounds composed into one checkpoint job.
+        # Old and new label sit side by side in the LAST half's update
+        # join, so the changed-count is an aggregate of the frame the
+        # fold checkpoints anyway — observed for free on the checkpoint
+        # action. Labels are monotone (only ever decrease): the last
+        # half changing nothing proves the fixpoint was reached, and any
+        # earlier half's change is already folded into the frame.
+        fold = min(_ROUND_FOLD, max_iters - it)
+        updated = _step(labels)
+        for _ in range(fold - 1):
+            updated = _step(updated.select("id", "component"))
         obs = Observation()
         new_labels = (
             updated.observe(
@@ -211,6 +255,7 @@ def connected_components(
         changed = obs.get["changed"]
         release(labels)
         labels = new_labels
+        it += fold
         if not changed:
             break
     e.unpersist()
@@ -323,12 +368,31 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), F.col("m"))
         )
+        # Large- and small-star halves composed into ONE checkpoint job
+        # per round (round 17, §2.6) — e1 used to be its own eager
+        # localCheckpoint, i.e. a second driver-blocking job every
+        # round. Lazy, its subtree feeds the small star's three
+        # consumers through the same Exchange(u) (ReuseExchange
+        # deduplicates them — verified in the committed plan), so the
+        # large star still computes once per round.
         e1 = (
             large.filter(F.col("x") != F.col("m"))
             .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        e1_owned = None
+        if _STAR_FUSE_HALF_ROUNDS:
+            # Pin the fused intermediate to hashpartitioning(u): the
+            # small star's three consumers (probe, min-table, its union
+            # branch) all require u-distribution, so they dedupe onto
+            # this ONE exchange via ReuseExchange and the large star
+            # computes once per round. Without it each consumer plans
+            # its own Exchange over the lazy subtree and re-runs the
+            # large star — measured SLOWER than the old two-checkpoint
+            # round (ab_fold.py: cc_star 3.35 vs 3.08).
+            e1 = e1.repartition("u")
+        else:
+            e1_owned = e1 = e1.localCheckpoint(eager=True)
         # -- small-star: Γ⁻(u) ∪ {u} (v < u side), re-point all to its min
         low = e1.select("u", "v")  # already oriented u > v
         msmall = low.groupBy("u").agg(F.min("v").alias("m"))
@@ -372,7 +436,8 @@ def connected_components_star(
         else:
             changed = True
         release(e)
-        release(e1)
+        if e1_owned is not None:
+            release(e1_owned)
         e, esig = e2, e2sig
         if not changed:
             break
@@ -419,21 +484,34 @@ def shortest_paths(
         .agg(F.min("dist").alias("dist")),
         **_sig,
     )
+
+    def _relax(d: DataFrame) -> DataFrame:
+        relaxed = (
+            e.join(d.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        return d.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
+
     try:
-        for _ in range(max_iters):
-            relaxed = (
-                e.join(dist.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
-            )
-            new_dist, nsig = _checkpoint_observed(
-                dist.unionByName(relaxed)
-                .groupBy("id")
-                .agg(F.min("dist").alias("dist")),
-                **_sig,
-            )
+        it = 0
+        while it < max_iters:
+            # _ROUND_FOLD relaxations composed into one checkpoint job
+            # (round 17, §2.6). Bit-exact: min is order-independent and
+            # each relaxation's arithmetic is unchanged — only the
+            # materialization points move. The signature stays a valid
+            # fold-granularity fixpoint test because it is monotone
+            # transitively (dist per id only ever decreases, ids are only
+            # ever added): unchanged across a 2-round fold proves neither
+            # round changed, and post-fixpoint relaxations are identities.
+            fold = min(_ROUND_FOLD, max_iters - it)
+            upd = dist
+            for _ in range(fold):
+                upd = _relax(upd)
+            new_dist, nsig = _checkpoint_observed(upd, **_sig)
             release(dist)
             dist, improved = new_dist, nsig != dsig
             dsig = nsig
+            it += fold
             if not improved:
                 break
         return dist
@@ -465,26 +543,37 @@ def pagerank(
     ).persist()
     v = vertices.select("id").distinct().persist()
     ranks = v.select("id", F.lit(1.0).alias("rank")).localCheckpoint(eager=True)
+
+    def _iter(r: DataFrame) -> DataFrame:
+        contribs = (
+            e.join(r.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
+        )
+        return v.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
     try:
-        for _ in range(n_iters):
-            contribs = (
-                e.join(ranks.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
-            )
-            new_ranks = (
-                v.join(contribs, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
+        # _ROUND_FOLD power iterations composed per checkpoint job (round
+        # 17, §2.6): the iteration count is fixed, so folding only moves
+        # the materialization points — every round's arithmetic (and its
+        # per-key double-sum grouping) is the identical expression tree,
+        # so ranks are bit-identical to the unfolded loop's.
+        i = 0
+        while i < n_iters:
+            fold = min(_ROUND_FOLD, n_iters - i)
+            upd = ranks
+            for _ in range(fold):
+                upd = _iter(upd)
+            new_ranks = upd.localCheckpoint(eager=True)
             release(ranks)
             ranks = new_ranks
+            i += fold
         return ranks
     finally:
         e.unpersist()
@@ -516,25 +605,71 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple[DataFrame, int
         undirected(edges).filter(F.col("src") != F.col("dst")).distinct(),
         n=F.count(F.lit(1)),
     )
+
+    def _peel(edge_df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+        """One peel. *probe* (when given) is an observed twin of
+        *edge_df* used ONLY as the semi-joins' streamed side — that path
+        executes exactly once per action, so a CollectMetrics there
+        counts the peel's input rows exactly. Attaching the observation
+        to edge_df itself would triple-count: the frame also feeds the
+        degree aggregate behind both semi-join build sides."""
+        deg = edge_df.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+        survivors = deg.filter(F.col("degree") >= k)
+        return (
+            (probe if probe is not None else edge_df)
+            .join(survivors.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
+        )
+
     rounds = 0
     n_edges = esig["n"] or 0
-    for _ in range(max_iters):
-        deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
-        survivors = deg.filter(F.col("degree") >= k)
-        new_e, nsig = _checkpoint_observed(
-            e.join(survivors.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi"),
-            n=F.count(F.lit(1)),
-        )
+    while rounds < max_iters:
+        # _ROUND_FOLD peels composed into one checkpoint job (round 17,
+        # §2.6). The logical round count stays EXACT (tests pin it, and
+        # the unrolled kcore oracle's validity is asserted through it):
+        # every intermediate peel's output count is observed on the next
+        # peel's probe path, so the fold yields the same per-peel count
+        # sequence the unfolded loop saw, replayed below. Edge count is
+        # monotone ↓, so an unchanged count proves a peel was identity —
+        # any extra peels a fold runs past convergence reproduce the
+        # same edge set and the returned frame is bit-identical.
+        fold = min(_ROUND_FOLD, max_iters - rounds)
+        cur = e
+        inner_obs: list[tuple[Observation, DataFrame]] = []
+        for _ in range(fold - 1):
+            cur = _peel(cur)
+            obs = Observation()
+            probe = cur.observe(obs, F.count(F.lit(1)).alias("n"))
+            inner_obs.append((obs, cur))
+            cur = _peel(cur, probe=probe)
+        if fold == 1:
+            cur = _peel(cur)
+        new_e, nsig = _checkpoint_observed(cur, n=F.count(F.lit(1)))
+        counts = []
+        for obs, mid in inner_obs:
+            try:
+                counts.append(obs.get["n"] or 0)
+            except Exception:
+                # AQE's empty-relation propagation collapsed the join the
+                # probe streamed through (the fold ended empty), taking
+                # the mid-plan CollectMetrics with it — getRow() then
+                # yields a schemaless empty row and toPyRow raises.
+                # Recompute the one missing count from the still-lazy
+                # intermediate (e is not yet released); only terminal,
+                # near-empty folds ever take this path.
+                counts.append(mid.count())
+        counts.append(nsig["n"] or 0)
         release(e)
         e = new_e
-        rounds += 1
-        # converged iff no edge was dropped (edge count is monotone ↓);
-        # the count is observed free on the checkpoint action.
-        n_new = nsig["n"] or 0
-        if n_new == n_edges:
+        converged = False
+        for n_new in counts:
+            rounds += 1
+            if n_new == n_edges:
+                converged = True
+                break
+            n_edges = n_new
+        if converged:
             break
-        n_edges = n_new
     out = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("degree"))
@@ -567,8 +702,9 @@ def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
     e = e.localCheckpoint(eager=True)
     v = e.select(F.col("src").alias("id")).distinct()
     labels = v.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
-    for _ in range(n_iters):
-        neigh = e.join(labels.withColumnRenamed("id", "src"), "src")
+
+    def _round(lbl: DataFrame) -> DataFrame:
+        neigh = e.join(lbl.withColumnRenamed("id", "src"), "src")
         counted = neigh.groupBy(F.col("dst").alias("id"), "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
@@ -577,16 +713,23 @@ def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
         best = counted.groupBy("id").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m")
         )
-        new_labels = (
-            labels.join(best, "id", "left")
-            .select(
-                "id",
-                F.coalesce(-F.col("m.nl"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(best, "id", "left").select(
+            "id",
+            F.coalesce(-F.col("m.nl"), F.col("label")).alias("label"),
         )
+
+    # Fixed-count folding (round 17, §2.6): counts and the struct-max
+    # argmax are order-independent, so folded rounds are bit-identical.
+    i = 0
+    while i < n_iters:
+        fold = min(_ROUND_FOLD, n_iters - i)
+        upd = labels
+        for _ in range(fold):
+            upd = _round(upd)
+        new_labels = upd.localCheckpoint(eager=True)
         release(labels)
         labels = new_labels
+        i += fold
     return labels
 
 
@@ -616,26 +759,33 @@ def personalized_pagerank(
     base = v.join(F.broadcast(seeds.select("id").withColumn("b", F.lit(1.0))), "id", "left")
     base = base.select("id", F.coalesce(F.col("b"), F.lit(0.0)).alias("base")).persist()
     ranks = base.select("id", F.col("base").alias("rank")).localCheckpoint(eager=True)
+
+    def _iter(r: DataFrame) -> DataFrame:
+        contribs = (
+            e.join(r.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
+        )
+        return base.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * F.col("base")
+                + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
     try:
-        for _ in range(n_iters):
-            contribs = (
-                e.join(ranks.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
-            )
-            new_ranks = (
-                base.join(contribs, "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(1.0 - damping) * F.col("base")
-                        + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
-            )
+        # Fixed-count folding, same reasoning as pagerank (round 17, §2.6).
+        i = 0
+        while i < n_iters:
+            fold = min(_ROUND_FOLD, n_iters - i)
+            upd = ranks
+            for _ in range(fold):
+                upd = _iter(upd)
+            new_ranks = upd.localCheckpoint(eager=True)
             release(ranks)
             ranks = new_ranks
+            i += fold
         return ranks
     finally:
         e.unpersist()

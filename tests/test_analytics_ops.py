@@ -3213,3 +3213,39 @@ def test_cluster_best_quality_keeps_best_member_not_min_id(spark, tmp_path):
     assert got[6].quality > got[5].quality
     for i in list(range(5)) + list(range(7, 12)):
         assert got[i].keep is True and got[i].cluster_id == i
+
+
+def test_round_fold_identical_to_unfolded(spark, monkeypatch):
+    """The round-17 _ROUND_FOLD=2 job folding must be invisible to
+    results: every folded loop re-run with _ROUND_FOLD=1 (the exact
+    pre-fold loops) must return bit-identical frames — including kcore's
+    logical round count, whose exactness rests on the mid-plan probe
+    observation. The 9-vertex graph below converges mid-fold for cc
+    (odd round count) and peels to EMPTY for kcore k=3, covering the
+    AQE empty-relation fallback path for the inner observation."""
+    import graph_db_spark.pregel as pregel
+
+    # two components: a 6-chain (0..5, cc converges in an odd number of
+    # min-label rounds) and a triangle 6-7-8 with pendant 8-9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (8, 6), (8, 9)],
+        "src LONG, dst LONG",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id LONG")
+    w_edges = edges.withColumn("weight", (F.col("src") % 3 + 1).cast("double"))
+    src = spark.createDataFrame([(0,)], "id LONG")
+
+    def run_all():
+        cc = sorted(map(tuple, pregel.connected_components(verts, edges).collect()))
+        sp = sorted(map(tuple, pregel.shortest_paths(w_edges, src).collect()))
+        pr = sorted(map(tuple, pregel.pagerank(verts, edges, n_iters=5).collect()))
+        lp = sorted(map(tuple, pregel.label_propagation(edges, n_iters=3).collect()))
+        k2, r2 = pregel.kcore(edges, k=2)
+        k3, r3 = pregel.kcore(edges, k=3)
+        return cc, sp, pr, lp, sorted(map(tuple, k2.collect())), r2, k3.count(), r3
+
+    folded = run_all()
+    monkeypatch.setattr(pregel, "_ROUND_FOLD", 1)
+    unfolded = run_all()
+    assert folded == unfolded
+    assert folded[6] == 0  # k=3 core empty -> inner-observation fallback ran

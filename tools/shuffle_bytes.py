@@ -33,7 +33,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--unfolded",
+        action="store_true",
+        help="run with pregel round folding disabled (round-17 A/B arm)",
+    )
     args = ap.parse_args()
+    if args.unfolded:
+        import graph_db_spark.pregel as pregel
+
+        pregel._ROUND_FOLD = 1
+        pregel._STAR_FUSE_HALF_ROUNDS = False
 
     log_dir = tempfile.mkdtemp(prefix="gds_eventlog_")
     spark = get_spark(
